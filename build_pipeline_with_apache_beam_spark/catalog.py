@@ -1,0 +1,43 @@
+"""Table catalog: load the driver-generated parquet tables for a scale factor.
+
+The reference materializes its source data on the driver before handing it to
+Beam (``collection.find`` → list, /root/reference/retrieval.py:76,221;
+``download_as_text`` → list, normalization.py:64-66).  The engine never does
+that: every table is a distributed parquet scan, so filters/projections push
+down to the file source and the driver holds only the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Distributed parquet scan of one table (no driver materialization)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros, the
+        # same conversion DuckDB applies when casting ns to its us TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so SQL-form operators can run."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,482 @@
+"""Relational core: joins, aggregations, window functions, sort/limit, set ops.
+
+The reference has none of these (SURVEY.md §2A: no joins, no aggregations
+beyond counts, no window functions) — this module is the capability extension
+that turns the ETL pipeline into a query engine.  Everything is declarative
+DataFrame API so Catalyst chooses the physical strategy; the only hints we
+give are ``broadcast()`` for dimension tables, which at 100 TB is the
+difference between a map-side hash join and a full shuffle of the fact table.
+
+Scale notes per operator family:
+- equi-joins on fact tables shuffle both sides by the join key; AQE converts
+  to broadcast at runtime when the built side turns out small, and splits
+  skewed partitions (skewJoin.enabled).
+- aggregations are hash-based with automatic partial (map-side) aggregation,
+  so the shuffle carries one row per (partition, group), not per input row.
+- top-k is TakeOrderedAndProject: per-partition heaps, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 shape on lineitem.
+
+    scan → filter(l_shipdate) → groupBy(returnflag, linestatus) →
+    sum/avg/count → orderBy.  Partial aggregation means the shuffle moves at
+    most (#partitions × #groups) rows — at 100 TB with 4 groups that is
+    kilobytes, so the scan dominates and the filter/pruning push-down is the
+    whole game.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch (rows-only check: sketch estimates differ across engines).
+
+    At 100 TB this replaces an exact count-distinct's full shuffle of the
+    distinct keys with a fixed-size mergeable sketch per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(CASE WHEN) / FILTER (WHERE ...)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.when(F.col("value") > 100, F.col("value"))
+                          .otherwise(F.lit(0.0))), 4).alias("sum_big"),
+            F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n_even_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim equi join; Catalyst picks broadcast/SMJ, AQE re-plans."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dim: map-side hash join, zero shuffle
+    of the probe side — mandatory at 100 TB when the dim fits in memory."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation_name"),
+                F.col("r_name").alias("region_name"))
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers having at least one 'F' order.  Left-semi keeps only
+    the probe side's columns, so the shuffle carries no payload from orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: customers bucketed into literal acctbal bands.
+
+    Physical plan is BroadcastNestedLoopJoin with the 4-row band table
+    broadcast — O(N × bands) work, no shuffle of the big side; this is the
+    only sane shape for a theta join at scale (never NLJ two big sides).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    # LocalRelation via SQL VALUES, not createDataFrame: a Python-RDD-backed
+    # build side forces Python worker launches just to broadcast 4 rows.
+    bands = spark.sql("""
+        SELECT * FROM VALUES
+            ('low', CAST(-99999.0 AS DOUBLE), CAST(2500.0 AS DOUBLE)),
+            ('mid', 2500.0D, 5000.0D),
+            ('high', 5000.0D, 7500.0D),
+            ('top', 7500.0D, 99999.0D)
+        AS bands(band_name, lo, hi)
+    """)
+    return (
+        cust.join(F.broadcast(bands),
+                  (cust.c_acctbal >= bands.lo) & (cust.c_acctbal < bands.hi))
+        .select("c_custkey", "c_acctbal", "band_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def window_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (unique o_orderkey tiebreaker)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return (
+        sup.select(
+            "s_suppkey", "s_nationkey", "s_acctbal",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+        )
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time (unique event_id tiebreak)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.select(
+            "user_id", "event_id", "ts",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.lead("value", 1).over(w).alias("next_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set operations
+# ---------------------------------------------------------------------------
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100: TakeOrderedAndProject (per-partition heap + merge),
+    never a full sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    a = cust.select(F.col("c_custkey").alias("entity_key"),
+                    F.col("c_name").alias("entity_name"),
+                    F.lit("customer").alias("kind"))
+    b = sup.select(F.col("s_suppkey").alias("entity_key"),
+                   F.col("s_name").alias("entity_name"),
+                   F.lit("supplier").alias("kind"))
+    return a.unionAll(b)
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present among both customers and suppliers (INTERSECT =
+    distinct semantics in both engines)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(sup.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys with customers but no suppliers (EXCEPT, distinct)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(sup.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic representative: min doc_id per text.
+
+    (``dropDuplicates`` keeps an arbitrary row per key — fine in production,
+    not oracle-checkable; min-per-group pins the representative.)  At scale
+    this is a single hash shuffle on the dedup key; for very wide rows,
+    dedup on a hash of the key column instead to shrink the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "text", "dup_count")
+    )
+
+
+QUERIES = {
+    "agg_groupby_multi": agg_groupby_multi,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_filtered": agg_filtered,
+    "join_inner_equi": join_inner_equi,
+    "join_broadcast": join_broadcast,
+    "join_left_outer": join_left_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_theta_range": join_theta_range,
+    "window_row_number_topn": window_row_number_topn,
+    "window_rank_dense": window_rank_dense,
+    "window_running_sum": window_running_sum,
+    "window_lag_lead": window_lag_lead,
+    "sort_limit_topk": sort_limit_topk,
+    "setop_union_all": setop_union_all,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "dedup_exact": dedup_exact,
+}
+
+ORACLE = {
+    "agg_groupby_multi": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(1) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_count_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(1) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(1) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(1) AS n_rows
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "agg_filtered": """
+        SELECT event_type,
+               ROUND(SUM(CASE WHEN value > 100 THEN value ELSE 0.0 END), 4) AS sum_big,
+               COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_even_users,
+               COUNT(1) AS n_rows
+        FROM events GROUP BY event_type
+    """,
+    "join_inner_equi": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_theta_range": """
+        SELECT c_custkey, c_acctbal, band_name
+        FROM customer
+        JOIN (VALUES ('low', -99999.0, 2500.0), ('mid', 2500.0, 5000.0),
+                     ('high', 5000.0, 7500.0), ('top', 7500.0, 99999.0))
+             AS bands(band_name, lo, hi)
+          ON c_acctbal >= lo AND c_acctbal < hi
+    """,
+    "window_row_number_topn": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+        WHERE rn <= 3
+    """,
+    "window_rank_dense": """
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+               RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
+               DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_dense_rank
+        FROM supplier
+    """,
+    "window_running_sum": """
+        SELECT user_id, event_id, ts,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events
+    """,
+    "window_lag_lead": """
+        SELECT user_id, event_id,
+               LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        FROM events
+    """,
+    "sort_limit_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "setop_union_all": """
+        SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind
+        FROM supplier
+    """,
+    "setop_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "setop_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, text, COUNT(1) AS dup_count
+        FROM documents GROUP BY text
+    """,
+}

@@ -1,0 +1,47 @@
+"""Central (queries, oracle_sql) registry — the driver contract.
+
+Merges each operator module's QUERIES/ORACLE dicts.  An op present in
+QUERIES but absent from ORACLE is deliberately rows-only (sketches,
+streaming state, ANN — semantics not expressible in portable SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _modules():
+    from build_pipeline_with_apache_beam_spark.operators import (
+        dedup,
+        multimodal,
+        normalize,
+        relational,
+        scalars,
+        scans,
+        similarity,
+        text,
+    )
+    from build_pipeline_with_apache_beam_spark.streaming import windows
+    from build_pipeline_with_apache_beam_spark.sources import sinks
+
+    return [scans, relational, scalars, normalize, text, dedup, similarity,
+            multimodal, windows, sinks]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate op ids {overlap} in {mod.__name__}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(mod.ORACLE)
+    return out

@@ -1,0 +1,60 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given scale factor, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet tables, and compares
+row-count + column names + order-insensitive values (exact — see
+build_pipeline_with_apache_beam_spark/oracle.py).
+
+Usage: python tools/check_correctness.py [sf_dir] [op ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from build_pipeline_with_apache_beam_spark.oracle import compare, duck_connect
+    from build_pipeline_with_apache_beam_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duck_connect(sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"ROWS-ONLY {name}: {n} rows  ({time.time()-t0:.1f}s)")
+                n_rows_only += 1
+                continue
+            ok, msg = compare(sdf, con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"error: {e}"
+        if ok:
+            print(f"PASS {name}: {msg}  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
