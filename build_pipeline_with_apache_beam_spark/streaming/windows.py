@@ -1,4 +1,188 @@
-"""Placeholder (filled in a later milestone this round)."""
+"""Event-time windowing + streaming operators.
 
-QUERIES = {}
-ORACLE = {}
+The reference hand-rolls tumbling windows in driver loops (20-minute fetch
+windows, /root/reference/retrieval.py:189-196, normalization.py:142-148) and
+imports ``beam.window`` without ever using it (retrieval.py:3).  Here they are
+first-class: ``window()`` / ``session_window()`` aggregations that run
+identically in batch and in Structured Streaming, plus watermark-based dedup
+— the principled version of the SQLite watermark (retrieval.py:30-60).
+
+Batch-checkable analogs are registered for the driver's oracle gate; the
+actual streaming execution paths (readStream → foreachBatch) are exercised
+by tests/test_streaming.py with a real file-source stream.
+
+Scale notes: windowed aggregation shuffles once on (window, keys) with
+map-side partial aggregation; session windows need a per-key sort but Spark
+implements them without a driver merge.  In streaming, ``withWatermark``
+bounds state size — without it, 100 TB of history accumulates in the state
+store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+
+def tumbling_agg(df: DataFrame, ts_col: str, width: str, *keys: str) -> DataFrame:
+    """Tumbling event-time windows (R3's 20-min chunks, retrieval.py:189-196)."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+                *keys, "n_events", "sum_value")
+    )
+
+
+def q_window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "ts", "20 minutes", "event_type")
+
+
+def q_window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour span, 20-minute hop — each event
+    lands in 3 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+                "n_events", "sum_value")
+    )
+
+
+def q_window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Session semantics: an event at exactly ``prev_ts + gap`` starts a NEW
+    session (Spark merges only while ``next.start < current.end``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events")
+    )
+
+
+def q_stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-style dedup over an at-least-once feed: double-deliver
+    every event, then drop duplicates on the message key.  In streaming this
+    is ``withWatermark("ts", ...).dropDuplicates(["event_id"])`` with
+    watermark-bounded state; the batch analog is the same logical plan.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    at_least_once = ev.unionAll(ev)  # simulate redelivery
+    return at_least_once.dropDuplicates(["event_id"])
+
+
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: file source → availableNow trigger →
+    foreachBatch parquet append (the R8+R9 batch-sink pattern,
+    retrieval.py:123-147) → re-read the sink.
+
+    foreachBatch receives each micro-batch as a DataFrame; the write inside
+    runs distributed (this is where a Kafka/Pub-Sub producer with
+    per-partition client init would go — see sources.sinks.publish_foreach_partition).
+    """
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"stream_src_{sf_tag}")
+    sink_dir = os.path.join(SCRATCH, f"stream_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"stream_ckpt_{sf_tag}")
+    for d in (src_dir, sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src_dir, "events.parquet"))
+
+    # raw parquet schema (ts is INT64 nanos under nanosAsLong): the stream
+    # must declare what is physically in the files, not the converted view
+    raw_schema = spark.read.parquet(src_dir).schema
+    raw = spark.readStream.schema(raw_schema).parquet(src_dir)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.select("event_id", "event_type")
+         .write.mode("append").parquet(sink_dir))
+
+    q = (raw.writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    return spark.read.parquet(sink_dir)
+
+
+QUERIES = {
+    "window_tumbling_agg": q_window_tumbling_agg,
+    "window_sliding_agg": q_window_sliding_agg,
+    "window_session_agg": q_window_session_agg,
+    "stream_watermark_dedup": q_stream_watermark_dedup,
+    "stream_foreach_batch_sink": q_stream_foreach_batch_sink,
+}
+
+# naive-timestamp bucket arithmetic (no to_timestamp: that returns TIMESTAMPTZ
+# and would shift under a non-UTC DuckDB session timezone)
+_BUCKET20 = ("TIMESTAMP '1970-01-01 00:00:00' + "
+             "CAST(floor(epoch(ts)/1200)*1200 AS BIGINT) * INTERVAL '1 second'")
+
+ORACLE = {
+    "window_tumbling_agg": f"""
+        SELECT {_BUCKET20} AS w_start,
+               {_BUCKET20} + INTERVAL '20 minutes' AS w_end,
+               event_type,
+               COUNT(1) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "window_sliding_agg": f"""
+        WITH hopped AS (
+            SELECT {_BUCKET20} - o.off * INTERVAL '20 minutes' AS w_start, value
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2)) AS o(off)
+        )
+        SELECT w_start, w_start + INTERVAL '1 hour' AS w_end,
+               COUNT(1) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM hopped GROUP BY 1, 2
+    """,
+    "window_session_agg": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(1) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+    "stream_watermark_dedup": """
+        SELECT DISTINCT event_id, ts, event_type
+        FROM (SELECT event_id, ts, event_type FROM events
+              UNION ALL
+              SELECT event_id, ts, event_type FROM events)
+    """,
+    "stream_foreach_batch_sink": """
+        SELECT event_id, event_type FROM events
+    """,
+}

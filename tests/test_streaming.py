@@ -1,0 +1,78 @@
+"""Real Structured Streaming runs (file source, availableNow trigger) and
+batch-equivalence checks for the windowed operators — SURVEY.md §5.5."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+from build_pipeline_with_apache_beam_spark.streaming.windows import tumbling_agg
+
+
+def _stream_events(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    # same nanos→micros conversion the catalog applies
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, sf_dir, tmp_path):
+    """The same window() aggregation through a real stream (availableNow +
+    complete mode into a memory sink) must equal the batch plan."""
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "20 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q = (agg.writeStream.format("memory").queryName("tumbling_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_stream").collect()
+    }
+    want = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_agg(load_table(spark, sf_dir, "events"),
+                              "ts", "20 minutes", "event_type").collect()
+    }
+    assert got == want
+
+
+def test_streaming_watermark_dedup(spark, sf_dir, tmp_path):
+    """withWatermark + dropDuplicates over a stream that delivers the same
+    file twice: every event_id must come out exactly once."""
+    src = str(tmp_path / "src2")
+    os.makedirs(src, exist_ok=True)
+    # two copies = at-least-once delivery
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "b.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 years")  # keep all state for the test
+        .dropDuplicates(["event_id"])
+    )
+    q = (stream.select("event_id").writeStream.format("memory")
+         .queryName("dedup_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    n_unique = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM dedup_stream").first()["c"]
+    n_total = spark.sql("SELECT COUNT(1) c FROM dedup_stream").first()["c"]
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert n_total == n_unique == n_src
