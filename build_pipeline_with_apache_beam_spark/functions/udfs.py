@@ -1,0 +1,126 @@
+"""UDF surface: the engine's extension points, one op per UDF flavor.
+
+The reference's extension mechanism is the Beam DoFn (row-at-a-time Python
+over the Fn API, /root/reference/retrieval.py:123-169,
+normalization.py:81-130).  Spark's ladder, fastest first:
+
+1. built-in expressions (everything else in this package — always preferred);
+2. ``@pandas_udf`` scalar / grouped-agg: Arrow-batched, vectorized — the
+   Fn-API hop replaced by zero-copy columnar transfer;
+3. ``mapInPandas``: batch-iterator flatMap (the DoFn ``process``-with-yield
+   analog, N2's array-line → records shape);
+4. row-at-a-time ``@udf``: exact-Python-semantics escape hatch — the only
+   place the reference's per-element behavior is reproduced verbatim.
+
+Each op here exists to pin one rung's semantics + plan shape; pipelines
+should copy these patterns, not invent new ones.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udf
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+
+@udf(T.StringType())
+def _py_title_tag(name: str, key: int) -> str:
+    """Row-at-a-time Python (deliberately: pins Python string semantics)."""
+    if name is None:
+        return None
+    return f"{name.strip().upper()}#{key}"
+
+
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        _py_title_tag(F.col("c_name"), F.col("c_custkey")).alias("name_tag"),
+    )
+
+
+@pandas_udf(T.DoubleType())
+def _sigmoid_scaled(v: pd.Series) -> pd.Series:
+    """Vectorized scalar: Arrow batches in, numpy math, Arrow out."""
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-v / 100.0))
+
+
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(_sigmoid_scaled(F.col("value")), 4).alias("value_sigmoid"),
+    )
+
+
+@pandas_udf(T.DoubleType())
+def _weighted_avg(v: pd.Series, w: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF: whole group's columns arrive as Series."""
+    denom = w.sum()
+    return float((v * w).sum() / denom) if denom else float("nan")
+
+
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average of value by event_type, weighted by the JSON prop k."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.select("event_type", F.col("value"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.round(_weighted_avg(F.col("value"), F.col("k")), 4)
+             .alias("weighted_avg_value"))
+    )
+
+
+def udtf_explode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoFn-style 1→N batch flatMap via mapInPandas (N2's line-array →
+    records, normalization.py:89-90): documents → one row per token."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            out = pdf[["doc_id"]].copy()
+            out["token"] = toks
+            yield out.explode("token", ignore_index=True)
+
+    return docs.mapInPandas(explode_tokens, "doc_id BIGINT, token STRING")
+
+
+QUERIES = {
+    "udf_python_scalar": udf_python_scalar,
+    "udf_pandas_scalar": udf_pandas_scalar,
+    "udf_grouped_agg": udf_grouped_agg,
+    "udtf_explode_batch": udtf_explode_batch,
+}
+
+ORACLE = {
+    "udf_python_scalar": """
+        SELECT c_custkey,
+               UPPER(TRIM(c_name)) || '#' || CAST(c_custkey AS VARCHAR) AS name_tag
+        FROM customer
+    """,
+    "udf_pandas_scalar": """
+        SELECT event_id,
+               ROUND(1.0 / (1.0 + EXP(-value / 100.0)), 4) AS value_sigmoid
+        FROM events
+    """,
+    "udf_grouped_agg": """
+        SELECT event_type,
+               ROUND(SUM(value * CAST(props->>'$.k' AS DOUBLE))
+                     / SUM(CAST(props->>'$.k' AS DOUBLE)), 4) AS weighted_avg_value
+        FROM events GROUP BY event_type
+    """,
+    "udtf_explode_batch": """
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    """,
+}

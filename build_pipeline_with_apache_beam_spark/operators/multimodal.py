@@ -1,4 +1,125 @@
-"""Placeholder (filled in a later milestone this round)."""
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-QUERIES = {}
+The decode step itself is STUBBED — the real image/audio libraries are not
+in this container — but everything Spark-side is real and tested: the
+binary+metadata schema, the mapInPandas batch shape, the UDF signatures,
+partitioning, and the frame-sampling fan-out.  Swapping the stub for
+``PIL.Image.open`` / ``soundfile.read`` changes one function body and no
+plan shape.
+
+Scale notes: binary payloads dominate row size, so these stages want
+``spark.sql.files.maxPartitionBytes`` tuned down (fewer rows per task) and
+``maxRecordsPerBatch`` tuned so an Arrow batch of payloads fits executor
+memory.  Feature outputs are small; write them columnar (parquet) keyed by
+content hash so re-extraction is incremental.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+#: flip to True in an environment with real codecs installed
+REAL_DECODE_AVAILABLE = False
+
+FRAME_STRIDE = 16  # frame-sample stride over the payload, bytes per "frame"
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: documents' text bytes stand in for an
+    encoded payload; metadata is a typed struct, exactly as a real ingest
+    would carry (content_type, n_bytes, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/x-fake-media").alias("content_type"),
+            F.length("text").cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode(payload: bytes, real_decode: bool) -> bytes:
+    """Decode stub.  Real codecs are not installed in this container.
+
+    ``real_decode`` is passed explicitly (not read from the module global)
+    because executor Python workers re-import this module — driver-side
+    mutation of a global never reaches them; closure capture does.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "wire a real decoder (PIL / soundfile / pyav) here")
+    return payload  # deterministic fake: decoded == encoded
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract over Arrow batches: per-payload byte length
+    and an 8-bin byte histogram (the deterministic stand-in for an image
+    embedding).  Output schema is the real one: (doc_id, n_bytes, features)."""
+    media = _media_table(spark, sf_dir)
+    real_decode = REAL_DECODE_AVAILABLE  # captured at plan time → ships to executors
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats, sizes = [], []
+            for payload in pdf["payload"]:
+                raw = np.frombuffer(_decode(bytes(payload), real_decode),
+                                    dtype=np.uint8)
+                hist = np.bincount(raw >> 5, minlength=8).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).round(6).tolist())
+                sizes.append(int(raw.size))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "features": feats,
+            })
+
+    return media.mapInPandas(
+        extract, "doc_id BIGint, n_bytes BIGINT, features ARRAY<DOUBLE>")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each payload fans out to every FRAME_STRIDE-th chunk
+    (the video-keyframe access pattern), one row per sampled frame."""
+    media = _media_table(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for fi, off in enumerate(range(0, len(raw), FRAME_STRIDE)):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(raw[off:off + FRAME_STRIDE])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            })
+
+    return media.mapInPandas(
+        sample, "doc_id BIGINT, frame_idx INT, frame BINARY")
+
+
+QUERIES = {
+    "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+# rows-only: the decode/feature step is Python-side by design.  The
+# Spark-side plumbing (fan-out counts, byte sizes) is reconciled against
+# SQL in tests/test_multimodal.py instead.
 ORACLE = {}

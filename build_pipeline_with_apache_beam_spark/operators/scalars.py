@@ -59,13 +59,18 @@ def scalar_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object on the events.props JSON column (R4-R6 analog)."""
+    """JSON field extraction on events.props (R4-R6 analog).
+
+    One ``from_json`` parse feeding all projections — N ``get_json_object``
+    calls would re-parse the document N times per row.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    parsed = F.from_json("props", "k STRING, missing STRING")
+    return ev.withColumn("p", parsed).select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
-        F.get_json_object("props", "$.missing").alias("missing_key"),
+        F.col("p.k").alias("k_str"),
+        F.col("p.k").cast("int").alias("k_int"),
+        F.col("p.missing").alias("missing_key"),
     )
 
 

@@ -1,4 +1,220 @@
-"""Placeholder (filled in a later milestone this round)."""
+"""Text-analysis operators for large-scale training-data pipelines.
 
-QUERIES = {}
-ORACLE = {}
+These extend the reference (which only ever treats text as opaque JSON lines,
+/root/reference/normalization.py:89) with the document-level analytics a
+100 TB corpus pipeline needs: token statistics, quality scoring, language
+identification, token counting, and content fingerprinting.
+
+Everything here is built-in Catalyst expressions over the ``documents``
+table — split/filter/transform/aggregate higher-order functions, no Python
+in the row path.  At scale each op is a single projection (no shuffle except
+the final aggregations), so throughput is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+# tiny demonstration lexicons for the language-ID heuristic; a real pipeline
+# would broadcast per-language frequency tables instead
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "join"),
+    "es": ("el", "la", "de", "scan"),
+    "de": ("der", "die", "und", "hash"),
+}
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (whitespace tokenization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.length(F.translate("text", " ", "")) / F.size(toks), 4)
+         .alias("avg_token_len"),
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word pieces OR single non-space symbols
+    (the pre-tokenizer regex shape used by byte-pair encoders)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]")).alias("n_bpe_pieces"),
+        F.size(_tokens()).alias("n_ws_tokens"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation, stopword ratio,
+    vocabulary diversity — the standard cheap pre-filters before expensive
+    model-based scoring in a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    diversity = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(n / F.lit(30.0), F.lit(1.0))
+    stop_ratio = n_stop / n
+    score = F.round(0.4 * len_score + 0.3 * (1 - stop_ratio) + 0.3 * diversity, 4)
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(diversity, 4).alias("diversity"),
+        score.alias("quality_score"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: score each candidate language by
+    distinct marker hits; argmax with a fixed precedence order.  The real
+    version swaps the literal lexicons for broadcast n-gram tables — the
+    plan shape (projection over array intersections) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best <= 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        *[scores[l].alias(f"score_{l}") for l in _LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def text_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: top-3 languages by document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(F.length("text")), 4).alias("avg_chars"))
+        .orderBy(F.col("n_docs").desc(), F.col("lang"))
+        .limit(3)
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase text
+    (deterministic dedup key), plus duplicate-group size per fingerprint."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.concat_ws(" ", F.split(F.trim("text"), r"\s+")))
+    with_fp = docs.select("doc_id", F.md5(F.encode(normalized, "utf-8"))
+                          .alias("fingerprint"))
+    # window-count over the fingerprint: one hash shuffle, no join — the
+    # group size rides along with the rows instead of a second pass
+    return with_fp.select(
+        "doc_id", "fingerprint",
+        F.count(F.lit(1)).over(W.partitionBy("fingerprint")).alias("group_size"),
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_lang_topk": text_lang_topk,
+    "text_fingerprint": text_fingerprint,
+}
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]) + "]"
+
+
+ORACLE = {
+    "text_stats": """
+        SELECT doc_id,
+               CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_measured,
+               CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS n_distinct_tokens,
+               ROUND(length(replace(text, ' ', '')) * 1.0
+                     / len(str_split(text, ' ')), 4) AS avg_token_len
+        FROM documents
+    """,
+    "text_token_count": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_pieces,
+               CAST(len(str_split(text, ' ')) AS INT) AS n_ws_tokens
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop,
+                   len(list_distinct(toks)) AS n_dist
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(n_stop * 1.0 / n, 4) AS stopword_ratio,
+               ROUND(n_dist * 1.0 / n, 4) AS diversity,
+               ROUND(0.4 * LEAST(n / 30.0, 1.0)
+                     + 0.3 * (1 - n_stop * 1.0 / n)
+                     + 0.3 * (n_dist * 1.0 / n), 4) AS quality_score
+        FROM m
+    """,
+    "text_lang_id": f"""
+        WITH t AS (
+            SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_intersect(toks, {_markers_sql('en')})) AS INT) AS score_en,
+                   CAST(len(list_intersect(toks, {_markers_sql('es')})) AS INT) AS score_es,
+                   CAST(len(list_intersect(toks, {_markers_sql('de')})) AS INT) AS score_de
+            FROM t
+        )
+        SELECT doc_id, lang AS labeled_lang, score_en, score_es, score_de,
+               CASE WHEN GREATEST(score_en, score_es, score_de) <= 0 THEN 'unknown'
+                    WHEN score_en = GREATEST(score_en, score_es, score_de) THEN 'en'
+                    WHEN score_es = GREATEST(score_en, score_es, score_de) THEN 'es'
+                    ELSE 'de' END AS predicted_lang
+        FROM s
+    """,
+    "text_lang_topk": """
+        SELECT lang, COUNT(1) AS n_docs, ROUND(AVG(length(text)), 4) AS avg_chars
+        FROM documents GROUP BY lang
+        ORDER BY n_docs DESC, lang LIMIT 3
+    """,
+    "text_fingerprint": r"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(list_aggregate(regexp_split_to_array(trim(text), '\s+'),
+                                            'string_agg', ' '))) AS fingerprint
+            FROM documents
+        )
+        SELECT doc_id, fingerprint,
+               COUNT(1) OVER (PARTITION BY fingerprint) AS group_size
+        FROM fp
+    """,
+}

@@ -23,11 +23,12 @@ def _modules():
         similarity,
         text,
     )
-    from build_pipeline_with_apache_beam_spark.streaming import windows
+    from build_pipeline_with_apache_beam_spark.functions import udfs
     from build_pipeline_with_apache_beam_spark.sources import sinks
+    from build_pipeline_with_apache_beam_spark.streaming import windows
 
     return [scans, relational, scalars, normalize, text, dedup, similarity,
-            multimodal, windows, sinks]
+            multimodal, udfs, windows, sinks]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,106 @@
+"""Quality tests for the LLM-data-pipeline operators: sketch-based ops are
+validated against their exact counterparts (recall/precision), multimodal
+plumbing against SQL reconciliation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+from build_pipeline_with_apache_beam_spark.operators.dedup import (
+    _docs_with_shingles,
+    dedup_fuzzy_minhash,
+    dedup_simhash,
+)
+from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+    multimodal_feature_extract,
+    multimodal_frame_sample,
+    FRAME_STRIDE,
+)
+from build_pipeline_with_apache_beam_spark.operators.similarity import (
+    sim_ann_lsh_topk,
+    sim_cosine_topk,
+)
+
+
+def test_minhash_precision(spark, sf_dir):
+    """Every pair MinHash-LSH emits must truly meet the Jaccard threshold —
+    the pipeline ends with exact verification, so precision is 1.0."""
+    pairs = dedup_fuzzy_minhash(spark, sf_dir)
+    assert pairs.where(F.col("jaccard") < 0.7).count() == 0
+    assert pairs.count() > 0  # the corpus does contain near-dups
+
+
+def test_minhash_recall_of_strong_dups(spark, sf_dir):
+    """Pairs with very high true Jaccard (≥0.9) must be found with high
+    probability (16 hashes / 4 bands ⇒ P(candidate | j=0.9) ≈ 0.986).
+    Deterministic: hash seeds are fixed."""
+    shingled = _docs_with_shingles(spark, sf_dir)
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    truth = (
+        a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", F.size(F.array_intersect("sa", "sb"))
+                    / F.size(F.array_union("sa", "sb")))
+        .where(F.col("j") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    found = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    if n_truth == 0:
+        return  # nothing this strong at this SF — precision test still covers
+    n_found = truth.join(found, ["doc_a", "doc_b"], "left_semi").count()
+    assert n_found / n_truth >= 0.8, f"recall {n_found}/{n_truth}"
+
+
+def test_simhash_pairs_are_symmetric_free_and_bounded(spark, sf_dir):
+    pairs = dedup_simhash(spark, sf_dir)
+    assert pairs.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert pairs.where(F.col("hamming") > 3).count() == 0
+
+
+def test_ann_results_subset_of_exact_pairspace(spark, sf_dir):
+    """ANN top-k cosines must appear in the exact pair set with identical
+    scores (the approximation drops candidates, never distorts scores)."""
+    exact = {(r["query_id"], r["cand_id"]): r["cosine"]
+             for r in sim_cosine_topk(spark, sf_dir).collect()}
+    ann = sim_ann_lsh_topk(spark, sf_dir).collect()
+    assert len(ann) > 0
+    # recall@10 against the exact top-k.  The synthetic embeddings are
+    # near-orthogonal (no planted clusters), so hyperplane locality is weak
+    # by construction — the bound only asserts "clearly above the random
+    # baseline" (bucket_size/N ≈ 6% here), not production-grade recall.
+    hits = sum(1 for r in ann if (r["query_id"], r["cand_id"]) in exact)
+    assert hits >= len(ann) * 0.08, f"no better than random: {hits}/{len(ann)}"
+
+
+def test_multimodal_sizes_reconcile(spark, sf_dir, duck):
+    """The mapInPandas feature stage must preserve payload byte counts
+    (ASCII text ⇒ n_bytes == n_chars) and emit unit-normalized histograms."""
+    feats = multimodal_feature_extract(spark, sf_dir)
+    want = dict(duck.execute(
+        "SELECT doc_id, length(text) FROM documents").fetchall())
+    got = {r["doc_id"]: r["n_bytes"] for r in feats.collect()}
+    assert got == want
+    sums = feats.select(
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 2)
+        .alias("s")).distinct().collect()
+    assert {r["s"] for r in sums} == {1.0}
+
+
+def test_multimodal_frame_fanout(spark, sf_dir, duck):
+    """ceil(n_bytes / stride) frames per doc, frame bytes re-concatenate to
+    the payload length."""
+    frames = multimodal_frame_sample(spark, sf_dir)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"))
+    bad = per_doc.join(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("n_chars")),
+        "doc_id",
+    ).where(
+        (F.col("total_bytes") != F.col("n_chars"))
+        | (F.col("n_frames") != F.ceil(F.col("n_chars") / FRAME_STRIDE))
+    )
+    assert bad.count() == 0
