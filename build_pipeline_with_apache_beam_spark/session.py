@@ -49,6 +49,12 @@ def get_spark(app_name: str = "build_pipeline_with_apache_beam_spark",
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # type, so scan them as long and let the catalog convert to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Generated methods above the JIT's 8 KB bytecode compile limit run
+        # interpreted forever (HotSpot refuses to compile them) — observed as
+        # minute-long stalls on wide-aggregate/higher-order-function plans.
+        # Falling back to Spark's interpreted path beyond this size is faster
+        # and predictable.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
