@@ -1,0 +1,114 @@
+"""Physical-plan hardening: assert the plans Catalyst produces are the ones
+we'd want at 100 TB, not merely ones that return correct rows.
+
+Checked properties (SURVEY.md §4 — the reference's manual optimizations that
+must fall out of the declarative plan for free):
+- predicate pushdown reaches the parquet scan (PushedFilters);
+- column pruning reaches the scan (ReadSchema excludes unused columns);
+- explicitly-broadcast dim joins compile to BroadcastHashJoin (no shuffle of
+  the probe side);
+- theta/band joins broadcast the tiny side (BroadcastNestedLoopJoin), never
+  a two-big-sides nested loop;
+- group-by aggregation is two-phase (partial map-side + final), so shuffles
+  carry groups, not rows;
+- global top-k is TakeOrderedAndProject (per-partition heaps), not a full
+  sort;
+- NO operator in the registry compiles to CartesianProduct;
+- row-at-a-time Python (BatchEvalPython) appears only in the ops that exist
+  to demonstrate it — everything else stays JVM-side or Arrow-vectorized.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan (what df.explain('formatted') prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from build_pipeline_with_apache_beam_spark import registry
+
+    return registry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, registry):
+    plan = plan_of(registry["agg_groupby_multi"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir, registry):
+    plan = plan_of(registry["scan_parquet_project"](spark, sf_dir))
+    # 3 of lineitem's 16 columns survive into the scan schema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
+    assert "l_quantity" not in read_schema and "l_comment" not in read_schema
+
+
+def test_broadcast_dim_join_is_bhj(spark, sf_dir, registry):
+    plan = plan_of(registry["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # probe side not shuffled
+
+
+def test_theta_join_broadcasts_tiny_side(spark, sf_dir, registry):
+    plan = plan_of(registry["join_theta_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_groupby_agg_is_two_phase(spark, sf_dir, registry):
+    df = registry["agg_groupby_multi"](spark, sf_dir)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    # partial (map-side) + final HashAggregate around the exchange: the
+    # shuffle carries one row per (partition, group), not per input row
+    assert "partial_sum" in simple and simple.count("HashAggregate") >= 2, simple
+    # whole-stage codegen spans only show on the AQE-final executed plan,
+    # as "*(n)" operator prefixes
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final and "*(" in final, final
+
+
+def test_topk_is_take_ordered(spark, sf_dir, registry):
+    plan = plan_of(registry["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no global Exchange rangepartitioning + Sort
+    assert "rangepartitioning" not in plan
+
+
+# Ops that deliberately run row-at-a-time Python (the reference-parity
+# renderer and the scalar-UDF demonstration op).  Everything else must not.
+PYTHON_ROW_UDF_OK = {"udf_python_scalar", "udf_python_parity_render",
+                     "normalize_flatten_nested"}
+
+# Ops that execute a write/stream as a side effect when built — still plan-
+# checkable (the returned re-read DataFrame has a plan) but slow to rebuild;
+# the cartesian sweep tolerates them because sf0.001 is tiny.
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir, registry):
+    """No op in the registry may compile to a cartesian product."""
+    offenders = {}
+    for name, fn in registry.items():
+        plan = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = plan
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_python_row_udfs_only_where_intended(spark, sf_dir, registry):
+    offenders = []
+    for name, fn in registry.items():
+        if name in PYTHON_ROW_UDF_OK:
+            continue
+        if "BatchEvalPython" in plan_of(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
