@@ -208,6 +208,67 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed flagship workloads (multi-join + agg + order/limit in one plan)
+# ---------------------------------------------------------------------------
+
+def flagship_q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem →
+    revenue per order → top-10.
+
+    The plan to want at 100 TB: both fact joins shuffle on their keys (AQE
+    may broadcast the segment-filtered customer side), partial aggregation
+    before the final shuffle, and the top-10 via per-partition heaps.
+    Ordering ties are broken on the rounded revenue + unique l_orderkey so
+    the limit boundary is deterministic across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+              .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def flagship_q5_multijoin_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→customer/supplier→orders→
+    lineitem) with the local-supplier condition, revenue per nation.
+
+    region/nation are explicit broadcasts; customer/orders/lineitem/supplier
+    shuffle on join keys and AQE handles the rest.  The c_nationkey =
+    s_nationkey condition makes this a genuine multi-way join, not a star.
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+              .alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
 
@@ -339,6 +400,8 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_theta_range": join_theta_range,
+    "flagship_q3_topk_revenue": flagship_q3_topk_revenue,
+    "flagship_q5_multijoin_volume": flagship_q5_multijoin_volume,
     "window_row_number_topn": window_row_number_topn,
     "window_rank_dense": window_rank_dense,
     "window_running_sum": window_running_sum,
@@ -426,6 +489,34 @@ ORACLE = {
                      ('high', 5000.0, 7500.0), ('top', 7500.0, 99999.0))
              AS bands(band_name, lo, hi)
           ON c_acctbal >= lo AND c_acctbal < hi
+    """,
+    "flagship_q3_topk_revenue": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "flagship_q5_multijoin_volume": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
