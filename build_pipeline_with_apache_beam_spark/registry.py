@@ -25,10 +25,10 @@ def _modules():
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
     from build_pipeline_with_apache_beam_spark.sources import sinks
-    from build_pipeline_with_apache_beam_spark.streaming import windows
+    from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
     return [scans, relational, scalars, normalize, text, dedup, similarity,
-            multimodal, udfs, windows, sinks]
+            multimodal, udfs, windows, stateful, sinks]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

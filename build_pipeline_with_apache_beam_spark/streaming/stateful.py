@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference's only state is a single SQLite watermark row
+(/root/reference/retrieval.py:30-60) — per-key state does not exist.  This
+module adds the Structured Streaming extension point for it: arbitrary
+per-group state (running aggregates here; sessionization, CDC merge, or
+online dedup counters in production) maintained by the state store across
+micro-batches, with Arrow-batched Python doing only the per-group update.
+
+Scale notes: state lives partitioned by grouping key in the executor state
+stores (RocksDB-backed on a real cluster), so per-key state scales out with
+the cluster; a production op sets a timeout (``GroupStateTimeout``) or
+watermark to bound state for keys that go quiet — unbounded key cardinality
+with no expiry is the 100 TB failure mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def _update_user_state(key: tuple,
+                       pdfs: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one user into running (n, total).
+
+    Emits the updated running aggregate once per (group, batch) — the
+    streaming-native version of an incrementally-maintained GROUP BY.
+    """
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [round(total, 4)]})
+
+
+def stateful_user_agg(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) with explicit per-group state."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the stateful operator: file source →
+    applyInPandasWithState → foreachBatch sink → re-read.
+
+    The single-file availableNow source yields one micro-batch, so each
+    user's final emitted state equals the batch GROUP BY — which is exactly
+    the DuckDB oracle.  (With more batches the sink would hold one row per
+    (user, batch); the last one still matches — production would upsert.)
+    """
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"state_src_{sf_tag}")
+    sink_dir = os.path.join(SCRATCH, f"state_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"state_ckpt_{sf_tag}")
+    for d in (src_dir, sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src_dir, "events.parquet"))
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(raw_schema).parquet(src_dir)
+              .select("user_id", "value"))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (stateful_user_agg(stream)
+         .writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    return spark.read.parquet(sink_dir)
+
+
+QUERIES = {
+    "stream_stateful_user_agg": q_stream_stateful_user_agg,
+}
+
+ORACLE = {
+    "stream_stateful_user_agg": """
+        SELECT user_id, COUNT(1) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+}

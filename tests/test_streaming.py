@@ -76,3 +76,47 @@ def test_streaming_watermark_dedup(spark, sf_dir, tmp_path):
     n_total = spark.sql("SELECT COUNT(1) c FROM dedup_stream").first()["c"]
     n_src = load_table(spark, sf_dir, "events").count()
     assert n_total == n_unique == n_src
+
+
+def test_stateful_agg_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry per-user state across micro-batches:
+    feeding the same events twice (one file per trigger = two batches) must
+    end with each user's state at exactly 2× the single-pass aggregate."""
+    from build_pipeline_with_apache_beam_spark.streaming.stateful import (
+        stateful_user_agg)
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "b.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .select("user_id", "value"))
+
+    q = (stateful_user_agg(stream)
+         .writeStream.format("memory").queryName("stateful_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # "update" emits one row per (user, batch); the final batch's row holds
+    # the accumulated state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("""
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY n_events DESC) rn
+                FROM stateful_stream) WHERE rn = 1
+        """).collect()
+    }
+    want = {
+        r["user_id"]: (2 * r["n"], round(2 * r["total"], 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == want
