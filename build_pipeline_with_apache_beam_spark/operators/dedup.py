@@ -173,21 +173,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees ≥ 1 exact sub-band match by pigeonhole).  Rows-only: seeded
     xxhash64 isn't portable SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the tokenize+hash stage across cores: the test corpus is one
+    # parquet file = one input split (at 100 TB splits provide this natively)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    # hash once per token in its own projection — inlining xxhash64 into the
+    # 64 per-bit aggregates below would recompute the hash 64× per row
     toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    h = F.xxhash64("tok")
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    h = F.col("h")
     # staged like minhash (see _staged): the 64-agg sketch is the persisted
-    # index; the band self-join below reads it as a plain parquet relation
-    bit_sums = _staged(spark, toks.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s_{b}")
-        for b in range(64)
-    ]), "simhash_bits")
+    # index; the band self-join below reads it as a plain parquet relation.
+    # Per-bit aggregate is sum of the raw bit (branch-free) plus one shared
+    # count; "majority of signed ±1 sums > 0" ⟺ "2·Σbit > n" — same bits,
+    # half the per-row expression work in the hot partial-agg loop.
+    bit_sums = _staged(spark, toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        *[F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
+          for b in range(64)]
+    ), "simhash_bits")
     simhash = bit_sums.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+            (F.when(F.col(f"s_{b}") * 2 > F.col("n_toks"),
+                    F.lit(1).cast("long")).otherwise(F.lit(0))
              * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
             for b in range(64)
         ).alias("simhash"),
@@ -210,8 +220,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
                  .alias("hamming"))
+        .where(F.col("hamming") <= 3)  # filter BEFORE the distinct shuffle
         .distinct()
-        .where(F.col("hamming") <= 3)
     )
     return pairs
 
@@ -228,6 +238,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     t = docs.select("doc_id", "source",
                     F.array_distinct(F.split("text", " ")).alias("toks"))
+    # the per-pair array_intersect/union is the CPU hot loop; spread the
+    # probe side across cores (single small file = one input split locally)
+    t = t.repartition(spark.sparkContext.defaultParallelism)
     a = t.select(F.col("doc_id").alias("doc_a"), "source",
                  F.col("toks").alias("toks_a"))
     b = t.select(F.col("doc_id").alias("doc_b"),

@@ -57,10 +57,16 @@ def _with_unit_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Pre-normalize to unit length ONCE per vector, so every pairwise
     cosine downstream is a single dot product instead of dot + two norms —
     3× less expression work inside the join, and at scale the normalized
-    column is what you'd persist in the index."""
+    column is what you'd persist in the index.
+
+    Repartitioned to full parallelism: the per-pair dot products downstream
+    are the CPU hot loop, and the test corpus is one small parquet file =
+    ONE input split (at 100 TB the splits provide this spread natively)."""
+    spark = df.sparkSession
     v = F.col(col).cast("array<double>")
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return df.withColumn("vec", F.transform(v, lambda x: x / n))
+    return (df.repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("vec", F.transform(v, lambda x: x / n)))
 
 
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
