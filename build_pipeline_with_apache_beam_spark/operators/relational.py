@@ -386,6 +386,80 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's latest prior click.
+
+    Implemented the merge-based way — union both event kinds, ONE shuffle
+    + sort per user, and carry the last click timestamp forward with an
+    ignore-nulls window — instead of the naive range self-join whose
+    candidate set is quadratic per user.  At 100 TB this is the difference
+    between a sort within co-partitioned keys and an exploding theta join;
+    it is how kdb/Pandas ``merge_asof`` semantics map onto Spark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (ev.where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "ts", "event_type", "value"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    attributed = tagged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")),
+               ignorenulls=True).over(w))
+    return (attributed.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id",
+                    F.col("ts").alias("purchase_ts"), "last_click_ts",
+                    F.round("value", 4).alias("purchase_value")))
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont).  At 100 TB the exact form
+    shuffles every value to its group; approx_percentile's fixed-size
+    mergeable sketch is the scale path — kept exact here because the oracle
+    can verify exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+            F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long → wide: per-user sum of value by event type.
+
+    The pivot values are declared explicitly — without the list Spark runs
+    an extra distinct() job over the pivot column to discover them, which at
+    100 TB is a full scan you don't want just to name columns."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (ev.groupBy("user_id")
+               .pivot("event_type", _PIVOT_TYPES)
+               .agg(F.round(F.sum("value"), 4)))
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"sum_{t}") for t in _PIVOT_TYPES])
+
+
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long (melt): lineitem measures to (measure, val) pairs.
+    Pure projection — no shuffle; output is 3× the rows, same bytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(["l_orderkey", "l_linenumber"],
+                 ["l_quantity", "l_extendedprice", "l_discount"],
+                 "measure", "val")
+        .withColumn("val", F.round("val", 4))
+    )
+
+
 QUERIES = {
     "agg_groupby_multi": agg_groupby_multi,
     "agg_count_distinct": agg_count_distinct,
@@ -411,6 +485,10 @@ QUERIES = {
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
     "dedup_exact": dedup_exact,
+    "join_asof": join_asof,
+    "agg_percentile": agg_percentile,
+    "reshape_pivot": reshape_pivot,
+    "reshape_unpivot": reshape_unpivot,
 }
 
 ORACLE = {
@@ -517,6 +595,50 @@ ORACLE = {
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC
+    """,
+    "join_asof": """
+        WITH tagged AS (
+            SELECT event_id, user_id, ts, event_type, value
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), attributed AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_click_ts
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+               ROUND(value, 4) AS purchase_value
+        FROM attributed WHERE event_type = 'purchase'
+    """,
+    "agg_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "reshape_pivot": """
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS sum_click,
+               ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS sum_view,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS sum_purchase,
+               ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS sum_signup,
+               ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS sum_error
+        FROM events GROUP BY user_id
+    """,
+    "reshape_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               ROUND(l_quantity, 4) AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               ROUND(l_extendedprice, 4) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               ROUND(l_discount, 4) FROM lineitem
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

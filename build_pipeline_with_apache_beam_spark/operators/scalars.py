@@ -90,12 +90,27 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / count / match / replace — all JVM-side (java.util.regex
+    inside whole-stage codegen; the patterns here stay in the RE2-compatible
+    subset so the DuckDB oracle evaluates them identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_tok"),
+        F.regexp_count("text", F.lit("data")).alias("n_data"),
+        F.when(F.col("text").rlike("spark"), 1).otherwise(0).alias("has_spark"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
+    )
+
+
 QUERIES = {
     "scalar_string_ops": scalar_string_ops,
     "scalar_date_ops": scalar_date_ops,
     "scalar_math_ops": scalar_math_ops,
     "scalar_json_extract": scalar_json_extract,
     "scalar_array_ops": scalar_array_ops,
+    "scalar_regex_ops": scalar_regex_ops,
 }
 
 ORACLE = {
@@ -139,5 +154,13 @@ ORACLE = {
                ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm
         FROM embeddings
+    """,
+    "scalar_regex_ops": """
+        SELECT doc_id,
+               regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+               CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+               CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
+               regexp_replace(text, '[aeiou]', '', 'g') AS devoweled
+        FROM documents
     """,
 }

@@ -133,6 +133,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample by content-key hash.
+
+    Training pipelines need samples that are (a) reproducible across runs and
+    engines and (b) computable per-row with no global state — a hash-prefix
+    cut gives both, unlike rand()-based sampling.  The predicate is a pure
+    projection, so it pushes into the scan stage and costs nothing extra at
+    100 TB (and the same cut can route rows to train/val/test splits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (docs.withColumn("sample_key", F.substring(hx, 1, 8))
+            .where(F.substring(hx, 1, 2) < "40")
+            .select("doc_id", "lang", "source", "sample_key"))
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask email-shaped tokens and digit runs.
+
+    The corpus itself is synthetic word soup, so the op first appends a
+    deterministic contact-info suffix per doc (making the scrub observable),
+    then masks — the masking expressions are the operator under test.  All
+    JVM-side regex; at scale this runs in the scan's projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        " ", F.col("text"),
+        F.concat(F.col("source"), F.lit("@example.com")),
+        F.concat(F.lit("ref:"), (F.col("doc_id") * 7919).cast("string")))
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, r"[^\s@]+@[^\s@]+", "<EMAIL>"),
+        r"\d+", "<NUM>")
+    return docs.select("doc_id", clean.alias("clean_text"))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_token_count": text_token_count,
@@ -140,6 +174,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_lang_topk": text_lang_topk,
     "text_fingerprint": text_fingerprint,
+    "sample_hash_bucket": sample_hash_bucket,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -216,5 +252,21 @@ ORACLE = {
         SELECT doc_id, fingerprint,
                COUNT(1) OVER (PARTITION BY fingerprint) AS group_size
         FROM fp
+    """,
+    "sample_hash_bucket": """
+        SELECT doc_id, lang, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+    "text_pii_scrub": r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       text || ' ' || source || '@example.com'
+                            || ' ' || 'ref:' || CAST(doc_id * 7919 AS VARCHAR),
+                       '[^\s@]+@[^\s@]+', '<EMAIL>', 'g'),
+                   '\d+', '<NUM>', 'g') AS clean_text
+        FROM documents
     """,
 }
