@@ -256,10 +256,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-duplicate pairs → canonical group ids.
+
+    Pair emission (minhash/simhash/jaccard) is only half of dedup: A~B and
+    B~C must collapse into ONE group even when A~C was never emitted.  This
+    is iterative min-label propagation (the hash-join formulation of
+    connected components, same algorithm GraphX/GraphFrames use): every
+    vertex repeatedly adopts the smallest label among itself and its
+    neighbors until fixpoint.  Iterations = graph diameter (near-dup
+    clusters are shallow, so a handful); each iteration is one join + one
+    aggregation, all executor-side — the driver only checks the converged
+    flag.  Label state is re-materialized per iteration to cut lineage (at
+    scale: checkpoint).  Edges here are the deterministic exact-Jaccard
+    pairs, so a DuckDB recursive CTE can verify the grouping exactly.
+    """
+    # stage the pair computation BEFORE mirroring: union of the lazy plan
+    # would run the jaccard self-join twice
+    pairs = _staged(spark, dedup_ngram_jaccard(spark, sf_dir)
+                    .select("doc_a", "doc_b"), "cc_pairs")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    vertices = (load_table(spark, sf_dir, "documents")
+                .where(F.col("doc_id") % 4 == 0).select("doc_id"))
+    # labels iterate via eager localCheckpoint: cuts lineage each pass (no
+    # O(iterations)-deep plan) without a parquet round-trip per iteration
+    labels = (vertices.withColumn("group_id", F.col("doc_id"))
+              .localCheckpoint())
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (edges.join(labels,
+                                   edges["doc_b"] == labels["doc_id"])
+                        .groupBy("doc_a").agg(F.min("group_id").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["doc_id"] == neighbor_min["doc_a"],
+                                  "left")
+                      .select("doc_id",
+                              F.least("group_id", "nmin").alias("group_id"),
+                              (F.col("nmin") < F.col("group_id"))
+                              .alias("chg"))
+                      .localCheckpoint())
+        # convergence flag rides along with the labels — one cheap scan of
+        # the checkpointed result instead of a second old-vs-new join
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    return labels.select("doc_id", "group_id")
+
+
 QUERIES = {
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_connected_groups": dedup_connected_groups,
 }
 
 ORACLE = {
@@ -275,5 +325,26 @@ ORACLE = {
           ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks)) * 1.0
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+    """,
+    "dedup_connected_groups": """
+        WITH RECURSIVE t AS (
+            SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 4 = 0
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM t a JOIN t b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM t
+            UNION
+            SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+        )
+        SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
     """,
 }

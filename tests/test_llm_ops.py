@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 from build_pipeline_with_apache_beam_spark.operators.dedup import (
     _docs_with_shingles,
+    dedup_connected_groups,
     dedup_fuzzy_minhash,
+    dedup_ngram_jaccard,
     dedup_simhash,
 )
 from build_pipeline_with_apache_beam_spark.operators.multimodal import (
@@ -18,6 +20,7 @@ from build_pipeline_with_apache_beam_spark.operators.multimodal import (
     FRAME_STRIDE,
 )
 from build_pipeline_with_apache_beam_spark.operators.similarity import (
+    sim_ann_ivf_topk,
     sim_ann_lsh_topk,
     sim_cosine_topk,
 )
@@ -72,6 +75,32 @@ def test_ann_results_subset_of_exact_pairspace(spark, sf_dir):
     # baseline" (bucket_size/N ≈ 6% here), not production-grade recall.
     hits = sum(1 for r in ann if (r["query_id"], r["cand_id"]) in exact)
     assert hits >= len(ann) * 0.08, f"no better than random: {hits}/{len(ann)}"
+
+
+def test_ivf_results_subset_of_exact_pairspace(spark, sf_dir):
+    """IVF ANN: scores must match the exact kernel; recall must beat the
+    random baseline (cells adapt to the data, so ≥ the LSH bound)."""
+    exact = {(r["query_id"], r["cand_id"]): r["cosine"]
+             for r in sim_cosine_topk(spark, sf_dir).collect()}
+    ann = sim_ann_ivf_topk(spark, sf_dir).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert r["rank"] <= 10 and -1.0001 <= r["cosine"] <= 1.0001
+    hits = sum(1 for r in ann if (r["query_id"], r["cand_id"]) in exact)
+    assert hits >= len(ann) * 0.08, f"no better than random: {hits}/{len(ann)}"
+
+
+def test_connected_groups_consistent_with_pairs(spark, sf_dir):
+    """Every emitted near-dup pair must land in one group, and group ids
+    must be members of their own group (canonical representative)."""
+    groups = {r["doc_id"]: r["group_id"]
+              for r in dedup_connected_groups(spark, sf_dir).collect()}
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    for p in pairs:
+        assert groups[p["doc_a"]] == groups[p["doc_b"]]
+    for doc, g in groups.items():
+        assert groups[g] == g, f"group id {g} is not canonical"
+        assert g <= doc
 
 
 def test_multimodal_sizes_reconcile(spark, sf_dir, duck):
