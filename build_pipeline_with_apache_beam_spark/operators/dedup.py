@@ -280,10 +280,10 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("doc_a").alias("doc_b")))
     vertices = (load_table(spark, sf_dir, "documents")
                 .where(F.col("doc_id") % 4 == 0).select("doc_id"))
-    # labels iterate via eager localCheckpoint: cuts lineage each pass (no
-    # O(iterations)-deep plan) without a parquet round-trip per iteration
-    labels = (vertices.withColumn("group_id", F.col("doc_id"))
-              .localCheckpoint())
+    # label state is persisted per pass and the previous pass is explicitly
+    # unpersisted, so the loop holds at most two label snapshots in memory
+    # regardless of iteration count (at scale: checkpoint to cut lineage too)
+    labels = vertices.withColumn("group_id", F.col("doc_id")).persist()
     for _ in range(20):  # diameter bound; converges far earlier
         neighbor_min = (edges.join(labels,
                                    edges["doc_b"] == labels["doc_id"])
@@ -295,10 +295,11 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.least("group_id", "nmin").alias("group_id"),
                               (F.col("nmin") < F.col("group_id"))
                               .alias("chg"))
-                      .localCheckpoint())
+                      .persist())
         # convergence flag rides along with the labels — one cheap scan of
-        # the checkpointed result instead of a second old-vs-new join
+        # the cached result instead of a second old-vs-new join
         changed = new_labels.where("chg").count()
+        labels.unpersist()
         labels = new_labels.drop("chg")
         if changed == 0:
             break

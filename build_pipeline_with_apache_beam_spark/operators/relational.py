@@ -418,13 +418,22 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable sketch is the scale path — kept exact here because the oracle
     can verify exact."""
     li = load_table(spark, sf_dir, "lineitem")
+    # one array-form percentile per column: a single sort buffer per group
+    # serves all three quantiles instead of three independent ones
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
-            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+            F.percentile("l_extendedprice",
+                         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+             .alias("pq"),
             F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pq", 1), 4).alias("p25_price"),
+            F.round(F.element_at("pq", 2), 4).alias("p50_price"),
+            F.round(F.element_at("pq", 3), 4).alias("p75_price"),
+            "p50_qty",
         )
     )
 
