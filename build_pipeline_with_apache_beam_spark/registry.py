@@ -24,11 +24,11 @@ def _modules():
         text,
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
-    from build_pipeline_with_apache_beam_spark.sources import sinks
+    from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
     from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
     return [scans, relational, scalars, normalize, text, dedup, similarity,
-            multimodal, udfs, windows, stateful, sinks]
+            multimodal, udfs, windows, stateful, sinks, docstore]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,6 +49,10 @@ def get_spark(app_name: str = "build_pipeline_with_apache_beam_spark",
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # type, so scan them as long and let the catalog convert to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let custom Python DataSources receive pushFilters() — off by
+        # default in Spark 4.1; required for the docstore source's
+        # manifest-based file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Generated methods above the JIT's 8 KB bytecode compile limit run
         # interpreted forever (HotSpot refuses to compile them) — observed as
         # minute-long stalls on wide-aggregate/higher-order-function plans.

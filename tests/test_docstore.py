@@ -1,0 +1,72 @@
+"""Custom Python DataSource (docstore): pushdown, pruning, parity.
+
+The oracle-parity suite already diffs `scan_docstore_pushdown` against
+DuckDB; these tests pin the DSv2 mechanics — that pushFilters accepts the
+right subset, that accepted ts filters prune whole files via the manifest
+(metadata-only, before any read), and that unsupported filters are handed
+back to Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThanOrEqual,
+)
+
+from build_pipeline_with_apache_beam_spark.sources.docstore import (
+    MANIFEST,
+    DocStoreReader,
+    build_collection,
+    scan_docstore_pushdown,
+)
+
+
+def _reader_for(root: str) -> DocStoreReader:
+    return DocStoreReader({"path": root})
+
+
+def test_manifest_prunes_files_from_pushed_ts_range(spark, sf_dir):
+    root = build_collection(spark, sf_dir)
+    with open(os.path.join(root, MANIFEST)) as fh:
+        n_files = len(json.load(fh))
+    assert n_files > 7  # one file per event-day; the range below is 3 days
+
+    r = _reader_for(root)
+    lo = 1704672000000000  # 2024-01-08 00:00:00 UTC in micros
+    hi = 1704931199999999  # 2024-01-10 23:59:59.999999 UTC
+    rejected = list(r.pushFilters([
+        GreaterThanOrEqual(("ts_micros",), lo),
+        LessThanOrEqual(("ts_micros",), hi),
+    ]))
+    assert rejected == []  # both comparisons accepted
+    parts = r.partitions()
+    assert 0 < len(parts) <= 4, f"pruning failed: {len(parts)}/{n_files} files"
+
+
+def test_unsupported_filters_are_returned_to_spark(spark, sf_dir):
+    root = build_collection(spark, sf_dir)
+    r = _reader_for(root)
+    keep = IsNotNull(("event_type",))
+    rejected = list(r.pushFilters([keep, EqualTo(("event_type",), "click")]))
+    assert rejected == [keep]
+
+
+def test_docstore_scan_matches_native_parquet_read(spark, sf_dir):
+    """End-to-end through the registered source: same rows as filtering the
+    parquet events table directly."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+    got = scan_docstore_pushdown(spark, sf_dir)
+    lo, hi = "2024-01-08 00:00:00", "2024-01-14 23:59:59.999999"
+    want = (load_table(spark, sf_dir, "events")
+            .where(F.col("ts").between(lo, hi)
+                   & (F.col("event_type") == "purchase")))
+    assert got.count() == want.count()
+    assert got.where(F.col("event_type") != "purchase").count() == 0
