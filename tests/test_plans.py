@@ -94,6 +94,42 @@ PYTHON_ROW_UDF_OK = {"udf_python_scalar", "udf_python_parity_render",
 # the cartesian sweep tolerates them because sf0.001 is tiny.
 
 
+def test_asof_join_is_single_shuffle_window(spark, sf_dir, registry):
+    """The merge-based as-of join must compile to ONE hash exchange plus a
+    window — no join operator, no quadratic candidate set."""
+    import re
+
+    plan = plan_of(registry["join_asof"](spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    # one Exchange operator (formatted plans list each op twice: tree + detail)
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, plan
+
+
+def test_unpivot_is_shuffle_free_codegen_expand(spark, sf_dir, registry):
+    plan = plan_of(registry["reshape_unpivot"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_reads_input_once(spark, sf_dir, registry):
+    """Explicit pivot values ⇒ no extra distinct() discovery scan, and the
+    first aggregate is partial (map-side) so shuffles carry groups."""
+    import re
+
+    plan = plan_of(registry["reshape_pivot"](spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, plan
+    assert "partial" in plan, plan
+
+
+def test_percentile_is_two_phase_object_agg(spark, sf_dir, registry):
+    plan = plan_of(registry["agg_percentile"](spark, sf_dir))
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+    assert "partial_percentile" in plan, plan
+
+
 def test_no_cartesian_product_anywhere(spark, sf_dir, registry):
     """No op in the registry may compile to a cartesian product."""
     offenders = {}
