@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -126,6 +127,48 @@ class DocStoreReader(DataSourceReader):
                            doc["event_type"], doc["value"])
 
 
+class DocStoreStreamReader(DataSourceStreamReader):
+    """Streaming tail of a docstore collection: offset = files consumed.
+
+    The reference's stream is Pub/Sub (publish at retrieval.py:123-147,
+    consume implied at normalization.py:154); this is the same at-least-once
+    contract done the Structured Streaming way — offsets live in the query
+    checkpoint (not a hand-rolled SQLite row), micro-batch = the files that
+    arrived since the last committed offset, and reads happen on executors
+    (``read(partition)``), never in the driver.  At scale the manifest is
+    the queue: appends are atomic (write file, then append its stats), so a
+    tailing query never sees a half-written file.
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def _manifest(self) -> list[dict]:
+        with open(os.path.join(self.path, MANIFEST)) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        return {"file_idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"file_idx": len(self._manifest())}
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        files = self._manifest()[start["file_idx"]:end["file_idx"]]
+        return [_FilePartition(os.path.join(self.path, m["file"]))
+                for m in files]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path) as fh:
+            for line in fh:
+                doc = json.loads(line)
+                yield (doc["event_id"], doc["ts_micros"], doc["user_id"],
+                       doc["event_type"], doc["value"])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the streaming checkpoint
+
+
 class DocStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -136,6 +179,9 @@ class DocStoreDataSource(DataSource):
 
     def reader(self, schema) -> DocStoreReader:
         return DocStoreReader(self.options)
+
+    def streamReader(self, schema) -> DocStoreStreamReader:
+        return DocStoreStreamReader(self.options)
 
 
 def build_collection(spark: SparkSession, sf_dir: str) -> str:
@@ -203,8 +249,40 @@ def scan_docstore_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_docstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run through the custom stream reader: docstore tail →
+    per-batch aggregate → parquet sink, then re-read.  One trigger drains
+    the whole collection (offsets 0 → latest), so the final sink equals a
+    batch GROUP BY over events — which is the DuckDB oracle."""
+    import shutil
+
+    spark.dataSource.register(DocStoreDataSource)
+    root = build_collection(spark, sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sink_dir = os.path.join(SCRATCH, f"docstream_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"docstream_ckpt_{sf_tag}")
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = spark.readStream.format("docstore").option("path", root).load()
+    agg = (stream.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value")))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
+    q = (agg.writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.read.parquet(sink_dir)
+
+
 QUERIES = {
     "scan_docstore_pushdown": scan_docstore_pushdown,
+    "stream_docstore_tail": stream_docstore_tail,
 }
 
 ORACLE = {
@@ -214,5 +292,10 @@ ORACLE = {
         FROM events
         WHERE ts >= TIMESTAMP '{_TS_LO}' AND ts <= TIMESTAMP '{_TS_HI}'
           AND event_type = 'purchase'
+    """,
+    "stream_docstore_tail": """
+        SELECT event_type, COUNT(1) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY event_type
     """,
 }
