@@ -386,6 +386,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: the same engine through ``spark.sql`` over registered
+    views (TPC-H Q6 shape).  Catalyst compiles this to the identical plan the
+    DataFrame API would produce — one scan with pushed filters + one agg."""
+    from build_pipeline_with_apache_beam_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.08
+          AND l_quantity < 24
+    """)
+
+
+def agg_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a scalar subquery: customers whose order volume exceeds
+    the average customer's.  The scalar aggregate broadcasts (one row), so
+    the HAVING filter is map-side after the group-by — no second shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+                     F.count(F.lit(1)).alias("n_orders")))
+    avg_spend = per_cust.agg(F.avg("total_spend").alias("a"))
+    return (per_cust.join(F.broadcast(avg_spend))
+            .where(F.col("total_spend") > F.col("a"))
+            .select("o_custkey", "total_spend", "n_orders"))
+
+
+def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(),
+                                              F.col("c_custkey"))
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: attribute each purchase to the user's latest prior click.
 
@@ -498,6 +543,9 @@ QUERIES = {
     "agg_percentile": agg_percentile,
     "reshape_pivot": reshape_pivot,
     "reshape_unpivot": reshape_unpivot,
+    "sql_tpch_q6": sql_tpch_q6,
+    "agg_having_subquery": agg_having_subquery,
+    "window_ntile_ranks": window_ntile_ranks,
 }
 
 ORACLE = {
@@ -648,6 +696,33 @@ ORACLE = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_discount',
                ROUND(l_discount, 4) FROM lineitem
+    """,
+    "sql_tpch_q6": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.08
+          AND l_quantity < 24
+    """,
+    "agg_having_subquery": """
+        WITH pc AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend,
+                   COUNT(1) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, total_spend, n_orders FROM pc
+        WHERE total_spend > (SELECT AVG(total_spend) FROM pc)
+    """,
+    "window_ntile_ranks": """
+        SELECT c_custkey, c_mktsegment,
+               NTILE(4) OVER w AS balance_quartile,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

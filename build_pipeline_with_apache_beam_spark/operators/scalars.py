@@ -104,6 +104,24 @@ def scalar_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_conditional_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: CASE/WHEN chains, coalesce, nullif,
+    greatest/least — pure projections, all inside whole-stage codegen."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+         .when(F.col("c_acctbal") < 5000, "standard")
+         .otherwise("premium").alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")),
+                   F.lit("(default)")).alias("segment_or_default"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 4)
+         .alias("nonneg_bal"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(9999.0)), 4)
+         .alias("capped_bal"),
+    )
+
+
 QUERIES = {
     "scalar_string_ops": scalar_string_ops,
     "scalar_date_ops": scalar_date_ops,
@@ -111,6 +129,7 @@ QUERIES = {
     "scalar_json_extract": scalar_json_extract,
     "scalar_array_ops": scalar_array_ops,
     "scalar_regex_ops": scalar_regex_ops,
+    "scalar_conditional_ops": scalar_conditional_ops,
 }
 
 ORACLE = {
@@ -162,5 +181,16 @@ ORACLE = {
                CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
                regexp_replace(text, '[aeiou]', '', 'g') AS devoweled
         FROM documents
+    """,
+    "scalar_conditional_ops": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debtor'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'),
+                        '(default)') AS segment_or_default,
+               ROUND(GREATEST(c_acctbal, 0.0), 4) AS nonneg_bal,
+               ROUND(LEAST(c_acctbal, 9999.0), 4) AS capped_bal
+        FROM customer
     """,
 }
