@@ -386,6 +386,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALT = 16
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the explicit skew-mitigation pattern.
+
+    ``event_type`` has only 5 values, so a plain groupBy sends every row for
+    a hot key to ONE reducer.  Stage 1 groups by (key, salt) spreading each
+    hot key over N_SALT reducers; stage 2 merges the per-salt partials.  The
+    second shuffle carries ≤ keys × N_SALT rows — nothing.  (For algebraic
+    aggregates Spark's map-side partial aggregation already does this
+    implicitly; the explicit salt is the pattern for the cases it can't
+    cover: exact distincts, collect-style aggregates, skewed join keys.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+    partial = (salted.groupBy("event_type", "salt")
+               .agg(F.sum("value").alias("pv"),
+                    F.count(F.lit(1)).alias("pn")))
+    return (partial.groupBy("event_type")
+            .agg(F.round(F.sum("pv"), 4).alias("total_value"),
+                 F.sum("pn").alias("n_events")))
+
+
 def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface: the same engine through ``spark.sql`` over registered
     views (TPC-H Q6 shape).  Catalyst compiles this to the identical plan the
@@ -546,6 +570,7 @@ QUERIES = {
     "sql_tpch_q6": sql_tpch_q6,
     "agg_having_subquery": agg_having_subquery,
     "window_ntile_ranks": window_ntile_ranks,
+    "agg_salted_skew": agg_salted_skew,
 }
 
 ORACLE = {
@@ -723,6 +748,11 @@ ORACLE = {
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment
                      ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    "agg_salted_skew": """
+        SELECT event_type, ROUND(SUM(value), 4) AS total_value,
+               COUNT(1) AS n_events
+        FROM events GROUP BY event_type
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
