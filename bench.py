@@ -47,6 +47,10 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 book[name] = -1.0
                 print(f"# bench error {name} ({attempt}): {e}", file=sys.stderr)
+        # drop cached/persisted state between queries: leaked cache blocks +
+        # old shuffle files otherwise accumulate across ~160 runs and the
+        # resulting GC pressure adds multi-second noise to later queries
+        spark.catalog.clearCache()
     total = round(time.time() - t_total, 3)
 
     print(json.dumps({

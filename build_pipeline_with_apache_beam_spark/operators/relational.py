@@ -386,6 +386,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join: customers × order aggregates, keeping both
+    customer-less orders and order-less customers (nulls on the absent
+    side).  Same shuffle profile as the inner join — both sides hash on the
+    key; AQE may still broadcast the smaller side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    per_cust = (load_table(spark, sf_dir, "orders")
+                .groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend")))
+    return (cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"],
+                      "full_outer")
+            .select("c_custkey", "c_name", "o_custkey", "total_spend"))
+
+
 N_SALT = 16
 
 
@@ -571,6 +585,7 @@ QUERIES = {
     "agg_having_subquery": agg_having_subquery,
     "window_ntile_ranks": window_ntile_ranks,
     "agg_salted_skew": agg_salted_skew,
+    "join_full_outer": join_full_outer,
 }
 
 ORACLE = {
@@ -753,6 +768,14 @@ ORACLE = {
         SELECT event_type, ROUND(SUM(value), 4) AS total_value,
                COUNT(1) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "join_full_outer": """
+        SELECT c_custkey, c_name, o_custkey, total_spend
+        FROM customer
+        FULL OUTER JOIN (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ) po ON c_custkey = po.o_custkey
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
