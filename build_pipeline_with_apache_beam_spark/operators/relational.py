@@ -386,6 +386,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered dedup: keep the NEWEST event per (user, type) — the CDC/
+    upsert-compaction pattern, vs dropDuplicates' arbitrary survivor.
+    One shuffle on the dedup key; row_number + rn=1 filter evaluates
+    streaming within each sorted partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id",
+                    F.col("ts").alias("latest_ts"),
+                    F.round("value", 4).alias("value")))
+
+
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer equi-join: customers × order aggregates, keeping both
     customer-less orders and order-less customers (nulls on the absent
@@ -586,6 +601,7 @@ QUERIES = {
     "window_ntile_ranks": window_ntile_ranks,
     "agg_salted_skew": agg_salted_skew,
     "join_full_outer": join_full_outer,
+    "dedup_keep_latest": dedup_keep_latest,
 }
 
 ORACLE = {
@@ -776,6 +792,15 @@ ORACLE = {
             SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
             FROM orders GROUP BY o_custkey
         ) po ON c_custkey = po.o_custkey
+    """,
+    "dedup_keep_latest": """
+        SELECT user_id, event_type, event_id, ts AS latest_ts,
+               ROUND(value, 4) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -167,6 +167,24 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", clean.alias("clean_text"))
 
 
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram frequencies: the n-gram statistics pass of
+    a training-data pipeline (vocabulary building, contamination checks).
+
+    One explode + one groupBy: partial aggregation collapses each
+    partition's bigram counts before the shuffle, so the shuffle carries
+    distinct bigrams per partition, not corpus positions.  The final top-k
+    is TakeOrdered — no global sort of the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    bigrams = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', toks[i-1], toks[i]))")).alias("bigram"))
+    return (bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "bigram").limit(20))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_token_count": text_token_count,
@@ -176,6 +194,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "sample_hash_bucket": sample_hash_bucket,
     "text_pii_scrub": text_pii_scrub,
+    "text_ngram_freq": text_ngram_freq,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -268,5 +287,15 @@ ORACLE = {
                        '[^\s@]+@[^\s@]+', '<EMAIL>', 'g'),
                    '\d+', '<NUM>', 'g') AS clean_text
         FROM documents
+    """,
+    "text_ngram_freq": """
+        WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+        b AS (
+            SELECT u.bg FROM t,
+            UNNEST(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS u(bg)
+        )
+        SELECT bg AS bigram, COUNT(1) AS n FROM b
+        GROUP BY bg ORDER BY n DESC, bigram LIMIT 20
     """,
 }
