@@ -31,24 +31,31 @@ def main() -> None:
     # warm up the JVM + parquet footer caches on the smallest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # two passes per query: pass 1 pays plan compilation + codegen JIT
-    # (recorded as cold), pass 2 is the steady-state throughput number —
-    # the representative one for a long-running engine, reported as the
-    # headline `queries` timings.
+    # three passes per query: pass 1 pays plan compilation + codegen JIT
+    # (recorded as cold); the headline `queries` timing is the BEST of two
+    # warm passes — single warm runs on this shared host vary 2-3× from
+    # GC/JIT/noisy-neighbor effects, and the minimum is the stable
+    # steady-state estimate a regression gate can compare across rounds.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     t_total = time.time()
     for name, fn in sorted(qs.items()):
-        for attempt, book in (("cold", cold), ("warm", warm)):
+        for attempt in ("cold", "warm1", "warm2"):
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                book[name] = round(time.time() - t0, 3)
+                took = round(time.time() - t0, 3)
             except Exception as e:  # noqa: BLE001
-                book[name] = -1.0
+                took = -1.0
                 print(f"# bench error {name} ({attempt}): {e}", file=sys.stderr)
+            if attempt == "cold":
+                cold[name] = took
+            elif took > 0:
+                warm[name] = min(warm.get(name, float("inf")), took)
+            else:
+                warm.setdefault(name, took)
         # drop cached/persisted state between queries: leaked cache blocks +
-        # old shuffle files otherwise accumulate across ~160 runs and the
+        # old shuffle files otherwise accumulate across ~250 runs and the
         # resulting GC pressure adds multi-second noise to later queries
         spark.catalog.clearCache()
     total = round(time.time() - t_total, 3)
