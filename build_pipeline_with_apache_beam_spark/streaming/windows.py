@@ -124,18 +124,72 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir)
 
 
+def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-batch streaming windowed aggregation under a watermark.
+
+    The source is the events table split into 4 time-ordered files consumed
+    one per micro-batch (``maxFilesPerTrigger=1``), so the watermark
+    genuinely advances batch-by-batch and append mode emits each 1-hour
+    window exactly once — when the watermark passes its end.  Windows newer
+    than ``max(ts) - delay`` are still open at end-of-stream and correctly
+    withheld; the oracle encodes precisely that: all hourly windows with
+    ``w_end <= max(ts) - 1 hour``.  This is the principled replacement for
+    the reference's hand-rolled 20-minute driver loops (retrieval.py:189-196,
+    normalization.py:142-165), which have no late-data story at all.
+    """
+    from pyspark.sql import Window as W
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"wmwin_src_{sf_tag}")
+    sink_dir = os.path.join(SCRATCH, f"wmwin_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"wmwin_ckpt_{sf_tag}")
+    for d in (src_dir, sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    # 4 time-ordered slices => 4 micro-batches (setup-only global sort)
+    (ev.withColumn("part", F.ntile(4).over(W.orderBy("ts")))
+     .repartition(1).sortWithinPartitions("ts")
+     .write.mode("overwrite").partitionBy("part").parquet(src_dir))
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir)
+              .select("ts", "value"))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .select(F.col("w.start").alias("w_start"),
+                   F.col("w.end").alias("w_end"), "n_events", "sum_value"))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (agg.writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(sink_dir)
+
+
 QUERIES = {
     "window_tumbling_agg": q_window_tumbling_agg,
     "window_sliding_agg": q_window_sliding_agg,
     "window_session_agg": q_window_session_agg,
     "stream_watermark_dedup": q_stream_watermark_dedup,
     "stream_foreach_batch_sink": q_stream_foreach_batch_sink,
+    "stream_window_append_watermark": q_stream_window_append_watermark,
 }
 
 # naive-timestamp bucket arithmetic (no to_timestamp: that returns TIMESTAMPTZ
 # and would shift under a non-UTC DuckDB session timezone)
 _BUCKET20 = ("TIMESTAMP '1970-01-01 00:00:00' + "
              "CAST(floor(epoch(ts)/1200)*1200 AS BIGINT) * INTERVAL '1 second'")
+_BUCKET3600 = ("TIMESTAMP '1970-01-01 00:00:00' + "
+               "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second'")
 
 ORACLE = {
     "window_tumbling_agg": f"""
@@ -184,5 +238,19 @@ ORACLE = {
     """,
     "stream_foreach_batch_sink": """
         SELECT event_id, event_type FROM events
+    """,
+    # append mode emits a window exactly once, when the watermark
+    # (max event time − delay) passes its end; windows still open at
+    # end-of-stream are withheld — hence the w_end cutoff
+    "stream_window_append_watermark": f"""
+        WITH w AS (
+            SELECT {_BUCKET3600} AS w_start,
+                   {_BUCKET3600} + INTERVAL '1 hour' AS w_end,
+                   COUNT(1) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT w_start, w_end, n_events, sum_value FROM w
+        WHERE w_end <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
     """,
 }

@@ -23,6 +23,7 @@ from build_pipeline_with_apache_beam_spark.session import get_spark
 EXECUTES_ON_BUILD = {
     "sink_partitioned_write", "stream_foreach_batch_sink",
     "stream_stateful_user_agg", "stream_docstore_tail",
+    "stream_window_append_watermark",
     "dedup_fuzzy_minhash", "dedup_simhash", "dedup_connected_groups",
 }
 
