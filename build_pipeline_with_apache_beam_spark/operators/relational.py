@@ -18,6 +18,8 @@ Scale notes per operator family:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -386,6 +388,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BUCKETS = 8
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed tables.
+
+    Both sides are saved ``bucketBy(N, join_key)`` + ``sortBy(join_key)``,
+    so bucket i of lineitem only ever joins bucket i of orders: the sort-
+    merge join runs with ZERO exchanges (asserted in tests/test_plans.py).
+    At 100 TB this is THE lever for repeated fact-fact joins — pay the
+    bucketed layout once at ingest, then every downstream join on that key
+    skips both shuffles.  (Bucket metadata lives in the session catalog
+    here; a production deployment uses a persistent metastore.)
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_tbl, ord_tbl = f"bkt_lineitem_{sf_tag}", f"bkt_orders_{sf_tag}"
+    # the in-memory catalog is session-scoped but warehouse files persist:
+    # a fresh session must clear the stale location before re-creating
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not spark.catalog.tableExists(li_tbl):
+        shutil.rmtree(os.path.join(warehouse, li_tbl), ignore_errors=True)
+        (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_extendedprice", "l_discount")
+         .write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(li_tbl))
+    if not spark.catalog.tableExists(ord_tbl):
+        shutil.rmtree(os.path.join(warehouse, ord_tbl), ignore_errors=True)
+        (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority")
+         .write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(ord_tbl))
+    li, orders = spark.table(li_tbl), spark.table(ord_tbl)
+    # force the sort-merge path: at test SFs the orders side is broadcast-
+    # small, which would bypass the bucketed layout this op demonstrates
+    # (at 100 TB neither fact side broadcasts and SMJ is what Spark picks)
+    li = li.hint("merge")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
 def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered dedup: keep the NEWEST event per (user, type) — the CDC/
     upsert-compaction pattern, vs dropDuplicates' arbitrary survivor.
@@ -602,6 +651,7 @@ QUERIES = {
     "agg_salted_skew": agg_salted_skew,
     "join_full_outer": join_full_outer,
     "dedup_keep_latest": dedup_keep_latest,
+    "join_bucketed_colocated": join_bucketed_colocated,
 }
 
 ORACLE = {
@@ -801,6 +851,13 @@ ORACLE = {
                                          ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
         ) WHERE rn = 1
+    """,
+    "join_bucketed_colocated": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(1) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

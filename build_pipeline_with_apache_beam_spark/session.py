@@ -49,6 +49,10 @@ def get_spark(app_name: str = "build_pipeline_with_apache_beam_spark",
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # type, so scan them as long and let the catalog convert to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketed-join layouts) go to scratch, not CWD
+        .config("spark.sql.warehouse.dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".scratch", "warehouse"))
         # let custom Python DataSources receive pushFilters() — off by
         # default in Spark 4.1; required for the docstore source's
         # manifest-based file pruning

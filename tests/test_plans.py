@@ -130,6 +130,20 @@ def test_percentile_is_two_phase_object_agg(spark, sf_dir, registry):
     assert "partial_percentile" in plan, plan
 
 
+def test_bucketed_join_has_no_join_key_shuffle(spark, sf_dir, registry):
+    """Both sides bucketed+sorted on the join key ⇒ sort-merge join with
+    bucketed scans and NO exchange on the join key (the only exchange in
+    the plan belongs to the downstream different-key aggregation)."""
+    import re
+
+    plan = plan_of(registry["join_bucketed_colocated"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
 def test_no_cartesian_product_anywhere(spark, sf_dir, registry):
     """No op in the registry may compile to a cartesian product."""
     offenders = {}
