@@ -114,12 +114,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample, "doc_id BIGINT, frame_idx INT, frame BINARY")
 
 
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style stats over media metadata WITHOUT touching payloads:
+    column pruning drops the binary column at the scan, so this reads
+    kilobytes of struct fields per million assets — the 'how much media do
+    I have, from where' query that runs constantly on a 100 TB corpus."""
+    media = _media_table(spark, sf_dir)
+    return (media.groupBy(F.col("meta.source").alias("source"),
+                          F.col("meta.content_type").alias("content_type"))
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.sum("meta.n_bytes").alias("total_bytes"),
+                 F.max("meta.n_bytes").alias("max_bytes")))
+
+
 QUERIES = {
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_metadata_stats": multimodal_metadata_stats,
 }
 
-# rows-only: the decode/feature step is Python-side by design.  The
-# Spark-side plumbing (fan-out counts, byte sizes) is reconciled against
-# SQL in tests/test_multimodal.py instead.
-ORACLE = {}
+# feature/frame ops are rows-only: the decode step is Python-side by
+# design, and the Spark-side plumbing (fan-out counts, byte sizes) is
+# reconciled against SQL in tests/test_llm_ops.py.  The metadata-stats op
+# IS oracle-checked — it never leaves the metadata columns.
+ORACLE = {
+    "multimodal_metadata_stats": """
+        SELECT source, 'application/x-fake-media' AS content_type,
+               COUNT(1) AS n_assets,
+               SUM(LENGTH(text)) AS total_bytes,
+               MAX(LENGTH(text)) AS max_bytes
+        FROM documents GROUP BY source
+    """,
+}

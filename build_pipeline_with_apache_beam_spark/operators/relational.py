@@ -391,6 +391,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-style aggregation, made deterministic: the per-group distinct
+    set is sorted before serialization (collect_set order is otherwise
+    partition-dependent).  At 100 TB collect aggregates are the ones
+    map-side partial aggregation can't shrink when groups are hot — the
+    salted two-stage pattern (agg_salted_skew) is their pressure valve."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus")))
+                 .alias("statuses"),
+                 F.countDistinct("l_linestatus").alias("n_statuses")))
+
+
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact-to-fact join via bucketed tables.
 
@@ -652,6 +665,7 @@ QUERIES = {
     "join_full_outer": join_full_outer,
     "dedup_keep_latest": dedup_keep_latest,
     "join_bucketed_colocated": join_bucketed_colocated,
+    "agg_collect_sorted": agg_collect_sorted,
 }
 
 ORACLE = {
@@ -858,6 +872,13 @@ ORACLE = {
                COUNT(1) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "agg_collect_sorted": """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ','
+                          ORDER BY l_linestatus) AS statuses,
+               COUNT(DISTINCT l_linestatus) AS n_statuses
+        FROM lineitem GROUP BY l_returnflag
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
