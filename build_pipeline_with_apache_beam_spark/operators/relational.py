@@ -391,6 +391,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+_RANGE_W_US = 120_000_000  # 2-minute bucket/range width, microseconds
+
+
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big range join, bucketized: pairs of events ≤ 2 minutes apart
+    (no equi key at all — the follow-within-Δt / IP-range / interval-overlap
+    shape).
+
+    A naive theta join is a nested loop over N² pairs.  Bucketizing the
+    time axis at the range width turns it into an EQUI join: the left side
+    expands to the (at most 2) buckets its range can touch, the right side
+    keeps its own bucket, the join key is the bucket id, and the exact
+    range predicate filters residuals inside each bucket.  Work drops from
+    N² to Σ|bucket|² — at 100 TB this is the difference between impossible
+    and one shuffle.  (join_theta_range demonstrates the broadcast-NLJ
+    fallback for when one side is tiny.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = (ev.select(F.col("event_id").alias("e1_id"), us.alias("t1"))
+         .withColumn("bkt", F.explode(F.array(
+             F.expr(f"t1 div {_RANGE_W_US}"),
+             F.expr(f"t1 div {_RANGE_W_US}") + 1))))
+    b = ev.select(F.col("event_id").alias("e2_id"), us.alias("t2"),
+                  F.expr(f"unix_micros(ts) div {_RANGE_W_US}").alias("bkt2"))
+    return (a.join(b, (F.col("bkt") == F.col("bkt2"))
+                   & (F.col("t2") >= F.col("t1"))
+                   & (F.col("t2") <= F.col("t1") + _RANGE_W_US)
+                   & (F.col("e1_id") != F.col("e2_id")))
+            .select("e1_id", "e2_id",
+                    (F.col("t2") - F.col("t1")).alias("gap_us")))
+
+
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect-style aggregation, made deterministic: the per-group distinct
     set is sorted before serialization (collect_set order is otherwise
@@ -666,6 +699,7 @@ QUERIES = {
     "dedup_keep_latest": dedup_keep_latest,
     "join_bucketed_colocated": join_bucketed_colocated,
     "agg_collect_sorted": agg_collect_sorted,
+    "join_range_bucketized": join_range_bucketized,
 }
 
 ORACLE = {
@@ -879,6 +913,14 @@ ORACLE = {
                           ORDER BY l_linestatus) AS statuses,
                COUNT(DISTINCT l_linestatus) AS n_statuses
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "join_range_bucketized": """
+        SELECT a.event_id AS e1_id, b.event_id AS e2_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 2 MINUTE
+         AND a.event_id <> b.event_id
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
