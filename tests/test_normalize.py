@@ -111,6 +111,42 @@ def test_empty_list_stringifies_not_empty():
     assert list(rendered) == ["[]", "", "{'a': 1}", None]
 
 
+# --- property-based parity: the rendering kernel vs a model of the
+# reference's exact rules (normalization.py:96-103) over arbitrary JSON ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_json_scalars = (st.none() | st.booleans()
+                 | st.integers(min_value=-10**6, max_value=10**6)
+                 | st.floats(allow_nan=False, allow_infinity=False)
+                 | st.text(max_size=12))
+_json_values = st.recursive(
+    _json_scalars,
+    lambda kids: (st.lists(kids, max_size=4)
+                  | st.dictionaries(st.text(max_size=6), kids, max_size=4)),
+    max_leaves=12)
+_nested_values = (st.lists(_json_values, max_size=4)
+                  | st.dictionaries(st.text(max_size=6), _json_values,
+                                    max_size=4))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_nested_values)
+def test_parity_kernel_matches_reference_model(value):
+    """For ANY nested JSON value the kernel must reproduce the reference:
+    {} → '', everything else → Python str() of the parsed value — including
+    the single-quote dict rendering and the []-is-not-empty asymmetry
+    (normalization.py:97-100)."""
+    import pandas as pd
+
+    from build_pipeline_with_apache_beam_spark.operators import normalize as N
+
+    rendered = N._py_str_render.func(pd.Series([json.dumps(value)]))[0]
+    expected = "" if value == {} else str(value)
+    assert rendered == expected
+
+
 def test_idiomatic_mode_uses_compact_json(spark):
     df = parse_json_array_lines(_lines_df(spark, [FIXTURE_LINE]), "line",
                                 ELEMENT_SCHEMA)
