@@ -96,11 +96,41 @@ def udtf_explode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(explode_tokens, "doc_id BIGINT, token STRING")
 
 
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``) in a SQL LATERAL join: each
+    document fans out to its first 3 (position, token) rows.
+
+    Unlike mapInPandas (whole-partition batches), a UDTF is a per-row table
+    function the planner places in a lateral correlation — the closest
+    native analog of Beam's DoFn-with-yield (retrieval.py:235).  Arrow
+    transfer still batches under the hood.
+    """
+    from pyspark.sql.functions import udtf
+
+    from build_pipeline_with_apache_beam_spark.catalog import register_views
+
+    @udtf(returnType="pos INT, token STRING")
+    class TokenizeHead:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")[:3]):
+                yield i, tok
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("tokenize_head", TokenizeHead)
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize_head(d.text) t
+    """)
+
+
 QUERIES = {
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udtf_explode_batch": udtf_explode_batch,
+    "udtf_python_native": udtf_python_native,
 }
 
 ORACLE = {
@@ -122,5 +152,10 @@ ORACLE = {
     """,
     "udtf_explode_batch": """
         SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    """,
+    "udtf_python_native": """
+        WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+        FROM t, UNNEST(range(1, least(len(toks), 3) + 1)) AS u(i)
     """,
 }

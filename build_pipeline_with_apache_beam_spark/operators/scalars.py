@@ -122,6 +122,23 @@ def scalar_conditional_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get`` path
+    extraction.  Versus string-path ``get_json_object`` (scalar_json_extract),
+    the parse happens once per value rather than once per extraction — at
+    100 TB the variant column is what you'd persist for repeated
+    semi-structured access."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").alias("missing_key"),
+    )
+
+
 QUERIES = {
     "scalar_string_ops": scalar_string_ops,
     "scalar_date_ops": scalar_date_ops,
@@ -130,6 +147,7 @@ QUERIES = {
     "scalar_array_ops": scalar_array_ops,
     "scalar_regex_ops": scalar_regex_ops,
     "scalar_conditional_ops": scalar_conditional_ops,
+    "scalar_variant_json": scalar_variant_json,
 }
 
 ORACLE = {
@@ -192,5 +210,12 @@ ORACLE = {
                ROUND(GREATEST(c_acctbal, 0.0), 4) AS nonneg_bal,
                ROUND(LEAST(c_acctbal, 9999.0), 4) AS capped_bal
         FROM customer
+    """,
+    "scalar_variant_json": """
+        SELECT event_id,
+               CAST(props->>'$.k' AS INT) AS k_int,
+               props->>'$.k' AS k_str,
+               props->>'$.missing' AS missing_key
+        FROM events
     """,
 }
