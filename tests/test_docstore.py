@@ -58,6 +58,65 @@ def test_unsupported_filters_are_returned_to_spark(spark, sf_dir):
     assert rejected == [keep]
 
 
+def test_stream_restart_consumes_only_new_files(spark, sf_dir, tmp_path):
+    """Kill-and-restart semantics: a second run against the same checkpoint
+    must pick up exactly the files appended since the committed offset —
+    no reprocessing, no gaps (the at-least-once contract the reference
+    hand-rolls with SQLite watermarks, retrieval.py:30-60)."""
+    import shutil
+
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        DocStoreDataSource,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    src = build_collection(spark, sf_dir)
+    # private copy so we can append without touching the shared collection
+    root = str(tmp_path / "coll")
+    shutil.copytree(src, root)
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    head, tail = manifest[:-2], manifest[-2:]
+    held_back = [os.path.join(root, m["file"]) for m in tail]
+    parked = [p + ".parked" for p in held_back]
+    for p, q in zip(held_back, parked):
+        os.rename(p, q)
+    with open(os.path.join(root, MANIFEST), "w") as fh:
+        json.dump(head, fh)
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream.format("docstore")
+                  .option("path", root).load())
+
+        def fb(df, bid):
+            df.write.mode("append").parquet(sink)
+
+        q = (stream.writeStream.foreachBatch(fb)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+
+    # "new data arrives": restore the held-back files + full manifest
+    for p, q in zip(held_back, parked):
+        os.rename(q, p)
+    with open(os.path.join(root, MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    run_once()
+
+    total = spark.read.parquet(sink).count()
+    n_events = sum(1 for m in manifest
+                   for _ in open(os.path.join(root, m["file"])))
+    # every event exactly once across both runs: restart added only the tail
+    assert total == n_events, (n_first, total, n_events)
+    assert total > n_first
+
+
 def test_docstore_scan_matches_native_parquet_read(spark, sf_dir):
     """End-to-end through the registered source: same rows as filtering the
     parquet events table directly."""
