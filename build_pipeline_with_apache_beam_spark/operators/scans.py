@@ -84,12 +84,41 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a source format: write the customer table as headered CSV
+    (distributed), read it back with an EXPLICIT schema, filter + project.
+
+    Schema-on-read with a declared schema, not inferSchema — inference is a
+    whole extra pass over the data, which at 100 TB doubles the scan.  CSV
+    supports no predicate pushdown or column pruning at the byte level
+    (row-oriented text), which is exactly why the lake layer converts to
+    parquet on ingest; this op exists to cover the format, not to bless it.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"csv_customer_{sf_tag}")
+    if not os.path.exists(path):
+        (load_table(spark, sf_dir, "customer")
+         .write.mode("overwrite").option("header", True).csv(path))
+    schema = ("c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+              "c_acctbal DOUBLE, c_mktsegment STRING")
+    return (spark.read.schema(schema).option("header", True).csv(path)
+            .where(F.col("c_acctbal") > 1000.0)
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 4).alias("c_acctbal"),
+                    "c_mktsegment"))
+
+
 QUERIES = {
     "scan_parquet_project": scan_parquet_project,
     "filter_time_range": filter_time_range,
     "filter_predicate_compound": filter_predicate_compound,
     "project_whitelist": project_whitelist,
     "scan_json_lines": scan_json_lines,
+    "scan_csv_roundtrip": scan_csv_roundtrip,
 }
 
 ORACLE = {
@@ -113,5 +142,10 @@ ORACLE = {
     """,
     "scan_json_lines": """
         SELECT event_id, CAST(props->>'$.k' AS INT) AS prop_k FROM events
+    """,
+    "scan_csv_roundtrip": """
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_acctbal > 1000.0
     """,
 }

@@ -85,9 +85,11 @@ def test_topk_is_take_ordered(spark, sf_dir, registry):
 
 
 # Ops that deliberately run row-at-a-time Python (the reference-parity
-# renderer and the scalar-UDF demonstration op).  Everything else must not.
+# renderer and the scalar-UDF demonstration op), plus the native Python
+# UDTF whose BatchEvalPythonUDTF operator matches the same substring.
+# Everything else must not.
 PYTHON_ROW_UDF_OK = {"udf_python_scalar", "udf_python_parity_render",
-                     "normalize_flatten_nested"}
+                     "normalize_flatten_nested", "udtf_python_native"}
 
 # Ops that execute a write/stream as a side effect when built — still plan-
 # checkable (the returned re-read DataFrame has a plan) but slow to rebuild;
@@ -142,6 +144,43 @@ def test_bucketed_join_has_no_join_key_shuffle(spark, sf_dir, registry):
     assert "hashpartitioning(l_orderkey" not in plan, plan
     assert "hashpartitioning(o_orderkey" not in plan, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """The reference re-plans manually on cardinality (>20 000 records →
+    chunked pipelines, retrieval.py:217-249); the engine's answer is AQE
+    skew-join.  Build a join where one key holds half the rows and assert
+    the final adaptive plan actually split it (skew=true on the SMJ, skewed
+    AQEShuffleRead).  Thresholds are lowered so test-scale data exhibits
+    what 100 TB partitions would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+             .otherwise((F.col("id") % 97) + 1).alias("k"),
+            F.col("id").alias("payload"))
+        dim = spark.range(0, 98).select(F.col("id").alias("k"),
+                                        (F.col("id") * 10).alias("v"))
+        j = big.hint("merge").join(dim.hint("merge"), "k")
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+        assert "skewed" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_no_cartesian_product_anywhere(spark, sf_dir, registry):
