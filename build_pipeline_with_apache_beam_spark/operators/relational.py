@@ -391,6 +391,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    match each other instead of vanishing — the semantics a dimension join
+    on an optional attribute needs.  Still a hash join: null-safe equality
+    is a valid equi-key, so no fallback to nested loops."""
+    ev = load_table(spark, sf_dir, "events")
+    left = (ev.groupBy(F.nullif(F.col("user_id") % 5, F.lit(0)).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    right = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.nullif(F.col("user_id") % 5, F.lit(0)).alias("grp2"))
+             .agg(F.round(F.sum("value"), 4).alias("purchase_value")))
+    return (left.join(right, left["grp"].eqNullSafe(right["grp2"]))
+            .select("grp", "n_events", "purchase_value"))
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert: apply a deterministic change-set over a base
+    snapshot — updates override matching keys, inserts append new ones.
+
+    Expressed as union + keep-first-by-priority (one shuffle on the key),
+    the shape lakehouse MERGE INTO compiles to for upsert-only merges; at
+    100 TB the win is that the base side arrives hash-partitioned from the
+    previous compaction, so only the (small) change-set shuffles.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .select("c_custkey", "c_name",
+                       F.round(F.col("c_acctbal") + 1000.0, 4)
+                       .alias("c_acctbal")))
+    inserts = updates.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"))
+    changes = updates.unionByName(inserts).withColumn("pri", F.lit(0))
+    merged = (cust.withColumn("pri", F.lit(1)).unionByName(changes))
+    w = W.partitionBy("c_custkey").orderBy("pri")
+    return (merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
 _RANGE_W_US = 120_000_000  # 2-minute bucket/range width, microseconds
 
 
@@ -700,6 +742,8 @@ QUERIES = {
     "join_bucketed_colocated": join_bucketed_colocated,
     "agg_collect_sorted": agg_collect_sorted,
     "join_range_bucketized": join_range_bucketized,
+    "join_null_safe": join_null_safe,
+    "merge_upsert": merge_upsert,
 }
 
 ORACLE = {
@@ -921,6 +965,41 @@ ORACLE = {
           ON b.ts >= a.ts
          AND b.ts <= a.ts + INTERVAL 2 MINUTE
          AND a.event_id <> b.event_id
+    """,
+    "join_null_safe": """
+        WITH l AS (
+            SELECT NULLIF(user_id % 5, 0) AS grp, COUNT(1) AS n_events
+            FROM events GROUP BY 1
+        ), r AS (
+            SELECT NULLIF(user_id % 5, 0) AS grp2,
+                   ROUND(SUM(value), 4) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT grp, n_events, purchase_value
+        FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp2
+    """,
+    "merge_upsert": """
+        WITH base AS (
+            SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal
+            FROM customer
+        ), updates AS (
+            SELECT c_custkey, c_name,
+                   ROUND(c_acctbal + 1000.0, 4) AS c_acctbal
+            FROM base WHERE c_custkey % 10 = 0
+        ), inserts AS (
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   'NEW ' || c_name AS c_name, 0.0 AS c_acctbal
+            FROM updates
+        ), merged AS (
+            SELECT *, 0 AS pri FROM updates
+            UNION ALL SELECT *, 0 FROM inserts
+            UNION ALL SELECT *, 1 FROM base
+        )
+        SELECT c_custkey, c_name, c_acctbal FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY pri) AS rn
+            FROM merged
+        ) WHERE rn = 1
     """,
     "window_row_number_topn": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
