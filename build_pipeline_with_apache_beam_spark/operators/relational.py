@@ -391,6 +391,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with gaps zero-filled: generate the complete
+    hour spine with ``sequence`` + ``explode`` (a generated column, not a
+    driver loop), left-join the actual hourly aggregates, and coalesce
+    misses to zero.  The spine generation is O(hours) regardless of data
+    volume, so at 100 TB the cost is still the one aggregation shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("total")))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    return (spine.join(hourly, "hour", "left")
+            .select("hour",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("total", F.lit(0.0)).alias("total")))
+
+
+_HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 1000.0, 10
+
+
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a groupBy over a computed bucket id — the
+    one-pass distributed histogram (map-side partial counts per bucket;
+    the shuffle carries #buckets rows per partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+    bucket = F.least(F.greatest(
+        F.floor((F.col("value") - _HIST_LO) / w), F.lit(0)),
+        F.lit(_HIST_BUCKETS - 1)).cast("int")
+    return (ev.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 4).alias("lo_seen"),
+                 F.round(F.max("value"), 4).alias("hi_seen")))
+
+
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): null keys
     match each other instead of vanishing — the semantics a dimension join
@@ -744,6 +783,8 @@ QUERIES = {
     "join_range_bucketized": join_range_bucketized,
     "join_null_safe": join_null_safe,
     "merge_upsert": merge_upsert,
+    "timeseries_gap_fill": timeseries_gap_fill,
+    "agg_value_histogram": agg_value_histogram,
 }
 
 ORACLE = {
@@ -977,6 +1018,31 @@ ORACLE = {
         )
         SELECT grp, n_events, purchase_value
         FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp2
+    """,
+    "timeseries_gap_fill": """
+        WITH b AS (
+            SELECT date_trunc('hour', CAST(MIN(ts) AS TIMESTAMP)) AS lo,
+                   date_trunc('hour', CAST(MAX(ts) AS TIMESTAMP)) AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        ), hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   COUNT(1) AS n, ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1
+        )
+        SELECT s.hour, COALESCE(h.n, 0) AS n,
+               COALESCE(h.total, 0.0) AS total
+        FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+    """,
+    "agg_value_histogram": """
+        SELECT CAST(LEAST(GREATEST(FLOOR(value / 100.0), 0), 9) AS INT)
+                   AS bucket,
+               COUNT(1) AS n,
+               ROUND(MIN(value), 4) AS lo_seen,
+               ROUND(MAX(value), 4) AS hi_seen
+        FROM events GROUP BY 1
     """,
     "merge_upsert": """
         WITH base AS (
