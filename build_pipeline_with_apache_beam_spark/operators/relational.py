@@ -391,6 +391,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) per key: only
+    ``purchase`` rows carry a value; every other event sees the user's most
+    recent purchase value.  One shuffle + sort per key, then an
+    ignore-nulls window — same merge shape as the as-of join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    observed = F.when(F.col("event_type") == "purchase",
+                      F.round("value", 4))
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.last(observed, ignorenulls=True).over(w).alias("last_purchase_value"))
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/correlation/covariance
+    per group — all algebraic (sum-of-powers decompositions), so map-side
+    partial aggregation applies and the shuffle carries constant-size
+    state per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+                 F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+                 F.round(F.corr("l_extendedprice", "l_quantity"), 4)
+                 .alias("corr_price_qty"),
+                 F.round(F.covar_samp("l_discount", "l_tax"), 6)
+                 .alias("covar_disc_tax")))
+
+
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: the attribute of the extreme row without a
+    self-join back (min_by/max_by carry the companion value through the
+    partial-agg merge).  Ordered by the unique o_orderkey so ties cannot
+    make the result engine-dependent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.min_by("o_orderpriority", "o_orderkey")
+                 .alias("first_order_priority"),
+                 F.max_by("o_orderstatus", "o_orderkey")
+                 .alias("last_order_status"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
 def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly series with gaps zero-filled: generate the complete
     hour spine with ``sequence`` + ``explode`` (a generated column, not a
@@ -785,6 +829,9 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "timeseries_gap_fill": timeseries_gap_fill,
     "agg_value_histogram": agg_value_histogram,
+    "timeseries_forward_fill": timeseries_forward_fill,
+    "agg_stats_moments": agg_stats_moments,
+    "agg_min_max_by": agg_min_max_by,
 }
 
 ORACLE = {
@@ -1018,6 +1065,30 @@ ORACLE = {
         )
         SELECT grp, n_events, purchase_value
         FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp2
+    """,
+    "timeseries_forward_fill": """
+        SELECT user_id, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'purchase'
+                               THEN ROUND(value, 4) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+        FROM events
+    """,
+    "agg_stats_moments": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+               ROUND(var_samp(l_quantity), 2) AS var_qty,
+               ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+               ROUND(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_min_max_by": """
+        SELECT o_custkey,
+               min_by(o_orderpriority, o_orderkey) AS first_order_priority,
+               max_by(o_orderstatus, o_orderkey) AS last_order_status,
+               COUNT(1) AS n_orders
+        FROM orders GROUP BY o_custkey
     """,
     "timeseries_gap_fill": """
         WITH b AS (
