@@ -391,6 +391,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report: each row is one check with its
+    violation count — nulls, duplicate keys, referential integrity, and a
+    domain rule.  Every check is a single aggregate or anti-join count, so
+    the whole report is a handful of scans that AQE runs concurrently; at
+    100 TB you run this on every ingest batch, not the whole lake."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [
+        orders.agg(F.lit("orders.o_custkey_not_null").alias("check"),
+                   F.sum(F.when(F.col("o_custkey").isNull(), 1)
+                         .otherwise(0)).alias("violations")),
+        (orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+         .agg(F.lit("orders.o_orderkey_unique").alias("check"),
+              F.count(F.lit(1)).alias("violations"))),
+        (orders.join(cust, orders["o_custkey"] == cust["c_custkey"],
+                     "left_anti")
+         .agg(F.lit("orders.o_custkey_fk_customer").alias("check"),
+              F.count(F.lit(1)).alias("violations"))),
+        orders.agg(F.lit("orders.o_totalprice_positive").alias("check"),
+                   F.sum(F.when(F.col("o_totalprice") <= 0, 1)
+                         .otherwise(0)).alias("violations")),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("violations",
+                          F.coalesce(F.col("violations").cast("long"),
+                                     F.lit(0)))
+
+
 def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward fill (last observation carried forward) per key: only
     ``purchase`` rows carry a value; every other event sees the user's most
@@ -832,6 +863,7 @@ QUERIES = {
     "timeseries_forward_fill": timeseries_forward_fill,
     "agg_stats_moments": agg_stats_moments,
     "agg_min_max_by": agg_min_max_by,
+    "dq_constraint_report": dq_constraint_report,
 }
 
 ORACLE = {
@@ -1065,6 +1097,24 @@ ORACLE = {
         )
         SELECT grp, n_events, purchase_value
         FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp2
+    """,
+    "dq_constraint_report": """
+        SELECT 'orders.o_custkey_not_null' AS check,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderkey_unique',
+               COUNT(1) FILTER (cnt > 1)
+        FROM (SELECT o_orderkey, COUNT(1) AS cnt FROM orders
+              GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'orders.o_custkey_fk_customer', COUNT(1)
+        FROM orders WHERE NOT EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        UNION ALL
+        SELECT 'orders.o_totalprice_positive',
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)
+        FROM orders
     """,
     "timeseries_forward_fill": """
         SELECT user_id, event_id, event_type,
