@@ -1,0 +1,259 @@
+"""Behavioral / product analytics: sessionization, funnels, cohorts.
+
+The reference ships events to a warehouse precisely so queries like these can
+be run downstream (its `events`-shaped balance logs land in BigQuery,
+/root/reference/README.md:2-6); this module brings the queries into the
+engine itself.  Everything is window functions + joins + aggregations over
+the `events` table — single-shuffle-per-stage shapes that scale linearly:
+
+- sessionization is one shuffle (partitionBy user) and two window passes over
+  sorted runs — no self-join, no state explosion at 100 TB;
+- the funnel is three filtered min-aggregates stitched with joins on user_id
+  (all sides shrink to one-row-per-user before joining);
+- cohort retention joins each event to its user's first-touch row — the
+  first-touch side is one row per user, broadcast-able for most corpora;
+- the salted join is the explicit hot-key mitigation for when AQE's runtime
+  skew split is not available (e.g. a deliberately partitioned write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+SESSION_GAP_S = 30 * 60
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session.
+
+    lag(ts) marks session starts, a running sum of the start flags numbers
+    the sessions, then one aggregate rolls events up to sessions.  Both
+    window passes and the final groupBy share the user_id hash partitioning,
+    so Catalyst plans a single Exchange for the whole pipeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    starts = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id") \
+           .rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select("user_id", "ts", "event_id", "value",
+                     F.sum(starts).over(run).alias("session_seq"))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("session_value")))
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel click → view → purchase with per-stage user counts.
+
+    Each stage is the earliest qualifying event at-or-after the previous
+    stage's timestamp, so out-of-order journeys don't count.  Every stage
+    collapses to ≤1 row per user before the next join — the join inputs are
+    pre-shrunk, and at 100 TB the per-user tables broadcast or at worst
+    shuffle one row per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None) -> DataFrame:
+        hits = ev.where(F.col("event_type") == event_type)
+        if prev is not None:
+            hits = hits.join(prev, "user_id").where(F.col("ts") >= F.col("prev_ts"))
+        return hits.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+
+    s1 = stage("click", None)
+    s2 = stage("view", s1)
+    s3 = stage("purchase", s2)
+    counts = [df.agg(F.count(F.lit(1)).alias("n_users"),
+                     F.lit(i + 1).alias("stage"),
+                     F.lit(name).alias("stage_name"))
+              for i, (name, df) in enumerate(
+                  [("click", s1), ("view", s2), ("purchase", s3)])]
+    funnel = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    top = s1.agg(F.count(F.lit(1)).alias("stage1_users"))
+    return (funnel.crossJoin(F.broadcast(top))
+            .select("stage", "stage_name", "n_users",
+                    F.round(F.col("n_users") / F.col("stage1_users"), 4)
+                     .alias("conversion")))
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-touch hour, counted per
+    hours-elapsed offset.  The first-touch side is one row per user —
+    broadcast it so the event scan never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("hour", F.min("ts")).alias("cohort_hour")))
+    offset = F.floor((F.col("ts").cast("long")
+                      - F.col("cohort_hour").cast("long")) / 3600)
+    return (ev.join(F.broadcast(first), "user_id")
+            .select("user_id", "cohort_hour", offset.alias("hours_since"))
+            .groupBy("cohort_hour", "hours_since")
+            .agg(F.countDistinct("user_id").alias("active_users"))
+            .where(F.col("hours_since") >= 0))
+
+
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling sum per user via a RANGE window frame.
+
+    RANGE (not ROWS) over event-time seconds: all peers with equal ts share
+    the frame, so the result is deterministic under timestamp ties without a
+    tiebreak column.  One shuffle on user_id; the frame scan is a sorted-run
+    sliding window, O(n) per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.sum("value").over(w), 4).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"))
+
+
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent event_type) per user, lexicographic tiebreak.
+
+    count-then-rank: the groupBy collapses to (#users × #types) rows before
+    the ranking window touches anything, so the expensive pass is the
+    partial-aggregated count, not the window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("mode_event_type"),
+                    F.col("n").alias("mode_count")))
+
+
+SALT_BUCKETS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the manual hot-key mitigation.
+
+    The probe side gets a deterministic salt in [0, 8); the build side is
+    replicated once per salt value; the join key becomes (key, salt), so a
+    hot orderkey's rows spread over 8 reducers instead of one.  This is what
+    you reach for when AQE skew-split can't apply (pre-shuffled inputs,
+    non-shuffle join strategies) — results must equal the plain join, which
+    is exactly what the oracle checks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                       F.lit(SALT_BUCKETS)).cast("int"))
+    replicated = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])))
+    return (salted.join(replicated,
+                        (F.col("l_orderkey") == F.col("o_orderkey"))
+                        & (salted["salt"] == replicated["salt"]))
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohort": retention_cohort,
+    "window_range_interval": window_range_interval,
+    "agg_mode_per_group": agg_mode_per_group,
+    "join_skew_salted": join_skew_salted,
+}
+
+ORACLE = {
+    "sessionize_events": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, event_id, value,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    "funnel_conversion": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS prev_ts FROM events
+            WHERE event_type = 'click' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS prev_ts
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts >= s1.prev_ts
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS prev_ts
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.prev_ts
+            GROUP BY e.user_id
+        ), funnel AS (
+            SELECT 1 AS stage, 'click' AS stage_name, COUNT(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'view', COUNT(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', COUNT(*) FROM s3
+        )
+        SELECT stage, stage_name, n_users,
+               ROUND(n_users * 1.0 / (SELECT COUNT(*) FROM s1), 4) AS conversion
+        FROM funnel
+    """,
+    "retention_cohort": """
+        WITH first_touch AS (
+            SELECT user_id, date_trunc('hour', MIN(ts)) AS cohort_hour
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_hour,
+               CAST(floor((epoch(e.ts) - epoch(f.cohort_hour)) / 3600) AS BIGINT)
+                   AS hours_since,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first_touch f ON e.user_id = f.user_id
+        WHERE floor((epoch(e.ts) - epoch(f.cohort_hour)) / 3600) >= 0
+        GROUP BY 1, 2
+    """,
+    "window_range_interval": """
+        SELECT user_id, event_id, ts,
+               ROUND(SUM(value) OVER w, 4) AS trailing_1h_value,
+               COUNT(*) OVER w AS trailing_1h_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "agg_mode_per_group": """
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS mode_event_type, n AS mode_count
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n DESC, event_type) AS rn
+              FROM counts) t
+        WHERE rn = 1
+    """,
+    "join_skew_salted": """
+        SELECT o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+}

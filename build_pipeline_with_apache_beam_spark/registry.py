@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from build_pipeline_with_apache_beam_spark.operators import (
+        behavioral,
         dedup,
         multimodal,
         normalize,
@@ -27,8 +28,8 @@ def _modules():
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
     from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
-    return [scans, relational, scalars, normalize, text, dedup, similarity,
-            multimodal, udfs, windows, stateful, sinks, docstore]
+    return [scans, relational, behavioral, scalars, normalize, text, dedup,
+            similarity, multimodal, udfs, windows, stateful, sinks, docstore]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
