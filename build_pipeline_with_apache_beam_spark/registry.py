@@ -22,14 +22,17 @@ def _modules():
         scalars,
         scans,
         similarity,
+        subqueries,
         text,
+        tpch,
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
     from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
-    return [scans, relational, behavioral, scalars, normalize, text, dedup,
-            similarity, multimodal, udfs, windows, stateful, sinks, docstore]
+    return [scans, relational, tpch, subqueries, behavioral, scalars,
+            normalize, text, dedup, similarity, multimodal, udfs, windows,
+            stateful, sinks, docstore]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

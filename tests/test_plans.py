@@ -201,3 +201,43 @@ def test_python_row_udfs_only_where_intended(spark, sf_dir, registry):
         if "BatchEvalPython" in plan_of(fn(spark, sf_dir)):
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_in_subquery_rewrites_to_semi_join(spark, sf_dir, registry):
+    """IN (SELECT ...) must decorrelate to a semi join on the broadcast dim,
+    never a per-row subquery execution or a nested loop."""
+    plan = plan_of(registry["subquery_in"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_scalar_correlated_subquery_decorrelates(spark, sf_dir, registry):
+    """Correlated scalar subquery → one aggregate + join back, so the inner
+    query runs once, not once per outer row."""
+    plan = plan_of(registry["subquery_scalar_correlated"](spark, sf_dir))
+    assert "Join" in plan, plan
+    assert "partial_avg" in plan, plan  # decorrelated two-phase aggregate
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir, registry):
+    """LATERAL (ORDER BY ... LIMIT k) must become a ranked window/limit over
+    one join, not a re-executed inner query."""
+    plan = plan_of(registry["subquery_lateral_topk"](spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q10_dims_broadcast(spark, sf_dir, registry):
+    """Q10's customer and nation joins must be broadcast hash joins; only the
+    orders⋈lineitem fact join may shuffle."""
+    plan = plan_of(registry["flagship_q10_returned_items"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark, sf_dir, registry):
+    """The OR-of-ANDs predicate must not defeat the equi-join extraction:
+    Catalyst keeps the p_partkey hash join and applies the residual OR as a
+    filter."""
+    plan = plan_of(registry["flagship_q19_disjunctive_pred"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
