@@ -139,6 +139,118 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def scalar_hash_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content hashing: md5 / sha2-256 / crc-free hex digests.
+
+    These are the primitives the corpus-sampling and fingerprinting ops build
+    on (text_fingerprint, sample_hash_bucket): engine-portable hex digests
+    give reproducible assignments on any runner, unlike xxhash64 whose seed
+    is Spark-specific.  All JVM-side codegen expressions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        # first 4 hex chars as an int bucket 0..65535 — the portable
+        # hash-bucket assignment used by the sampling ops
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10)
+         .cast("int").alias("bucket_64k"),
+    )
+
+
+def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp arithmetic: add/diff/last_day/quarter/interval shift —
+    the window-planning arithmetic of the reference driver loops
+    (retrieval.py:189-196, normalization.py:137-143) as codegen expressions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 30).alias("plus_30d"),
+        F.datediff(F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate"))
+         .alias("days_to_2002"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate")).alias("dow_sun1"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+    )
+
+
+def scalar_map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-literal lookup + struct build/field-access, flattened back to
+    scalar columns.  The map is a broadcast-free dimension-in-an-expression:
+    a 5-entry lookup lives in the codegen constant pool, the 100 TB analog
+    of a tiny broadcast join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    code_map = F.create_map(
+        F.lit("click"), F.lit(1), F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3), F.lit("signup"), F.lit(4),
+        F.lit("error"), F.lit(5))
+    stru = F.struct(F.col("user_id").alias("u"), F.col("value").alias("v"))
+    return ev.select(
+        "event_id",
+        F.element_at(code_map, F.col("event_type")).alias("type_code"),
+        F.coalesce(F.element_at(code_map, F.lit("absent")), F.lit(0))
+         .alias("missing_code"),
+        stru.getField("u").alias("struct_user"),
+        F.round(stru.getField("v"), 4).alias("struct_val"),
+    )
+
+
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor, shifts, popcount — the band-blocking
+    arithmetic dedup_simhash builds on, exposed as a first-class op."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("user_id & 255").alias("band_and"),
+        F.expr("user_id | 4096").alias("with_flag"),
+        F.expr("user_id ^ event_id").alias("xor_mix"),
+        F.shiftleft(F.col("user_id"), 3).alias("shl3"),
+        F.shiftright(F.col("event_id"), 2).alias("shr2"),
+        F.bit_count(F.col("user_id")).alias("popcount"),
+    )
+
+
+def scalar_format_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String assembly/disassembly: printf-style format, pad, concat_ws,
+    split_part — the reference's filename construction
+    (normalization.py:119-123) generalized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.format_string("doc-%07d", F.col("doc_id")).alias("padded_id"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_lpad"),
+        F.rpad(F.col("source"), 8, ".").alias("src_rpad"),
+        F.concat_ws("/", F.col("source"), F.col("lang"),
+                    F.col("doc_id").cast("string")).alias("path"),
+        F.split_part(F.col("source"), F.lit("src"), F.lit(-1)).alias("src_num"),
+    )
+
+
+def scalar_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: host / path / query-param extraction via ``parse_url``.
+
+    Synthesizes a canonical URL per document, then parses it back — the
+    web-corpus normalization primitive (host-level dedup, domain mixing)
+    for a crawl pipeline.  JVM-side; the oracle recomputes the components
+    directly from the source columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"))
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
 QUERIES = {
     "scalar_string_ops": scalar_string_ops,
     "scalar_date_ops": scalar_date_ops,
@@ -148,6 +260,12 @@ QUERIES = {
     "scalar_regex_ops": scalar_regex_ops,
     "scalar_conditional_ops": scalar_conditional_ops,
     "scalar_variant_json": scalar_variant_json,
+    "scalar_hash_ops": scalar_hash_ops,
+    "scalar_datetime_arith": scalar_datetime_arith,
+    "scalar_map_struct_ops": scalar_map_struct_ops,
+    "scalar_bitwise_ops": scalar_bitwise_ops,
+    "scalar_format_ops": scalar_format_ops,
+    "scalar_url_ops": scalar_url_ops,
 }
 
 ORACLE = {
@@ -217,5 +335,63 @@ ORACLE = {
                props->>'$.k' AS k_str,
                props->>'$.missing' AS missing_key
         FROM events
+    """,
+    "scalar_hash_ops": """
+        SELECT doc_id,
+               MD5(text) AS md5_hex,
+               SHA256(text) AS sha256_hex,
+               CAST((STRPOS('0123456789abcdef', SUBSTRING(MD5(text), 1, 1)) - 1) * 4096
+                  + (STRPOS('0123456789abcdef', SUBSTRING(MD5(text), 2, 1)) - 1) * 256
+                  + (STRPOS('0123456789abcdef', SUBSTRING(MD5(text), 3, 1)) - 1) * 16
+                  + (STRPOS('0123456789abcdef', SUBSTRING(MD5(text), 4, 1)) - 1)
+                  AS INT) AS bucket_64k
+        FROM documents
+    """,
+    "scalar_datetime_arith": """
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+               CAST(DATEDIFF('day', CAST(o_orderdate AS DATE),
+                             DATE '2002-01-01') AS INT) AS days_to_2002,
+               LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+               CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow_sun1,
+               o_orderdate + INTERVAL 90 MINUTE AS plus_90m
+        FROM orders
+    """,
+    "scalar_map_struct_ops": """
+        SELECT event_id,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                    WHEN 'error' THEN 5 END AS type_code,
+               0 AS missing_code,
+               user_id AS struct_user,
+               ROUND(value, 4) AS struct_val
+        FROM events
+    """,
+    "scalar_bitwise_ops": """
+        SELECT event_id,
+               user_id & 255 AS band_and,
+               user_id | 4096 AS with_flag,
+               XOR(user_id, event_id) AS xor_mix,
+               user_id << 3 AS shl3,
+               event_id >> 2 AS shr2,
+               CAST(BIT_COUNT(user_id) AS INT) AS popcount
+        FROM events
+    """,
+    "scalar_format_ops": """
+        SELECT doc_id,
+               PRINTF('doc-%07d', doc_id) AS padded_id,
+               LPAD(lang, 5, '_') AS lang_lpad,
+               RPAD(source, 8, '.') AS src_rpad,
+               CONCAT_WS('/', source, lang, CAST(doc_id AS VARCHAR)) AS path,
+               REPLACE(source, 'src', '') AS src_num
+        FROM documents
+    """,
+    "scalar_url_ops": """
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS lang_param
+        FROM documents
     """,
 }

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from build_pipeline_with_apache_beam_spark.operators import (
+        arrays,
         behavioral,
         dedup,
         multimodal,
@@ -30,7 +31,7 @@ def _modules():
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
     from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
-    return [scans, relational, tpch, subqueries, behavioral, scalars,
+    return [scans, relational, tpch, subqueries, arrays, behavioral, scalars,
             normalize, text, dedup, similarity, multimodal, udfs, windows,
             stateful, sinks, docstore]
 
