@@ -1,0 +1,328 @@
+"""Training-corpus construction ops: deterministic splits, stratified
+sampling, benchmark-contamination checks, percentile quality gates, domain
+mixing, kNN label voting, and embedding quantization.
+
+These extend the reference's ETL (move + normalize documents,
+/root/reference/normalization.py:81-107) into what a 100 TB LLM data
+pipeline actually ships: every sampling/split decision is a pure function
+of a portable content hash (md5 hex arithmetic — identical on any engine,
+unlike seeded RNG or engine-specific hash64), so reruns and backfills are
+reproducible by construction and the DuckDB oracle can replay them exactly.
+
+Scale notes:
+- split/sample assignment is a stateless projection — scan-speed, no shuffle;
+- the contamination join explodes n-grams only on the corpus side that
+  streams; the benchmark side (fixed eval suites — small by definition)
+  builds the broadcast hash set;
+- percentile bounds are one tiny aggregate broadcast back over the scan;
+- kNN reuses the broadcast-query cosine kernel from ``similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+# md5-hex → uniform int bucket in [0, 65536): portable across engines.
+def _bucket_64k(col):
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+
+_BUCKET_64K_SQL = """
+      (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 1, 1)) - 1) * 4096
+    + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 2, 1)) - 1) * 256
+    + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 3, 1)) - 1) * 16
+    + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 4, 1)) - 1)
+"""
+
+
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split keyed on content hash.
+
+    Assignment depends only on the document text, so adding or removing
+    rows never reshuffles other documents between splits (stable under
+    backfills — the property seeded ``randomSplit`` does not have).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_64k(F.col("text"))
+    split = (
+        F.when(b < 58982, "train")      # 90% of 65536
+        .when(b < 62259, "val")         # +5%
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (downsample the dominant language) via
+    hash buckets — the deterministic form of ``sampleBy``.  The rate map
+    lives in the codegen constant pool; assignment is a scan-speed filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # en is ~44% of the corpus: cut it to 25%, keep the rest at 80%.
+    rate = F.create_map(
+        F.lit("en"), F.lit(16384),      # 25% of 65536
+        F.lit("de"), F.lit(52428), F.lit("es"), F.lit(52428),
+        F.lit("fr"), F.lit(52428), F.lit("zh"), F.lit(52428))
+    kept = docs.where(
+        _bucket_64k(F.col("text")) < F.element_at(rate, F.col("lang")))
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.round(F.avg(F.length("text")), 4).alias("avg_len"))
+        .orderBy("lang")
+    )
+
+
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: corpus docs sharing any 5-gram with the
+    benchmark set (here: the src0 slice standing in for an eval suite).
+
+    The benchmark's 5-gram set is exploded and broadcast; the corpus side
+    explodes its grams into a hash join against it.  At 100 TB the corpus
+    explode is the dominant cost and is embarrassingly parallel; the
+    output is bounded by contaminated docs, not grams.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_grams = F.greatest(F.size(toks) - 4, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(toks, i, 5), " "))
+    with_grams = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = (with_grams.where(F.col("source") == "src0")
+             .select("gram").distinct())
+    corpus = with_grams.where(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def corpus_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: drop documents outside the [p5, p95] length band.
+
+    The two exact percentiles are one tiny aggregate (ObjectHashAggregate)
+    broadcast back over the scan — the corpus is read once for bounds and
+    once for the filter; at scale the bounds pass can run on a sample or
+    sketch (approx_percentile) without changing the operator shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"))
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .where(F.col("n_chars").between(F.col("p05"), F.col("p95")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+def corpus_domain_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix report: share per source + Shannon entropy of the mix.
+
+    Two-level algebraic aggregation: per-source counts (shuffle carries one
+    row per source), then a single-row reduction — the corpus-composition
+    dashboard query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = W.partitionBy()
+    shares = counts.select(
+        "source", "n", (F.col("n") / F.sum("n").over(total)).alias("p"))
+    return shares.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias("entropy"),
+        F.round(F.max("p"), 4).alias("max_share"),
+    )
+
+
+def corpus_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label of the 5 nearest candidates (by
+    rounded cosine) for each of 10 held-out query vectors.
+
+    Broadcast the queries, one candidate scan, per-query top-k via ranked
+    window on the rounded score (rounding first keeps the ranking
+    engine-portable), then a count-majority vote with deterministic ties.
+    """
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        _dot, _with_unit_vec)
+
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    q = (emb.where(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("true_label"), F.col("vec").alias("qvec")))
+    c = (emb.where(F.col("vec_id") >= 10)
+         .select(F.col("vec_id").alias("cand_id"),
+                 F.col("label").alias("cand_label"), F.col("vec").alias("cvec")))
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "true_label", "cand_id", "cand_label",
+        F.round(_dot(F.col("qvec"), F.col("cvec")), 4).alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    top = pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    votes = (top.groupBy("query_id", "true_label", "cand_label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    wv = W.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("cand_label"))
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .where(F.col("vrank") == 1)
+        .select("query_id", "true_label",
+                F.col("cand_label").alias("voted_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization, reported per vector.
+
+    The whole transform is JVM higher-order functions — at 100 TB this is
+    the write-side of an ANN index build (quantized vectors are 4× smaller
+    on disk and in shuffle), with zero Python in the row path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: x / norm)
+    quant = F.transform(unit, lambda x: F.round(x * 127).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 4).alias("l2_norm"),
+        F.round(F.element_at(unit, 1), 4).alias("unit_first"),
+        F.array_max(quant).alias("q_max"),
+        F.array_min(quant).alias("q_min"),
+        F.size(F.filter(quant, lambda x: x == 0)).alias("n_zero"),
+    )
+
+
+QUERIES = {
+    "corpus_train_val_test_split": corpus_train_val_test_split,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_contamination_check": corpus_contamination_check,
+    "corpus_length_percentile_filter": corpus_length_percentile_filter,
+    "corpus_domain_mix_entropy": corpus_domain_mix_entropy,
+    "corpus_knn_label_vote": corpus_knn_label_vote,
+    "embedding_normalize_quantize": embedding_normalize_quantize,
+}
+
+_B_TEXT = _BUCKET_64K_SQL.format(c="text")
+
+ORACLE = {
+    "corpus_train_val_test_split": f"""
+        SELECT CASE WHEN ({_B_TEXT}) < 58982 THEN 'train'
+                    WHEN ({_B_TEXT}) < 62259 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(1) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    "corpus_stratified_sample": f"""
+        SELECT lang, COUNT(1) AS n_kept,
+               ROUND(AVG(LENGTH(text)), 4) AS avg_len
+        FROM documents
+        WHERE ({_B_TEXT}) < CASE lang WHEN 'en' THEN 16384 ELSE 52428 END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "corpus_contamination_check": r"""
+        WITH grams AS (
+            SELECT doc_id, source, g AS gram
+            FROM (SELECT doc_id, source,
+                         LIST_TRANSFORM(
+                             GENERATE_SERIES(1, GREATEST(
+                                 LEN(STR_SPLIT_REGEX(text, '\s+')) - 4, 0)),
+                             i -> ARRAY_TO_STRING(
+                                 STR_SPLIT_REGEX(text, '\s+')[i:i+4], ' '))
+                             AS gs
+                  FROM documents) t, UNNEST(t.gs) AS u(g)
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.source <> 'src0'
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    "corpus_length_percentile_filter": """
+        WITH bounds AS (
+            SELECT QUANTILE_CONT(n_chars, 0.05) AS p05,
+                   QUANTILE_CONT(n_chars, 0.95) AS p95
+            FROM documents)
+        SELECT lang, COUNT(1) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents, bounds
+        WHERE n_chars BETWEEN p05 AND p95
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "corpus_domain_mix_entropy": """
+        WITH counts AS (SELECT source, COUNT(1) AS n FROM documents GROUP BY source),
+        shares AS (SELECT source, n, n / (SELECT SUM(n) FROM counts) AS p FROM counts)
+        SELECT COUNT(1) AS n_sources,
+               ROUND(-SUM(p * LN(p)), 4) AS entropy,
+               ROUND(MAX(p), 4) AS max_share
+        FROM shares
+    """,
+    "corpus_knn_label_vote": """
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   c.vec_id AS cand_id, c.label AS cand_label,
+                   ROUND(LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        top AS (
+            SELECT * FROM (
+                SELECT query_id, true_label, cand_label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, cand_id) AS rank
+                FROM pairs) t
+            WHERE rank <= 5),
+        votes AS (
+            SELECT query_id, true_label, cand_label, COUNT(1) AS votes
+            FROM top GROUP BY 1, 2, 3)
+        SELECT query_id, true_label, cand_label AS voted_label, votes
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY votes DESC, cand_label)
+                            AS vrank
+              FROM votes) v
+        WHERE vrank = 1
+        ORDER BY query_id
+    """,
+    "embedding_normalize_quantize": """
+        WITH v AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings),
+        u AS (
+            SELECT vec_id, norm,
+                   LIST_TRANSFORM(vec, x -> x / norm) AS unit,
+                   LIST_TRANSFORM(vec, x -> CAST(ROUND(x / norm * 127) AS INT))
+                       AS quant
+            FROM v)
+        SELECT vec_id,
+               ROUND(norm, 4) AS l2_norm,
+               ROUND(unit[1], 4) AS unit_first,
+               LIST_MAX(quant) AS q_max,
+               LIST_MIN(quant) AS q_min,
+               CAST(LEN(LIST_FILTER(quant, x -> x = 0)) AS INT) AS n_zero
+        FROM u
+    """,
+}

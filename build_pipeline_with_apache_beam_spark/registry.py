@@ -16,6 +16,7 @@ def _modules():
     from build_pipeline_with_apache_beam_spark.operators import (
         arrays,
         behavioral,
+        corpus,
         dedup,
         multimodal,
         normalize,
@@ -31,7 +32,7 @@ def _modules():
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
     from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
-    return [scans, relational, tpch, subqueries, arrays, behavioral, scalars,
+    return [scans, relational, tpch, subqueries, arrays, corpus, behavioral, scalars,
             normalize, text, dedup, similarity, multimodal, udfs, windows,
             stateful, sinks, docstore]
 
