@@ -175,6 +175,68 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(sink_dir)
 
 
+def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join with an event-time interval condition.
+
+    Two file-source streams (clicks and purchases sliced from events), each
+    watermarked, joined on user_id with ``purchase.ts ∈ [click.ts,
+    click.ts + 30 min]`` — the attribution join.  Both sides are consumed in
+    two time-ordered micro-batches; the 4-hour watermark delay is generous
+    relative to the 30-minute join span, so no state needed for a future
+    match is evicted early and the streamed result equals the batch join
+    exactly — which is what the oracle checks.
+
+    At 100 TB the watermark bound is the whole story: it caps the state
+    store at (delay + interval) of per-key history instead of unbounded
+    retention — the reference's SQLite watermark (retrieval.py:30-60) can't
+    express this because its driver loop sees one window at a time.
+    """
+    from pyspark.sql import Window as W
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    dirs = {n: os.path.join(SCRATCH, f"ssj_{n}_{sf_tag}")
+            for n in ("click", "purch", "sink", "ckpt")}
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    # two time-ordered slices per side => two micro-batches per stream
+    for etype, path in (("click", dirs["click"]), ("purchase", dirs["purch"])):
+        (ev.where(F.col("event_type") == etype)
+         .withColumn("part", F.ntile(2).over(W.orderBy("ts")))
+         .repartition(1).sortWithinPartitions("ts")
+         .write.mode("overwrite").partitionBy("part").parquet(path))
+
+    def read_stream(path: str, prefix: str) -> DataFrame:
+        schema = spark.read.parquet(path).schema
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(path)
+                .select(F.col("event_id").alias(f"{prefix}_id"),
+                        F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("ts").alias(f"{prefix}_ts"))
+                .withWatermark(f"{prefix}_ts", "4 hours"))
+
+    clicks = read_stream(dirs["click"], "click")
+    purchases = read_stream(dirs["purch"], "purch")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purch_user"))
+        & (F.col("purch_ts") >= F.col("click_ts"))
+        & (F.col("purch_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select("click_id", "purch_id", F.col("click_user").alias("user_id"))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dirs["sink"])
+
+    q = (joined.writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", dirs["ckpt"])
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(dirs["sink"])
+
+
 QUERIES = {
     "window_tumbling_agg": q_window_tumbling_agg,
     "window_sliding_agg": q_window_sliding_agg,
@@ -182,6 +244,7 @@ QUERIES = {
     "stream_watermark_dedup": q_stream_watermark_dedup,
     "stream_foreach_batch_sink": q_stream_foreach_batch_sink,
     "stream_window_append_watermark": q_stream_window_append_watermark,
+    "stream_stream_interval_join": q_stream_stream_interval_join,
 }
 
 # naive-timestamp bucket arithmetic (no to_timestamp: that returns TIMESTAMPTZ
@@ -252,5 +315,13 @@ ORACLE = {
         )
         SELECT w_start, w_end, n_events, sum_value FROM w
         WHERE w_end <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
+    """,
+    "stream_stream_interval_join": """
+        SELECT c.event_id AS click_id, p.event_id AS purch_id,
+               c.user_id AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """,
 }
