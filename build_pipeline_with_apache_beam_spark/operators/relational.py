@@ -818,6 +818,85 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an ordered per-key frame.
+
+    last_value needs the full-partition frame (unbounded both ways) —
+    with the default frame it would just echo the current row; nth_value
+    anchors on the 2nd event.  One shuffle on user_id, one sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.first_value("event_type").over(w).alias("first_type"),
+        F.last_value("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: duplicates survive to the minimum
+    multiplicity of the two sides (vs intersect's set semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.intersectAll(views)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("user_id")
+    )
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each right-side occurrence cancels one
+    left-side occurrence, the multiset form of anti join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.exceptAll(purchases)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_unmatched"))
+        .orderBy("user_id")
+    )
+
+
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates: every/any (bool_and/bool_or) plus
+    bit_or fold — all algebraic, constant-size partial state."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.every(F.col("value") > 0).alias("all_positive"),
+            F.some(F.col("value") > 400).alias("any_big"),
+            F.bit_or(F.col("user_id")).alias("userbits_or"),
+            F.bit_and(F.col("user_id")).alias("userbits_and"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: per-nation sorted name list.
+
+    collect_list has no ordering guarantee under distributed execution, so
+    the sort happens INSIDE the aggregate expression (array_sort before
+    join) — the only portable way to make string_agg reproducible.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    top = cust.where(F.col("c_custkey") <= 30)
+    return (
+        top.groupBy("c_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), "|")
+             .alias("names"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "agg_groupby_multi": agg_groupby_multi,
     "agg_count_distinct": agg_count_distinct,
@@ -835,6 +914,11 @@ QUERIES = {
     "flagship_q3_topk_revenue": flagship_q3_topk_revenue,
     "flagship_q5_multijoin_volume": flagship_q5_multijoin_volume,
     "window_row_number_topn": window_row_number_topn,
+    "window_first_last_nth": window_first_last_nth,
+    "setop_intersect_all": setop_intersect_all,
+    "setop_except_all": setop_except_all,
+    "agg_bool_bit": agg_bool_bit,
+    "agg_string_agg_ordered": agg_string_agg_ordered,
     "window_rank_dense": window_rank_dense,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -1239,5 +1323,44 @@ ORACLE = {
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id, text, COUNT(1) AS dup_count
         FROM documents GROUP BY text
+    """,
+    "window_first_last_nth": """
+        SELECT event_id, user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER w AS last_type,
+               NTH_VALUE(event_type, 2) OVER w AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+    "setop_intersect_all": """
+        SELECT user_id, COUNT(1) AS multiplicity FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'view')
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "setop_except_all": """
+        SELECT user_id, COUNT(1) AS n_unmatched FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "agg_bool_bit": """
+        SELECT event_type,
+               BOOL_AND(value > 0) AS all_positive,
+               BOOL_OR(value > 400) AS any_big,
+               BIT_OR(user_id) AS userbits_or,
+               BIT_AND(user_id) AS userbits_and
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "agg_string_agg_ordered": """
+        SELECT c_nationkey,
+               STRING_AGG(c_name, '|' ORDER BY c_name) AS names,
+               COUNT(1) AS n
+        FROM customer WHERE c_custkey <= 30
+        GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 }

@@ -112,6 +112,73 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "c_mktsegment"))
 
 
+
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: an old file set without a
+    column and a new one with it, read as ONE table via ``mergeSchema``.
+
+    This is how a 100 TB lake absorbs schema change without rewriting
+    history: the merged read null-fills the missing column for old files.
+    (The reference's answer was a fixed 13-key whitelist,
+    normalization.py:91-92 — additive evolution was impossible.)
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"evo_orders_{sf_tag}")
+    if not os.path.exists(path):
+        orders = load_table(spark, sf_dir, "orders")
+        (orders.where(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", "o_totalprice")
+         .write.mode("overwrite").parquet(os.path.join(path, "gen=old")))
+        (orders.where(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+         .write.mode("overwrite").parquet(os.path.join(path, "gen=new")))
+    merged = (spark.read.option("mergeSchema", True)
+              .option("recursiveFileLookup", True).parquet(path))
+    return (
+        merged.groupBy(F.coalesce("o_orderpriority", F.lit("(pre-schema)"))
+                       .alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy("priority")
+    )
+
+
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: events written as dt=YYYY-MM-DD
+    directories (the reference's lake layout, normalization.py:119-123),
+    then queried for two days — the scan touches only those directories.
+
+    The dt filter is resolved against directory names at planning time
+    (PartitionFilters), so a year of history costs the same as the two
+    days read.  This, not file-mtime listing (normalization.py:62-63), is
+    the scalable form of time-windowed ingestion reads.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"evpart_{sf_tag}")
+    if not os.path.exists(path):
+        (load_table(spark, sf_dir, "events")
+         .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+         .write.mode("overwrite").partitionBy("dt").parquet(path))
+    # partition-type inference would surface dt as DATE; pin to string so
+    # the schema is stable across engines
+    ev = spark.read.parquet(path).withColumn("dt", F.col("dt").cast("string"))
+    return (
+        ev.where(F.col("dt").isin("2024-01-01", "2024-01-02"))
+        .groupBy("dt", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("dt", "event_type")
+    )
+
+
 QUERIES = {
     "scan_parquet_project": scan_parquet_project,
     "filter_time_range": filter_time_range,
@@ -119,6 +186,8 @@ QUERIES = {
     "project_whitelist": project_whitelist,
     "scan_json_lines": scan_json_lines,
     "scan_csv_roundtrip": scan_csv_roundtrip,
+    "scan_schema_evolution_merge": scan_schema_evolution_merge,
+    "scan_partition_pruning": scan_partition_pruning,
 }
 
 ORACLE = {
@@ -147,5 +216,22 @@ ORACLE = {
         SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal,
                c_mktsegment
         FROM customer WHERE c_acctbal > 1000.0
+    """,
+    "scan_schema_evolution_merge": """
+        SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                        '(pre-schema)') AS priority,
+               COUNT(1) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY 1
+        ORDER BY priority
+    """,
+    "scan_partition_pruning": """
+        SELECT STRFTIME(ts, '%Y-%m-%d') AS dt, event_type,
+               COUNT(1) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE STRFTIME(ts, '%Y-%m-%d') IN ('2024-01-01', '2024-01-02')
+        GROUP BY 1, 2
+        ORDER BY dt, event_type
     """,
 }
