@@ -897,6 +897,52 @@ def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: turn a change stream (each
+    customer's orders over time) into validity intervals via lead() —
+    ``valid_to`` of one version is ``valid_from`` of the next, open-ended
+    for the current version.
+
+    One shuffle on the business key + one per-key sort; no self-join.  This
+    is the CDC-compaction complement to merge_upsert: upsert keeps only the
+    latest, SCD2 keeps the full history queryable by as-of time.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.where(F.col("o_custkey") <= 200)
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("version_id"),
+            F.col("o_totalprice").alias("attr_value"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("cust_id", "valid_from", "version_id")
+    )
+
+
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches as first-class aggregation state (rows-only:
+    sketch internals are engine-specific).
+
+    Per-group DataSketches HLL via hll_sketch_agg, then a second-level
+    hll_union_agg over the per-group sketches — the two-level rollup that
+    makes 100 TB distinct-count dashboards incremental: partial sketches
+    are tiny, mergeable, and never rescan history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"))
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+         .cast("bigint").alias("approx_total_users"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
 QUERIES = {
     "agg_groupby_multi": agg_groupby_multi,
     "agg_count_distinct": agg_count_distinct,
@@ -942,6 +988,8 @@ QUERIES = {
     "join_range_bucketized": join_range_bucketized,
     "join_null_safe": join_null_safe,
     "merge_upsert": merge_upsert,
+    "merge_scd2_history": merge_scd2_history,
+    "agg_hll_sketch_merge": agg_hll_sketch_merge,
     "timeseries_gap_fill": timeseries_gap_fill,
     "agg_value_histogram": agg_value_histogram,
     "timeseries_forward_fill": timeseries_forward_fill,
@@ -1362,5 +1410,17 @@ ORACLE = {
                COUNT(1) AS n
         FROM customer WHERE c_custkey <= 30
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "merge_scd2_history": """
+        SELECT o_custkey AS cust_id,
+               o_orderkey AS version_id,
+               o_totalprice AS attr_value,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to,
+               LEAD(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WHERE o_custkey <= 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY cust_id, valid_from, version_id
     """,
 }
