@@ -943,6 +943,23 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def agg_count_if_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / any_value / exact median — the remaining everyday
+    aggregates.  any_value is pinned by taking it over a single-valued
+    group expression so the result is deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.median("l_quantity").alias("median_qty"),
+            F.any_value(F.upper("l_returnflag")).alias("flag_upper"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "agg_groupby_multi": agg_groupby_multi,
     "agg_count_distinct": agg_count_distinct,
@@ -964,6 +981,7 @@ QUERIES = {
     "setop_intersect_all": setop_intersect_all,
     "setop_except_all": setop_except_all,
     "agg_bool_bit": agg_bool_bit,
+    "agg_count_if_median": agg_count_if_median,
     "agg_string_agg_ordered": agg_string_agg_ordered,
     "window_rank_dense": window_rank_dense,
     "window_running_sum": window_running_sum,
@@ -1422,5 +1440,12 @@ ORACLE = {
         WHERE o_custkey <= 200
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY cust_id, valid_from, version_id
+    """,
+    "agg_count_if_median": """
+        SELECT l_returnflag,
+               COUNT(1) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               MEDIAN(l_quantity) AS median_qty,
+               UPPER(l_returnflag) AS flag_upper
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

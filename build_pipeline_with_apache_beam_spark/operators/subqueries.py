@@ -116,12 +116,30 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS in the SELECT list (not the WHERE clause) — compiles to an
+    ExistenceJoin: a semi-join variant that emits a boolean column instead
+    of filtering, so the outer cardinality is preserved.  The scalable form
+    of "flag rows that have a match" — no count subquery, no left join +
+    dedup."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey,
+               EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+                   AS has_big_line
+        FROM orders
+        ORDER BY o_orderkey
+    """)
+
+
 QUERIES = {
     "subquery_in": subquery_in,
     "subquery_not_in_null_aware": subquery_not_in_null_aware,
     "subquery_scalar_correlated": subquery_scalar_correlated,
     "subquery_exists_correlated": subquery_exists_correlated,
     "subquery_lateral_topk": subquery_lateral_topk,
+    "subquery_exists_projection": subquery_exists_projection,
 }
 
 ORACLE = {
@@ -168,5 +186,13 @@ ORACLE = {
             LIMIT 2
         ) t ON TRUE
         ORDER BY n_name, acctbal DESC, t.c_name
+    """,
+    "subquery_exists_projection": """
+        SELECT o_orderkey,
+               EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+                   AS has_big_line
+        FROM orders
+        ORDER BY o_orderkey
     """,
 }
