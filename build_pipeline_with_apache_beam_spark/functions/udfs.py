@@ -125,11 +125,40 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group pandas function: per-group standardization."""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std(ddof=1)  # sample stddev = SQL stddev_samp
+    out = pdf[["event_id", "event_type"]].copy()
+    out["z"] = ((pdf["value"] - mean) / std).round(4)
+    return out
+
+
+def udf_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInPandas`` — the whole-group Arrow UDF (grouped map).
+
+    Each group arrives as ONE pandas DataFrame, so cross-row group logic
+    (standardization here) is plain pandas.  Cost model at 100 TB: one
+    shuffle on the grouping key and the largest single group must fit in
+    one executor's memory — use grouped-agg or window functions when the
+    per-group logic is expressible there (this op's oracle shows the
+    window-function equivalent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_zscore_group,
+                       "event_id BIGINT, event_type STRING, z DOUBLE")
+    )
+
+
 QUERIES = {
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udtf_explode_batch": udtf_explode_batch,
+    "udf_grouped_map_pandas": udf_grouped_map_pandas,
     "udtf_python_native": udtf_python_native,
 }
 
@@ -157,5 +186,12 @@ ORACLE = {
         WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
         SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
         FROM t, UNNEST(range(1, least(len(toks), 3) + 1)) AS u(i)
+    """,
+    "udf_grouped_map_pandas": """
+        SELECT event_id, event_type,
+               ROUND((value - AVG(value) OVER w)
+                     / STDDEV_SAMP(value) OVER w, 4) AS z
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
     """,
 }
