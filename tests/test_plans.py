@@ -241,3 +241,22 @@ def test_q19_disjunction_keeps_hash_join(spark, sf_dir, registry):
     plan = plan_of(registry["flagship_q19_disjunctive_pred"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, registry):
+    """The dt= filter must prune at planning time (PartitionFilters), not
+    post-scan: two days read regardless of history length."""
+    plan = plan_of(registry["scan_partition_pruning"](spark, sf_dir))
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir, registry):
+    plan = plan_of(registry["flagship_q18_large_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir, registry):
+    """The benchmark gram set must be the broadcast build side; the corpus
+    explode streams through it."""
+    plan = plan_of(registry["corpus_contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
