@@ -21,19 +21,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def coerce_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-zone TimestampType across testdata
+    generations: older drops store parquet TIMESTAMP(NANOS) read as long nanos
+    (spark.sql.legacy.parquet.nanosAsLong), newer drops TIMESTAMP(MICROS)
+    without timezone.  DuckDB reads both as its us-precision TIMESTAMP, so this
+    keeps oracle comparisons exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Distributed parquet scan of one table (no driver materialization)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros, the
-        # same conversion DuckDB applies when casting ns to its us TIMESTAMP.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = coerce_events_ts(df)
     return df
 
 

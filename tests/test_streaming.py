@@ -8,7 +8,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from build_pipeline_with_apache_beam_spark.catalog import load_table
+from build_pipeline_with_apache_beam_spark.catalog import coerce_events_ts, load_table
 from build_pipeline_with_apache_beam_spark.streaming.windows import tumbling_agg
 
 
@@ -19,8 +19,8 @@ def _stream_events(spark, sf_dir, tmp_path):
                 os.path.join(src, "events.parquet"))
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(src)
-    # same nanos→micros conversion the catalog applies
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same ts normalization the catalog applies
+    return coerce_events_ts(stream)
 
 
 def test_streaming_tumbling_agg_matches_batch(spark, sf_dir, tmp_path):
@@ -61,9 +61,9 @@ def test_streaming_watermark_dedup(spark, sf_dir, tmp_path):
                 os.path.join(src, "b.parquet"))
     raw_schema = spark.read.parquet(src).schema
     stream = (
-        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        coerce_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1").parquet(src))
         .withWatermark("ts", "10 years")  # keep all state for the test
         .dropDuplicates(["event_id"])
     )
