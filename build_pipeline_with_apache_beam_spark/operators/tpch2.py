@@ -1,0 +1,575 @@
+"""Flagship workloads, part 2: the remaining canonical TPC-H query shapes.
+
+With ``tpch.py`` (Q4/Q10/Q13/Q14/Q18/Q19/Q22) and ``relational`` (Q1/Q3/Q5/Q6
+shapes) this completes all 22 TPC-H query *shapes* on the driver star schema.
+The reference itself has no joins or aggregations (SURVEY.md §2A,
+/root/reference/retrieval.py + normalization.py are ETL-only), so this suite
+is the engine's capability extension, exercised at the declared 100 TB design
+point.
+
+Schema adaptations (the driver testdata is TPC-H-ish, not TPC-H):
+- there is no ``partsupp`` table → the distinct ``(l_partkey, l_suppkey)``
+  pairs of ``lineitem`` act as the part-supplier relation, with
+  ``min(l_extendedprice / l_quantity)`` per pair as the supply-cost proxy
+  (Q2/Q11/Q16/Q20) and ``p_retailprice``-derived unit cost for profit (Q9);
+- there are no ``l_commitdate``/``l_receiptdate`` columns → "late" means
+  ``l_shipdate > o_orderdate + slack`` (Q12/Q21);
+- ``p_type`` holds one flat token (ECONOMY/LARGE/…) instead of three-word
+  strings, and ``p_name`` two tokens ("red widget"), so LIKE predicates are
+  adjusted accordingly.
+
+Scale strategy (same contract as tpch.py): dims broadcast, fact-fact joins
+shuffle once on the join key, aggregates are hash-based with map-side partial
+aggregation, top-k is TakeOrderedAndProject, and correlated subqueries are
+left to Catalyst's decorrelation (RewriteCorrelatedScalarSubquery /
+RewritePredicateSubquery) so they become joins, never per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table, register_views
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp stand-in: one row per observed (part, supplier) pair with
+    a supply-cost proxy.  At 100 TB this is a map-side-combined hash agg over
+    the fact table — shuffle carries only the distinct pair count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                   F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("ps_supplycost"),
+             F.sum("l_quantity").alias("ps_availqty"))
+    )
+
+
+_PARTSUPP_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+           SUM(l_quantity) AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def flagship_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: minimum-cost supplier — correlated scalar-subquery minimum.
+
+    For EUROPE suppliers of LARGE size-ge-25 parts, keep the pairs whose
+    supply cost equals the region-wide minimum for that part.  Catalyst
+    decorrelates the MIN subquery into an aggregate joined back on
+    ps_partkey; supplier/nation/region sides are broadcast so the only
+    shuffle is the partsupp aggregation itself.
+    """
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    europe_supp = (
+        supp.join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    europe_ps = ps.join(F.broadcast(europe_supp),
+                        F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = (
+        europe_ps.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+    )
+    return (
+        europe_ps
+        .join(F.broadcast(part.where(
+            (F.col("p_size") >= 25) & (F.col("p_type") == "LARGE"))),
+            F.col("ps_partkey") == F.col("p_partkey"))
+        .join(min_cost, ["ps_partkey"])
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.round("ps_supplycost", 4).alias("supplycost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def flagship_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: volume shipping between two nations, by year.
+
+    Two broadcast copies of nation (supplier side and customer side) with the
+    cross-pair predicate; the single big shuffle is lineitem ⋈ orders on the
+    order key — both dim chains hang off it broadcast-side.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   YEAR(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """)
+
+
+def flagship_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: national market share within a region, by year.
+
+    The share is a conditional-sum over the same aggregate pass (no second
+    scan): SUM(CASE nation)/SUM(all) per year.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE 0.0 END) / SUM(volume), 4) AS mkt_share
+        FROM (
+            SELECT YEAR(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """)
+
+
+def flagship_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: product-type profit by nation and year.
+
+    Profit proxy: revenue minus a retail-price-derived unit cost (the
+    testdata has no ps_supplycost).  part/supplier/nation broadcast;
+    lineitem ⋈ orders is the one fact shuffle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+            SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """)
+
+
+def flagship_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: important stock identification — HAVING against a scalar subquery.
+
+    Per-part inventory value for one region's suppliers, keeping parts whose
+    value exceeds a fixed fraction of the total.  The total is a one-row
+    broadcast (Catalyst plans the scalar subquery as a separate tiny plan);
+    the main agg shuffles only distinct part keys.
+    """
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    asia_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    value = (
+        ps.join(F.broadcast(asia_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+    )
+    total = value.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    return (
+        value.join(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", F.round("value", 4).alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+def flagship_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: shipping-mode / order-priority cross-tab.
+
+    Late lines (shipped > 30 days after order) in one year, counted into
+    high/low priority buckets per linestatus.  One fact-fact shuffle, then a
+    two-row conditional aggregate.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """)
+
+
+def flagship_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: top supplier(s) — equality against the maximum of an aggregate.
+
+    The quarter's revenue-per-supplier aggregate is computed once and reused
+    for both the max (one-row broadcast) and the final equi-filter, instead
+    of TPC-H's CREATE VIEW dance.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def flagship_q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: supplier count by part attributes, excluding flagged suppliers.
+
+    NOT IN over a non-nullable key → Catalyst plans a plain left-anti join
+    (no null-aware machinery needed); the distinct-supplier count groups by
+    the broadcast part attributes.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ({ps}) partsupp
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 19, 25, 36, 49)
+          AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """.format(ps=_PARTSUPP_SQL))
+
+
+def flagship_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: small-quantity-order revenue — correlated average per part.
+
+    The per-part avg(l_quantity) subquery decorrelates to an aggregate
+    joined back on partkey, so lineitem is scanned twice but shuffled on the
+    same key both times (AQE reuses the exchange where possible).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+               COUNT(1) AS n_small_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem
+                            WHERE l_partkey = p_partkey)
+    """)
+
+
+def flagship_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers with surplus stock of promoted parts — nested IN chain.
+
+    s_suppkey IN (pairs over red parts HAVING shipped volume > threshold):
+    both IN subqueries become left-semi joins; the inner HAVING aggregate is
+    the only fact shuffle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey
+              HAVING SUM(l_quantity) > 50
+          )
+        ORDER BY s_name
+    """)
+
+
+def flagship_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS self-joins.
+
+    A supplier's line is "late" when it shipped > 60 days after the order
+    date (no receipt/commit dates in the testdata).  Keep late lines in
+    finished orders where another supplier participated (EXISTS) but no
+    other supplier was also late (NOT EXISTS): the classic double
+    correlated self-join, planned as one semi and one anti join on
+    l_orderkey.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, COUNT(1) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_regionkey = 1
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """)
+
+
+QUERIES = {
+    "flagship_q2_min_cost_supplier": flagship_q2_min_cost_supplier,
+    "flagship_q7_volume_shipping": flagship_q7_volume_shipping,
+    "flagship_q8_market_share": flagship_q8_market_share,
+    "flagship_q9_product_profit": flagship_q9_product_profit,
+    "flagship_q11_important_stock": flagship_q11_important_stock,
+    "flagship_q12_shipmode_priority": flagship_q12_shipmode_priority,
+    "flagship_q15_top_supplier": flagship_q15_top_supplier,
+    "flagship_q16_supplier_part_cnt": flagship_q16_supplier_part_cnt,
+    "flagship_q17_small_qty_revenue": flagship_q17_small_qty_revenue,
+    "flagship_q20_part_promotion": flagship_q20_part_promotion,
+    "flagship_q21_waiting_suppliers": flagship_q21_waiting_suppliers,
+}
+
+ORACLE = {
+    "flagship_q2_min_cost_supplier": f"""
+        WITH partsupp AS ({_PARTSUPP_SQL}),
+        europe_ps AS (
+            SELECT ps_partkey, ps_suppkey, ps_supplycost,
+                   s_acctbal, s_name, n_name
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ROUND(ps_supplycost, 4) AS supplycost
+        FROM europe_ps
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_size >= 25 AND p_type = 'LARGE'
+          AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM europe_ps e2
+                               WHERE e2.ps_partkey = europe_ps.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "flagship_q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   YEAR(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "flagship_q8_market_share": """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE 0.0 END) / SUM(volume), 4) AS mkt_share
+        FROM (
+            SELECT YEAR(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "flagship_q9_product_profit": """
+        SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+            SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    "flagship_q11_important_stock": f"""
+        WITH partsupp AS ({_PARTSUPP_SQL}),
+        asia_value AS (
+            SELECT ps_partkey,
+                   SUM(ps_supplycost * ps_availqty) AS value
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, ROUND(value, 4) AS part_value
+        FROM asia_value
+        WHERE value > (SELECT SUM(value) * 0.001 FROM asia_value)
+        ORDER BY part_value DESC, ps_partkey
+    """,
+    "flagship_q12_shipmode_priority": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "flagship_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "flagship_q16_supplier_part_cnt": f"""
+        WITH partsupp AS ({_PARTSUPP_SQL})
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 19, 25, 36, 49)
+          AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "flagship_q17_small_qty_revenue": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+               COUNT(1) AS n_small_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem li2
+                            WHERE li2.l_partkey = part.p_partkey)
+    """,
+    "flagship_q20_part_promotion": """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey
+              HAVING SUM(l_quantity) > 50
+          )
+        ORDER BY s_name
+    """,
+    "flagship_q21_waiting_suppliers": """
+        SELECT s_name, COUNT(1) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_regionkey = 1
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate
+                                + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+}

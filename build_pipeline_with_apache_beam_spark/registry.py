@@ -27,12 +27,13 @@ def _modules():
         subqueries,
         text,
         tpch,
+        tpch2,
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
     from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
 
-    return [scans, relational, tpch, subqueries, arrays, corpus, behavioral, scalars,
+    return [scans, relational, tpch, tpch2, subqueries, arrays, corpus, behavioral, scalars,
             normalize, text, dedup, similarity, multimodal, udfs, windows,
             stateful, sinks, docstore]
 
