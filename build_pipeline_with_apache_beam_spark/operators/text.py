@@ -185,7 +185,67 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "bigram").limit(20))
 
 
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document (the Gopher-rules repetition family):
+    duplicate-token fraction, duplicate-bigram fraction, and top-token share.
+
+    All four measures come out of one projection over the token array using
+    JVM higher-order functions — no explode, no shuffle, no Python: at 100 TB
+    this stays a scan-bound map stage whose output is k numbers per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', toks[i-1], toks[i]))")
+    top_tok_n = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " t -> size(filter(toks, x -> x = t))))")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.round(1.0 - F.size(F.array_distinct("toks")) / F.size("toks"), 4)
+            .alias("dup_token_frac"),
+            F.round(1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4)
+            .alias("dup_bigram_frac"),
+            F.round(top_tok_n / F.size("toks"), 4).alias("top_token_share"),
+        )
+    )
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality filter (Gopher-style rule battery).
+
+    Emits one row per document with each rule's verdict plus the combined
+    pass flag — keeping the flags (rather than filtering) is what a corpus
+    pipeline audits before committing to a cut.  Pure scan-side projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    mean_len = F.expr(
+        "aggregate(toks, 0L, (acc, x) -> acc + length(x)) / size(toks)")
+    rule_len = F.size("toks").between(3, 1000)
+    rule_word = mean_len.between(2.0, 12.0)
+    rule_stop = F.arrays_overlap("toks", F.lit(list(_STOPWORDS[:4])).cast(
+        "array<string>")) | (F.size("toks") < 20)
+    rule_div = (F.size(F.array_distinct("toks")) / F.size("toks")) > 0.2
+    return (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id", "lang",
+            rule_len.alias("ok_length"),
+            rule_word.alias("ok_word_len"),
+            rule_stop.alias("ok_stopwords"),
+            rule_div.alias("ok_diversity"),
+            (rule_len & rule_word & rule_stop & rule_div).alias("passes"),
+        )
+    )
+
+
 QUERIES = {
+    "text_repetition_ratio": text_repetition_ratio,
+    "text_gopher_filter": text_gopher_filter,
     "text_stats": text_stats,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -205,6 +265,44 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_repetition_ratio": """
+        WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        b AS (
+            SELECT doc_id, toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> concat(toks[i], ' ', toks[i+1])) AS bg
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+                   AS dup_token_frac,
+               ROUND(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
+                   AS dup_bigram_frac,
+               ROUND(list_max(list_transform(list_distinct(toks),
+                         t2 -> len(list_filter(toks, x -> x = t2))))
+                     * 1.0 / len(toks), 4) AS top_token_share
+        FROM b
+    """,
+    "text_gopher_filter": f"""
+        WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks
+                   FROM documents),
+        r AS (
+            SELECT doc_id, lang,
+                   len(toks) BETWEEN 3 AND 1000 AS ok_length,
+                   (list_sum(list_transform(toks, x -> length(x))) * 1.0
+                    / len(toks)) BETWEEN 2.0 AND 12.0 AS ok_word_len,
+                   (list_has_any(toks, ['the', 'a', 'of', 'and'])
+                    OR len(toks) < 20) AS ok_stopwords,
+                   (len(list_distinct(toks)) * 1.0 / len(toks)) > 0.2
+                       AS ok_diversity
+            FROM t
+        )
+        SELECT doc_id, lang, ok_length, ok_word_len, ok_stopwords,
+               ok_diversity,
+               (ok_length AND ok_word_len AND ok_stopwords AND ok_diversity)
+                   AS passes
+        FROM r
+    """,
     "text_stats": """
         SELECT doc_id,
                CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
