@@ -260,3 +260,37 @@ def test_contamination_benchmark_side_broadcasts(spark, sf_dir, registry):
     explode streams through it."""
     plan = plan_of(registry["corpus_contamination_check"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q2_dims_broadcast_one_fact_shuffle(spark, sf_dir, registry):
+    """Q2: supplier/nation/region/part all broadcast; the only exchanges are
+    the partsupp aggregation and its min-cost re-aggregation — no
+    SortMergeJoin anywhere in a dim-only join tree."""
+    plan = plan_of(registry["flagship_q2_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_exists_chain_is_semi_and_anti(spark, sf_dir, registry):
+    """Q21's EXISTS / NOT EXISTS self-joins must plan as one semi and one
+    anti join on l_orderkey — never a per-row re-executed subquery."""
+    plan = plan_of(registry["flagship_q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q15_max_revenue_is_broadcast(spark, sf_dir, registry):
+    """Q15: the one-row MAX(total_revenue) side must broadcast — the
+    revenue aggregate must not shuffle a second time to meet it."""
+    plan = plan_of(registry["flagship_q15_top_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_gopher_ops_stay_jvm_side(spark, sf_dir, registry):
+    """The corpus-quality projections must compile to JVM higher-order
+    functions — no Python evaluation in the row path."""
+    for op in ("text_repetition_ratio", "text_gopher_filter"):
+        plan = plan_of(registry[op](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, (op, plan)
+        assert "ArrowEvalPython" not in plan, (op, plan)
