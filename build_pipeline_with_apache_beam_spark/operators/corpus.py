@@ -207,7 +207,124 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training bins.
+
+    The standard concat-then-chunk packing of LLM data pipelines: documents
+    are laid end-to-end in a deterministic order per language, and each doc's
+    bin is the 512-token block its first token lands in.  One running-sum
+    window per language — at 100 TB the partitionBy(lang) window distributes
+    by language and each partition streams in sorted order (no global sort);
+    for a language too large for one task, the same math runs hierarchically
+    on per-partition subtotals.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0))
+    return (
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .withColumn("bin_id", F.floor(cum_before / 512).cast("int"))
+        .withColumn("bin_offset", (cum_before % 512).cast("int"))
+    )
+
+
+def corpus_quality_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-rebalancing weights: per-source resampling factors that move
+    the corpus from its observed source mix to a uniform target mix.
+
+    Two tiny aggregates (per-source counts, corpus total) joined broadcast —
+    the output is #sources rows of weights that a training sampler multiplies
+    into per-document sampling probabilities.  No fact-table shuffle beyond
+    the one map-side-combined count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = per_src.agg(F.sum("n_docs").alias("n_total"),
+                         F.count(F.lit(1)).alias("n_sources"))
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source", "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 4)
+            .alias("actual_share"),
+            F.round((F.col("n_total") / F.col("n_sources")) / F.col("n_docs"), 4)
+            .alias("resample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a stable
+    pseudorandom position from a seeded content hash.
+
+    The global ordinal is computed WITHOUT a single-reducer window: rows are
+    bucketed by the key's leading hex byte (a pure projection — 256 buckets,
+    balanced because the key is uniform, and prefix-order-consistent with the
+    full sort order), each bucket numbers its rows in a distributed window,
+    and a 256-row offset table (broadcast) lifts local ordinals to global
+    positions.  Same two-phase scheme zipWithIndex uses, expressed in
+    DataFrame ops; position = rank in (shuffle_key, doc_id) order, so the
+    result is engine- and partitioning-independent.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string")))
+    keyed = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("bucket", F.conv(F.substring("shuffle_key", 1, 2), 16, 10)
+                    .cast("int"))
+    )
+    local = keyed.withColumn(
+        "local_pos",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy("shuffle_key", "doc_id")))
+    offsets = (
+        keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(
+            F.sum("n").over(W.orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, -1)), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", "shuffle_key",
+                (F.col("offset") + F.col("local_pos")).cast("int")
+                .alias("position"))
+    )
+
+
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, emitted as
+    (label, dim, mean_val) rows.
+
+    Computed by posexploding the vector and hash-aggregating on
+    (label, dim): the shuffle carries #labels × dim partial sums (map-side
+    combine collapses each partition first), never raw vectors.  This is the
+    class-centroid / cluster-update primitive of embedding-space curation
+    (e.g. one IVF k-means step) expressed as a plain two-key aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("mean_val"),
+             F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("label", "dim")
+    )
+
+
 QUERIES = {
+    "corpus_doc_packing": corpus_doc_packing,
+    "embedding_centroid_per_label": embedding_centroid_per_label,
+    "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
+    "corpus_global_shuffle": corpus_global_shuffle,
     "corpus_train_val_test_split": corpus_train_val_test_split,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_contamination_check": corpus_contamination_check,
@@ -220,6 +337,56 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "embedding_centroid_per_label": """
+        WITH flat AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   UNNEST(embedding) AS val
+            FROM embeddings
+        )
+        SELECT label, dim,
+               ROUND(AVG(val), 4) AS mean_val,
+               COUNT(1) AS n_vecs
+        FROM flat
+        GROUP BY label, dim
+        ORDER BY label, dim
+    """,
+    "corpus_doc_packing": """
+        SELECT doc_id, lang,
+               CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(FLOOR(COALESCE(SUM(len(str_split(text, ' ')))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) / 512)
+                    AS INT) AS bin_id,
+               CAST(COALESCE(SUM(len(str_split(text, ' ')))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) % 512
+                    AS INT) AS bin_offset
+        FROM documents
+    """,
+    "corpus_quality_weighted_mix": """
+        WITH per_src AS (
+            SELECT source, COUNT(1) AS n_docs FROM documents GROUP BY source
+        ), totals AS (
+            SELECT SUM(n_docs) AS n_total, COUNT(1) AS n_sources FROM per_src
+        )
+        SELECT source, n_docs,
+               ROUND(n_docs * 1.0 / n_total, 4) AS actual_share,
+               ROUND((n_total * 1.0 / n_sources) / n_docs, 4)
+                   AS resample_weight
+        FROM per_src, totals
+        ORDER BY source
+    """,
+    "corpus_global_shuffle": """
+        SELECT doc_id,
+               MD5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY MD5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS INT) AS position
+        FROM documents
+    """,
     "corpus_train_val_test_split": f"""
         SELECT CASE WHEN ({_B_TEXT}) < 58982 THEN 'train'
                     WHEN ({_B_TEXT}) < 62259 THEN 'val'

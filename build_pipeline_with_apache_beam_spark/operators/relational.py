@@ -487,6 +487,50 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("total", F.lit(0.0)).alias("total")))
 
 
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into daily OHLC bars per event type:
+    open/close via min_by/max_by on the timestamp (argmin/argmax — one hash
+    agg, no self-join back to find boundary rows), high/low/volume as plain
+    aggregates.  The event stream carries unique timestamps, so ts itself is
+    the deterministic boundary key (a stream with ts collisions would use a
+    struct(ts, event_id) ordering key instead).  One map-side-combined
+    shuffle of #days×#types groups — the canonical telemetry rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.min_by("value", F.col("ts")).alias("open"),
+             F.max_by("value", F.col("ts")).alias("close"),
+             F.round(F.max("value"), 4).alias("high"),
+             F.round(F.min("value"), 4).alias("low"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("volume"))
+        .orderBy("day", "event_type")
+    )
+
+
+def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each day's event count against
+    that event type's own daily distribution, flagging |z| > 2.
+
+    Two-level plan: the daily-count aggregate shrinks the data to
+    #days×#types rows, then the per-type mean/stddev is a window over that
+    tiny frame — the heavy table is touched once.  This is the data-quality
+    monitor a 100 TB ingest runs after every load."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        daily.select("day", "event_type", "n",
+                     F.round(z, 4).alias("zscore"),
+                     (F.abs(z) > 2.0).alias("is_anomaly"))
+        .orderBy("day", "event_type")
+    )
+
+
 _HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 1000.0, 10
 
 
@@ -760,6 +804,39 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("purchase_value")))
 
 
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance window: attribute each click to
+    the user's NEXT purchase within 2 hours, or null if none.
+
+    Same merge-based scheme as join_asof but mirrored — a following-frame
+    ignore-nulls FIRST carries the next purchase backward — plus a residual
+    tolerance predicate applied after the match (nulling misses, exactly
+    pandas ``merge_asof(direction='forward', tolerance=...)``).  Still one
+    shuffle + one sort per user key; tolerance never re-expands the
+    candidate set the way a range self-join would.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (ev.where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "ts", "event_type", "value"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    nxt = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True).over(w)
+    # materialize the window BEFORE the click filter: re-stating the window
+    # expression after .where() would recompute it over clicks only
+    within = F.col("nxt") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")
+    return (
+        tagged.withColumn("nxt", nxt)
+        .where(F.col("event_type") == "click")
+        .select(
+            "event_id", "user_id", F.col("ts").alias("click_ts"),
+            F.when(within, F.col("nxt")).alias("next_purchase_ts"),
+            F.coalesce(within, F.lit(False)).alias("converted"),
+        )
+    )
+
+
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — matches ANSI
     PERCENTILE_CONT / DuckDB quantile_cont).  At 100 TB the exact form
@@ -1008,7 +1085,10 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "merge_scd2_history": merge_scd2_history,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
+    "join_asof_forward_tolerance": join_asof_forward_tolerance,
     "timeseries_gap_fill": timeseries_gap_fill,
+    "timeseries_ohlc_bars": timeseries_ohlc_bars,
+    "dq_anomaly_zscore": dq_anomaly_zscore,
     "agg_value_histogram": agg_value_histogram,
     "timeseries_forward_fill": timeseries_forward_fill,
     "agg_stats_moments": agg_stats_moments,
@@ -1289,6 +1369,54 @@ ORACLE = {
                max_by(o_orderstatus, o_orderkey) AS last_order_status,
                COUNT(1) AS n_orders
         FROM orders GROUP BY o_custkey
+    """,
+    "join_asof_forward_tolerance": """
+        WITH tagged AS (
+            SELECT event_id, user_id, ts, event_type
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), n AS (
+            SELECT *,
+                   FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS nxt
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts AS click_ts,
+               CASE WHEN nxt <= ts + INTERVAL 2 HOUR THEN nxt END
+                   AS next_purchase_ts,
+               COALESCE(nxt <= ts + INTERVAL 2 HOUR, FALSE) AS converted
+        FROM n
+        WHERE event_type = 'click'
+    """,
+    "timeseries_ohlc_bars": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               ARG_MIN(value, ts) AS open,
+               ARG_MAX(value, ts) AS close,
+               ROUND(MAX(value), 4) AS high,
+               ROUND(MIN(value), 4) AS low,
+               COUNT(1) AS n_events,
+               ROUND(SUM(value), 4) AS volume
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+    """,
+    "dq_anomaly_zscore": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type, COUNT(1) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n,
+               ROUND((n - AVG(n) OVER (PARTITION BY event_type))
+                     / STDDEV_SAMP(n) OVER (PARTITION BY event_type), 4)
+                   AS zscore,
+               ABS((n - AVG(n) OVER (PARTITION BY event_type))
+                   / STDDEV_SAMP(n) OVER (PARTITION BY event_type)) > 2.0
+                   AS is_anomaly
+        FROM daily
+        ORDER BY day, event_type
     """,
     "timeseries_gap_fill": """
         WITH b AS (

@@ -251,7 +251,29 @@ def scalar_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_try_cast_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant casting over dirty inputs: try_cast returns NULL
+    instead of failing the job — the engine-wide policy for bad records
+    (the reference nulls unparseable rows, retrieval.py:94-95,112-113).
+
+    The dirty column is synthesized deterministically (every 3rd value gets
+    a non-numeric suffix) so the null-on-error behavior is observable; the
+    casts themselves are codegen expressions in the scan projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dirty = F.when(F.col("event_id") % 3 == 0,
+                   F.concat(F.col("value").cast("string"), F.lit("x")))\
+             .otherwise(F.col("value").cast("string"))
+    return ev.select(
+        "event_id",
+        dirty.alias("raw"),
+        dirty.try_cast("double").alias("as_double"),
+        dirty.try_cast("double").isNotNull().alias("parse_ok"),
+    )
+
+
 QUERIES = {
+    "scalar_try_cast_dirty": scalar_try_cast_dirty,
     "scalar_string_ops": scalar_string_ops,
     "scalar_date_ops": scalar_date_ops,
     "scalar_math_ops": scalar_math_ops,
@@ -269,6 +291,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_try_cast_dirty": """
+        WITH d AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN CAST(value AS VARCHAR) || 'x'
+                        ELSE CAST(value AS VARCHAR) END AS raw
+            FROM events
+        )
+        SELECT event_id, raw,
+               TRY_CAST(raw AS DOUBLE) AS as_double,
+               TRY_CAST(raw AS DOUBLE) IS NOT NULL AS parse_ok
+        FROM d
+    """,
     "scalar_string_ops": """
         SELECT c_custkey,
                UPPER(c_name) AS name_upper,

@@ -179,7 +179,51 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact partitioned by dt joined to a dim
+    whose qualifying days are only known at runtime.
+
+    The dim side (top-3 busiest days, computed from the raw events table) is
+    broadcast, and Catalyst injects its dt values into the partitioned scan's
+    PartitionFilters as a dynamicpruning expression — so the fact read skips
+    every other day's directories without a static predicate.  This is the
+    100 TB replacement for the reference's mtime-filtered listing
+    (normalization.py:62-63) when the filter depends on data, not constants.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"evpart_{sf_tag}")
+    if not os.path.exists(path):
+        (load_table(spark, sf_dir, "events")
+         .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+         .write.mode("overwrite").partitionBy("dt").parquet(path))
+    # join on the inferred DATE partition column directly — wrapping dt in a
+    # cast before the join would break the attribute match DPP needs
+    fact = spark.read.parquet(path)
+    busiest = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("day_events"))
+        .orderBy(F.desc("day_events"), "dt")
+        .limit(3)
+        # a selective predicate on the dim side is what the PartitionPruning
+        # rule looks for when deciding the fact scan is worth pruning
+        .where(F.col("day_events") > 0)
+    )
+    return (
+        fact.join(F.broadcast(busiest), "dt")
+        .groupBy(F.date_format("dt", "yyyy-MM-dd").alias("dt"), "day_events")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("dt")
+    )
+
+
 QUERIES = {
+    "join_dynamic_partition_pruning": join_dynamic_partition_pruning,
     "scan_parquet_project": scan_parquet_project,
     "filter_time_range": filter_time_range,
     "filter_predicate_compound": filter_predicate_compound,
@@ -191,6 +235,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_dynamic_partition_pruning": """
+        WITH busiest AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(1) AS day_events
+            FROM events
+            GROUP BY 1
+            ORDER BY day_events DESC, dt
+            LIMIT 3
+        )
+        SELECT e.dt, b.day_events, COUNT(1) AS n_events,
+               ROUND(SUM(e.value), 4) AS sum_value
+        FROM (SELECT strftime(ts, '%Y-%m-%d') AS dt, value FROM events) e
+        JOIN busiest b ON e.dt = b.dt
+        GROUP BY e.dt, b.day_events
+        ORDER BY e.dt
+    """,
     "scan_parquet_project": """
         SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem
     """,

@@ -294,3 +294,11 @@ def test_gopher_ops_stay_jvm_side(spark, sf_dir, registry):
         plan = plan_of(registry[op](spark, sf_dir))
         assert "BatchEvalPython" not in plan, (op, plan)
         assert "ArrowEvalPython" not in plan, (op, plan)
+
+
+def test_dynamic_partition_pruning_in_scan(spark, sf_dir, registry):
+    """The partitioned fact scan must carry a runtime dynamicpruning
+    expression on dt, injected from the broadcast dim side — not read all
+    partitions and filter after."""
+    plan = plan_of(registry["join_dynamic_partition_pruning"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
