@@ -804,6 +804,27 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("purchase_value")))
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (rows-only: sketch values are
+    engine-specific, like agg_approx_count_distinct / agg_hll_sketch_merge).
+
+    approx_percentile keeps a bounded-size mergeable sketch per group, so at
+    100 TB the shuffle carries O(groups × sketch) instead of every value —
+    the scale path that the exact agg_percentile op trades away; the unit
+    suite asserts the sketch lands within 1%% of the exact quantiles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
+             .alias("ap50_price"),
+             F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000))
+             .alias("ap95_price"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
 def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join with a tolerance window: attribute each click to
     the user's NEXT purchase within 2 hours, or null if none.
@@ -1085,6 +1106,7 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "merge_scd2_history": merge_scd2_history,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
+    "agg_approx_percentile": agg_approx_percentile,
     "join_asof_forward_tolerance": join_asof_forward_tolerance,
     "timeseries_gap_fill": timeseries_gap_fill,
     "timeseries_ohlc_bars": timeseries_ohlc_bars,

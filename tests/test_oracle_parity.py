@@ -31,3 +31,31 @@ def test_operator(name, spark, sf_dir, duck):
         # rows-only ops: must execute and produce a stable schema
         assert sdf.columns
         assert sdf.count() >= 0
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The sketch-based percentiles must land within 1% of the exact ones —
+    the accuracy contract that justifies shipping the bounded-size sketch
+    at scale instead of shuffling every value."""
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        agg_approx_percentile,
+    )
+
+    approx = {r["l_returnflag"]: (r["ap50_price"], r["ap95_price"])
+              for r in agg_approx_percentile(spark, sf_dir).collect()}
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in (load_table(spark, sf_dir, "lineitem")
+                  .groupBy("l_returnflag")
+                  .agg(F.percentile("l_extendedprice", 0.5).alias("p50"),
+                       F.percentile("l_extendedprice", 0.95).alias("p95"))
+                  .collect())
+    }
+    assert approx.keys() == exact.keys()
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) <= 0.01 * e50, (flag, a50, e50)
+        assert abs(a95 - e95) <= 0.01 * e95, (flag, a95, e95)

@@ -120,3 +120,31 @@ def test_stateful_agg_accumulates_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """session_window through a real stream (availableNow, complete mode)
+    must produce the same per-user sessions as the batch plan."""
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (agg.writeStream.format("memory").queryName("session_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {
+        (r["w"]["start"], r["w"]["end"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_stream").collect()
+    }
+    want = {
+        (r["w"]["start"], r["w"]["end"], r["user_id"]): r["n_events"]
+        for r in (load_table(spark, sf_dir, "events")
+                  .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                           "user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"))
+                  .collect())
+    }
+    assert got == want
