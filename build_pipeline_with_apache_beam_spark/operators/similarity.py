@@ -174,7 +174,7 @@ def _ivf_codebook(emb: DataFrame) -> list[list[float]]:
     vec_ids, seeded init, fixed iteration count."""
     # deterministic sample WITHOUT a global sort (ids are dense from 0), and
     # Arrow transfer instead of row-wise Py4J collect
-    pdf = emb.where(F.col("vec_id") < _TRAIN_SAMPLE).toPandas()
+    pdf = emb.where(F.col("vec_id") < _TRAIN_SAMPLE).toPandas()  # driver-bounded: fixed 4096-row training sample
     sample = np.stack(pdf.sort_values("vec_id")["vec"].values)
     cents = sample[:N_CELLS].copy()
     for _ in range(LLOYD_ITERS):

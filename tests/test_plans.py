@@ -302,3 +302,32 @@ def test_dynamic_partition_pruning_in_scan(spark, sf_dir, registry):
     partitions and filter after."""
     plan = plan_of(registry["join_dynamic_partition_pruning"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_no_driver_side_collect_in_operators():
+    """The 100 TB discipline README promises: no operator materializes data
+    on the driver.  collect()/toPandas()/toLocalIterator() may appear only
+    in test/oracle infrastructure, never in the engine package."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "build_pipeline_with_apache_beam_spark")
+    offenders = []
+    pat = re.compile(r"\.(collect|toPandas|toLocalIterator)\(")
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            if path.endswith("oracle.py"):   # differential-test harness only
+                continue
+            with open(path) as fh:
+                for i, line in enumerate(fh, 1):
+                    if (pat.search(line)
+                            and not line.strip().startswith("#")
+                            # explicit opt-out for BOUNDED driver-side
+                            # samples (index metadata, never corpus data)
+                            and "# driver-bounded:" not in line):
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "driver-side materialization:\n" + "\n".join(offenders)
