@@ -254,9 +254,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-k as sim_cosine_topk, but with the dot products in
+    an Arrow-batched numpy kernel (mapInPandas) instead of JVM higher-order
+    functions — the shape to use when the per-row vector math outgrows
+    codegen (large dims, many queries: one BLAS matmul per Arrow batch).
+
+    The query matrix is index metadata (N_QUERIES rows, fixed size) carried
+    in the task closure; candidates stream through executors in Arrow
+    batches, each scored against all queries at once.  Output and oracle are
+    identical to the HOF version — only the physical kernel differs.
+    """
+    from typing import Iterator as It
+
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf = (emb.where(F.col("vec_id") < N_QUERIES)
+            .toPandas())  # driver-bounded: N_QUERIES(=5) query rows, index metadata
+    qids = qpdf["vec_id"].to_numpy()
+    qmat = np.stack(qpdf["embedding"].values).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
+        for pdf in batches:
+            cmat = np.stack(pdf["embedding"].values).astype(np.float64)
+            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qmat.T                      # (batch, N_QUERIES)
+            cand = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, len(cand)),
+                "cand_id": np.tile(cand, len(qids)),
+                "cosine": np.round(sims.T.ravel(), 4),
+            })
+            yield out[out["query_id"] != out["cand_id"]]
+
+    pairs = (emb.repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(score,
+                          "query_id BIGINT, cand_id BIGINT, cosine DOUBLE"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("cand_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
 QUERIES = {
     "sim_cosine_pairs": sim_cosine_pairs,
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_cosine_topk_pandas": sim_cosine_topk_pandas,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -269,6 +316,21 @@ ORACLE = {
                                             c.embedding::DOUBLE[]), 4) AS cosine
         FROM embeddings c, embeddings q
         WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    """,
+    "sim_cosine_topk_pandas": f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rank
+            FROM pairs) t
+        WHERE rank <= {TOP_K}
     """,
     "sim_cosine_topk": f"""
         WITH pairs AS (
