@@ -331,3 +331,27 @@ def test_no_driver_side_collect_in_operators():
                             and "# driver-bounded:" not in line):
                         offenders.append(f"{path}:{i}: {line.strip()}")
     assert not offenders, "driver-side materialization:\n" + "\n".join(offenders)
+
+
+def test_q7_nation_copies_broadcast(spark, sf_dir, registry):
+    """Q7 joins two copies of nation — both must be broadcast builds; the
+    only exchanges belong to the fact join and final aggregation."""
+    plan = plan_of(registry["flagship_q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pandas_cosine_kernel_is_arrow_batched(spark, sf_dir, registry):
+    """The numpy kernel must cross into Python via Arrow batches
+    (MapInPandas), never row-at-a-time pickling."""
+    plan = plan_of(registry["sim_cosine_topk_pandas"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ohlc_is_single_hash_aggregate(spark, sf_dir, registry):
+    """min_by/max_by boundary extraction must stay inside the one hash
+    aggregate — no self-join back to find boundary rows."""
+    plan = plan_of(registry["timeseries_ohlc_bars"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
