@@ -159,10 +159,9 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_tag
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(SCRATCH, f"evpart_{sf_tag}")
+    path = os.path.join(SCRATCH, f"evpart_{source_tag(sf_dir)}")
     if not os.path.exists(path):
         (load_table(spark, sf_dir, "events")
          .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
@@ -192,10 +191,9 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     """
     import os
 
-    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_tag
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(SCRATCH, f"evpart_{sf_tag}")
+    path = os.path.join(SCRATCH, f"evpart_{source_tag(sf_dir)}")
     if not os.path.exists(path):
         (load_table(spark, sf_dir, "events")
          .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))

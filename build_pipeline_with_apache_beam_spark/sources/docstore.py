@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
 )
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
-from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_tag
 
 SCHEMA_DDL = ("event_id BIGINT, ts_micros BIGINT, user_id BIGINT, "
               "event_type STRING, value DOUBLE")
@@ -190,8 +190,7 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
     One file per event-day (the reference's lake layout, dt=-shaped), each
     with min/max ts recorded — built distributed, listed once.
     """
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(SCRATCH, f"docstore_{sf_tag}")
+    root = os.path.join(SCRATCH, f"docstore_{source_tag(sf_dir)}")
     if os.path.exists(os.path.join(root, MANIFEST)):
         return root
     ev = load_table(spark, sf_dir, "events").select(

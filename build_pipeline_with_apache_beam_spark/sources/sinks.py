@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 
+def source_tag(sf_dir: str, table: str = "events") -> str:
+    """Cache key for SCRATCH artifacts derived from a testdata table:
+    sf tag + source file (mtime, size), so a driver-regenerated testdata
+    drop (e.g. a schema change) invalidates every derived cache instead of
+    silently serving stale layouts."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        return f"{sf}_{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        return sf
+
+
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
