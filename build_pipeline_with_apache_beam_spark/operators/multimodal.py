@@ -127,7 +127,44 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("meta.n_bytes").alias("max_bytes")))
 
 
+RESIZE_TARGET = 256  # stub "resolution": output payload size in bytes
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: every payload normalized to a fixed target size
+    (truncate-or-pad stub standing in for image resize / audio resample —
+    swapping in a real resampler changes only the bytes-in/bytes-out body).
+
+    Oracle-checked on the Spark-side contract a real resize also has: output
+    length is exactly RESIZE_TARGET, and the truncation flag matches the
+    input size — so the mapInPandas batch shape, schema, and fan-through
+    are verified even with the codec stubbed.
+    """
+    media = _media_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)[:RESIZE_TARGET]
+                out.append(raw + b"\x00" * (RESIZE_TARGET - len(raw)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized": out,
+            })
+
+    resized = media.mapInPandas(
+        resize, "doc_id BIGINT, orig_bytes BIGINT, resized BINARY")
+    return resized.select(
+        "doc_id", "orig_bytes",
+        F.length("resized").cast("long").alias("resized_bytes"),
+        (F.col("orig_bytes") > RESIZE_TARGET).alias("was_truncated"),
+    )
+
+
 QUERIES = {
+    "multimodal_resize": multimodal_resize,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_metadata_stats": multimodal_metadata_stats,
@@ -138,6 +175,13 @@ QUERIES = {
 # reconciled against SQL in tests/test_llm_ops.py.  The metadata-stats op
 # IS oracle-checked — it never leaves the metadata columns.
 ORACLE = {
+    "multimodal_resize": """
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS orig_bytes,
+               CAST(256 AS BIGINT) AS resized_bytes,
+               LENGTH(text) > 256 AS was_truncated
+        FROM documents
+    """,
     "multimodal_metadata_stats": """
         SELECT source, 'application/x-fake-media' AS content_type,
                COUNT(1) AS n_assets,
