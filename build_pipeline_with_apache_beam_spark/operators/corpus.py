@@ -212,24 +212,42 @@ def corpus_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The standard concat-then-chunk packing of LLM data pipelines: documents
     are laid end-to-end in a deterministic order per language, and each doc's
-    bin is the 512-token block its first token lands in.  One running-sum
-    window per language — at 100 TB the partitionBy(lang) window distributes
-    by language and each partition streams in sorted order (no global sort);
-    for a language too large for one task, the same math runs hierarchically
-    on per-partition subtotals.
+    bin is the 512-token block its first token lands in.
+
+    The running sum is hierarchical, not a single per-language window (one
+    task per language would bottleneck at 100 TB): docs bucket by doc_id
+    range (order-consistent — bucket b's ids all precede bucket b+1's), each
+    (lang, bucket) computes its local prefix sums in a distributed window,
+    and a tiny per-bucket subtotal table (broadcast) lifts local sums to
+    global offsets.  Same two-phase scheme as corpus_global_shuffle.
     """
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
-    w = W.partitionBy("lang").orderBy("doc_id")
-    cum_before = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
-        F.lit(0))
+    bucket_size = 64  # docs per ordinal bucket; at scale ≈ rows per task
+    toks = (docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+            .withColumn("bucket", (F.col("doc_id") / bucket_size)
+                        .cast("int")))
+    # phase 1: local prefix sums inside each (lang, bucket)
+    w_local = (W.partitionBy("lang", "bucket").orderBy("doc_id")
+               .rowsBetween(W.unboundedPreceding, -1))
+    local = toks.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+    # phase 2: per-bucket subtotals → running offsets (tiny: #buckets rows)
+    w_buckets = (W.partitionBy("lang").orderBy("bucket")
+                 .rowsBetween(W.unboundedPreceding, -1))
+    offsets = (toks.groupBy("lang", "bucket")
+               .agg(F.sum("n_tokens").alias("bucket_tokens"))
+               .withColumn("bucket_before", F.coalesce(
+                   F.sum("bucket_tokens").over(w_buckets), F.lit(0)))
+               .select("lang", "bucket", "bucket_before"))
+    cum_before = F.col("bucket_before") + F.col("local_before")
     return (
-        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-        .withColumn("bin_id", F.floor(cum_before / 512).cast("int"))
-        .withColumn("bin_offset", (cum_before % 512).cast("int"))
+        local.join(F.broadcast(offsets), ["lang", "bucket"])
+        .select("doc_id", "lang", "n_tokens",
+                F.floor(cum_before / 512).cast("int").alias("bin_id"),
+                (cum_before % 512).cast("int").alias("bin_offset"))
     )
 
 
