@@ -188,6 +188,8 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals per document (the Gopher-rules repetition family):
     duplicate-token fraction, duplicate-bigram fraction, and top-token share.
+    North-star extension (BASELINE.json): the reference treats text only as
+    opaque JSON lines (/root/reference/normalization.py:89).
 
     All four measures come out of one projection over the token array using
     JVM higher-order functions — no explode, no shuffle, no Python: at 100 TB

@@ -2,10 +2,12 @@
 
 With ``tpch.py`` (Q4/Q10/Q13/Q14/Q18/Q19/Q22) and ``relational`` (Q1/Q3/Q5/Q6
 shapes) this completes all 22 TPC-H query *shapes* on the driver star schema.
-The reference itself has no joins or aggregations (SURVEY.md §2A,
-/root/reference/retrieval.py + normalization.py are ETL-only), so this suite
-is the engine's capability extension, exercised at the declared 100 TB design
-point.
+The reference itself has no joins, aggregations (beyond ``len()`` counts,
+/root/reference/retrieval.py:75,185), window functions, or subqueries — its
+only SQL is the SQLite watermark read (/root/reference/retrieval.py:43) and
+mark-done update (/root/reference/normalization.py:45-51) — so this suite is
+the engine's capability extension (SURVEY.md §2A "operators the reference
+does NOT have"), exercised at the declared 100 TB design point.
 
 Schema adaptations (the driver testdata is TPC-H-ish, not TPC-H):
 - there is no ``partsupp`` table → the distinct ``(l_partkey, l_suppkey)``
