@@ -272,7 +272,33 @@ def scalar_try_cast_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 collations: group/compare case-insensitively by declaring a
+    UTF8_LCASE collation on the column instead of wrapping every use in
+    lower() — the collation travels with the type, so every comparison,
+    join, and aggregate on the column honors it (and the optimizer can
+    still push/prune, unlike an expression wrapper).
+
+    The mixed-case key is synthesized deterministically (even doc_ids
+    upper-cased) so the case-folding is observable; output stabilizes on
+    lower(key) for engine-portable comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")) \
+             .otherwise(F.col("source"))
+    collated = F.collate(mixed, "UTF8_LCASE")
+    return (
+        docs.select(collated.alias("src_ci"))
+        .groupBy("src_ci")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lower(F.col("src_ci")).cast("string").alias("source_key"),
+                "n_docs")
+        .orderBy("source_key")
+    )
+
+
 QUERIES = {
+    "scalar_collation_group": scalar_collation_group,
     "scalar_try_cast_dirty": scalar_try_cast_dirty,
     "scalar_string_ops": scalar_string_ops,
     "scalar_date_ops": scalar_date_ops,
@@ -291,6 +317,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_collation_group": """
+        SELECT LOWER(CASE WHEN doc_id % 2 = 0 THEN UPPER(source)
+                          ELSE source END) AS source_key,
+               COUNT(1) AS n_docs
+        FROM documents
+        GROUP BY source_key
+        ORDER BY source_key
+    """,
     "scalar_try_cast_dirty": """
         WITH d AS (
             SELECT event_id,

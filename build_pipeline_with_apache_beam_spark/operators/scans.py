@@ -220,7 +220,57 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+N_BINARY_FILES = 100  # bounded staging set for the binaryFile source op
+
+
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingest via the ``binaryFile`` source: one row per file with
+    (path, length, content) — how image/audio assets enter the lake before
+    they become the multimodal binary columns.
+
+    The listing and reads are distributed (files split across tasks), and
+    ``pathGlobFilter`` prunes at listing time.  Staged once per testdata
+    generation: the first N_BINARY_FILES documents written as one .bin file
+    each (at 100 TB the equivalent staging is the upstream object store).
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_tag
+
+    path = os.path.join(SCRATCH, f"binfiles_{source_tag(sf_dir, 'documents')}")
+    if not os.path.exists(path):
+        staging = path + "_staging"
+        (load_table(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < N_BINARY_FILES)
+         .select(F.col("doc_id").cast("string").alias("name"),
+                 F.encode("text", "utf-8").alias("payload"))
+         .repartition(8)
+         .foreachPartition(lambda rows: _write_bin_files(staging, rows)))
+        os.rename(staging, path)
+    binf = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin").load(path))
+    return (
+        binf.select(
+            F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin", 1)
+            .cast("bigint").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.length("content").cast("long").alias("content_bytes"))
+        .orderBy("doc_id")
+    )
+
+
+def _write_bin_files(root: str, rows) -> None:
+    """Executor-side file writer for the staging step (one .bin per doc)."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(root, f"doc-{r['name']}.bin"), "wb") as fh:
+            fh.write(bytes(r["payload"]))
+
+
 QUERIES = {
+    "scan_binary_files": scan_binary_files,
     "join_dynamic_partition_pruning": join_dynamic_partition_pruning,
     "scan_parquet_project": scan_parquet_project,
     "filter_time_range": filter_time_range,
@@ -233,6 +283,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scan_binary_files": f"""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+               CAST(LENGTH(text) AS BIGINT) AS content_bytes
+        FROM documents
+        WHERE doc_id < {100}
+        ORDER BY doc_id
+    """,
     "join_dynamic_partition_pruning": """
         WITH busiest AS (
             SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(1) AS day_events
