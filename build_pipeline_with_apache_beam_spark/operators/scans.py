@@ -246,7 +246,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.encode("text", "utf-8").alias("payload"))
          .repartition(8)
          .foreachPartition(lambda rows: _write_bin_files(staging, rows)))
-        os.rename(staging, path)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # a concurrent builder won the rename; its output is identical
+            if not os.path.exists(path):
+                raise
     binf = (spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.bin").load(path))
     return (
