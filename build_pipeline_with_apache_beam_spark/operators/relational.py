@@ -752,6 +752,49 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 ``spark.sql(query, args=...)``): named
+    parameters bind as literals in the analyzed plan — injection-safe and
+    plan-cache-friendly, the way an engine exposes templated queries to
+    applications.  Same pushdown/pruning as inline literals."""
+    from build_pipeline_with_apache_beam_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(1) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        WHERE o_orderdate >= CAST(:start AS TIMESTAMP)
+          AND o_orderdate < CAST(:end AS TIMESTAMP)
+          AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"start": "1996-01-01 00:00:00", "end": "1997-01-01 00:00:00",
+              "floor": 1000.0},
+    )
+
+
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: force a shuffled hash join where Catalyst
+    would default to sort-merge.  SHJ skips both sort phases — the right
+    call when one side is modest (build fits per-task memory) but above the
+    broadcast threshold; the hint is advisory plan control, asserted in
+    tests/test_plans.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders.hint("shuffle_hash"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def agg_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING over a scalar subquery: customers whose order volume exceeds
     the average customer's.  The scalar aggregate broadcasts (one row), so
@@ -1094,6 +1137,8 @@ QUERIES = {
     "reshape_pivot": reshape_pivot,
     "reshape_unpivot": reshape_unpivot,
     "sql_tpch_q6": sql_tpch_q6,
+    "sql_parameterized": sql_parameterized,
+    "join_hint_shuffle_hash": join_hint_shuffle_hash,
     "agg_having_subquery": agg_having_subquery,
     "window_ntile_ranks": window_ntile_ranks,
     "agg_salted_skew": agg_salted_skew,
@@ -1266,6 +1311,23 @@ ORACLE = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_discount',
                ROUND(l_discount, 4) FROM lineitem
+    """,
+    "sql_parameterized": """
+        SELECT o_orderpriority, COUNT(1) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "join_hint_shuffle_hash": """
+        SELECT o_orderpriority, COUNT(1) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "sql_tpch_q6": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,

@@ -355,3 +355,11 @@ def test_ohlc_is_single_hash_aggregate(spark, sf_dir, registry):
     plan = plan_of(registry["timeseries_ohlc_bars"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir, registry):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    phases), not the default sort-merge."""
+    plan = plan_of(registry["join_hint_shuffle_hash"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
