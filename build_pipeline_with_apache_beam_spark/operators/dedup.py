@@ -306,8 +306,80 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "group_id")
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new ingest batch checked against the persisted
+    signature index WITHOUT re-deduplicating history.
+
+    The daily-ingest shape at 100 TB: signatures are computed only for the
+    new batch (here: doc_id % 10 == 0 stands in for today's arrivals), the
+    historical index is a parquet re-read, and banding joins NEW × (HISTORY
+    ∪ NEW) — so per-run cost scales with the batch, not the corpus.  Exact
+    Jaccard verifies candidates as usual.  Emits one row per new doc with
+    its duplicate-match count.  (Rows-only like dedup_fuzzy_minhash: seeded
+    xxhash64 isn't portable SQL; tests assert the incremental result equals
+    the full pipeline restricted to new docs.)
+    """
+    shingled = _docs_with_shingles(spark, sf_dir)
+    is_new = F.col("doc_id") % 10 == 0
+
+    # persisted index over history; only the new batch is (re)signed
+    hist_sigs = _staged(spark, minhash_signatures(shingled.where(~is_new)),
+                        "inc_index_sigs")
+    new_sigs = _staged(spark, minhash_signatures(shingled.where(is_new)),
+                       "inc_new_sigs")
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        withb = sigs.select(
+            "doc_id",
+            *[F.xxhash64(*[F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias(f"band_{b}")
+              for b in range(N_BANDS)])
+        return withb.selectExpr(
+            "doc_id",
+            "stack({n}, {args}) AS (band_id, band_hash)".format(
+                n=N_BANDS,
+                args=", ".join(f"{b}, band_{b}" for b in range(N_BANDS))))
+
+    new_b = _bands(new_sigs).alias("a")
+    all_b = _bands(hist_sigs.unionByName(new_sigs)).alias("b")
+    pairs = (
+        new_b.join(all_b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("new_doc"),
+                F.col("b.doc_id").alias("cand_doc"))
+        .distinct()
+    )
+    hashed = _staged(spark, shingled.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+         .alias("sh")), "inc_shingle_sets")
+    a = hashed.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("doc_id").alias("cand_doc"), F.col("sh").alias("sh_b"))
+    verified = (
+        _staged(spark, pairs, "inc_candidates")
+        .join(a, "new_doc").join(b, "cand_doc")
+        .withColumn("jaccard",
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    new_docs = new_sigs.select(F.col("doc_id").alias("new_doc"))
+    return (
+        new_docs.join(verified.groupBy("new_doc")
+                      .agg(F.count(F.lit(1)).alias("n_dup_matches")),
+                      "new_doc", "left")
+        .select("new_doc",
+                F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
+                (F.coalesce("n_dup_matches", F.lit(0)) > 0)
+                .alias("is_duplicate"))
+        .orderBy("new_doc")
+    )
+
+
 QUERIES = {
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_connected_groups": dedup_connected_groups,

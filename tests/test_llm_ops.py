@@ -133,3 +133,25 @@ def test_multimodal_frame_fanout(spark, sf_dir, duck):
         | (F.col("n_frames") != F.ceil(F.col("n_chars") / FRAME_STRIDE))
     )
     assert bad.count() == 0
+
+
+def test_incremental_minhash_matches_full_pipeline(spark, sf_dir):
+    """Incremental dedup (new batch vs persisted index) must reach exactly
+    the same verdicts as the full-corpus pipeline restricted to new docs —
+    same bands, same threshold, so no pair involving a new doc may appear
+    or vanish just because the index was built incrementally."""
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        dedup_fuzzy_minhash,
+        dedup_incremental_minhash,
+    )
+
+    inc = {r["new_doc"]: r["n_dup_matches"]
+           for r in dedup_incremental_minhash(spark, sf_dir).collect()}
+
+    full_pairs = dedup_fuzzy_minhash(spark, sf_dir).collect()
+    want = {d: 0 for d in inc}
+    for r in full_pairs:
+        for d, other in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if d % 10 == 0:
+                want[d] += 1
+    assert inc == want
