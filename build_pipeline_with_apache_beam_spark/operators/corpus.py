@@ -338,9 +338,32 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats across the whole embedding corpus
+    (mean/std/min/max per dim) — the drift monitor run between embedding-
+    model versions or corpus snapshots: a shifted dimension means the index
+    and any cached neighbors are stale.
+
+    posexplode + one hash agg on dim: the shuffle carries dims × partial
+    states (algebraic aggregates — constant size), never vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v0"))
+        .select("dim", F.col("v0").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("v"), 4).alias("mean_v"),
+             F.round(F.stddev_samp("v"), 4).alias("std_v"),
+             F.round(F.min("v"), 4).alias("min_v"),
+             F.round(F.max("v"), 4).alias("max_v"))
+        .orderBy("dim")
+    )
+
+
 QUERIES = {
     "corpus_doc_packing": corpus_doc_packing,
     "embedding_centroid_per_label": embedding_centroid_per_label,
+    "embedding_dim_stats": embedding_dim_stats,
     "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
     "corpus_global_shuffle": corpus_global_shuffle,
     "corpus_train_val_test_split": corpus_train_val_test_split,
@@ -355,6 +378,21 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "embedding_dim_stats": """
+        WITH flat AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT dim,
+               ROUND(AVG(v), 4) AS mean_v,
+               ROUND(STDDEV_SAMP(v), 4) AS std_v,
+               ROUND(MIN(v), 4) AS min_v,
+               ROUND(MAX(v), 4) AS max_v
+        FROM flat
+        GROUP BY dim
+        ORDER BY dim
+    """,
     "embedding_centroid_per_label": """
         WITH flat AS (
             SELECT label,

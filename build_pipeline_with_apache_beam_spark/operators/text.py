@@ -273,7 +273,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty score per document: the fraction of its distinct bigrams that
+    appear in NO other document — the inverse of boilerplate/template
+    detection in corpus curation.
+
+    Corpus bigram document-frequencies are one map-side-combined count over
+    exploded distinct bigrams (shuffle carries the bigram vocabulary); the
+    per-doc novelty re-joins that table.  Same two-pass shape as
+    text_unigram_logprob, reusable as a persisted n-gram DF index.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.array_distinct(F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', toks[i-1], toks[i]))"))
+    doc_grams = (docs.select("doc_id", toks.alias("toks"))
+                 .select("doc_id", F.explode(bigrams).alias("bigram")))
+    df_counts = doc_grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        doc_grams.join(df_counts, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg((F.col("doc_freq") == 1).cast("double")), 4)
+             .alias("novelty"))
+        .orderBy("doc_id")
+    )
+
+
+def text_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which duplicate to keep: one canonical doc per content-fingerprint
+    group, chosen by (longest text, then lowest doc_id) — the survivor-
+    selection step that follows any dedup pass.
+
+    One window over the fingerprint groups (hash shuffle on the
+    fingerprint); emits every doc with its group's canonical id and a keep
+    flag, so the downstream filter is a projection.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.concat_ws(" ", F.split(F.trim("text"), r"\s+")))
+    with_fp = docs.select(
+        "doc_id", F.length("text").alias("n_chars_m"),
+        F.md5(F.encode(normalized, "utf-8")).alias("fingerprint"))
+    w = W.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars_m"), F.asc("doc_id"))
+    ranked = with_fp.withColumn("rn", F.row_number().over(w))
+    canon = (ranked.where(F.col("rn") == 1)
+             .select("fingerprint", F.col("doc_id").alias("canonical_id")))
+    return (
+        ranked.join(canon, "fingerprint")
+        .select("doc_id", "fingerprint", "canonical_id",
+                (F.col("rn") == 1).alias("keep"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_ngram_novelty": text_ngram_novelty,
+    "text_canonical_selection": text_canonical_selection,
     "text_unigram_logprob": text_unigram_logprob,
     "text_repetition_ratio": text_repetition_ratio,
     "text_gopher_filter": text_gopher_filter,
@@ -296,6 +356,42 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_ngram_novelty": """
+        WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        dg AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                list_transform(range(1, len(toks)),
+                               i -> concat(toks[i], ' ', toks[i+1])))) AS bigram
+            FROM t
+        ), dfc AS (
+            SELECT bigram, COUNT(1) AS doc_freq FROM dg GROUP BY bigram
+        )
+        SELECT doc_id, COUNT(1) AS n_bigrams,
+               ROUND(AVG(CASE WHEN doc_freq = 1 THEN 1.0 ELSE 0.0 END), 4)
+                   AS novelty
+        FROM dg JOIN dfc USING (bigram)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "text_canonical_selection": """
+        WITH fp AS (
+            SELECT doc_id, LENGTH(text) AS n_chars_m,
+                   MD5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                         ORDER BY n_chars_m DESC, doc_id)
+                          AS rn
+            FROM fp
+        )
+        SELECT r.doc_id, r.fingerprint, c.doc_id AS canonical_id,
+               r.rn = 1 AS keep
+        FROM ranked r
+        JOIN (SELECT fingerprint, doc_id FROM ranked WHERE rn = 1) c
+          USING (fingerprint)
+        ORDER BY r.doc_id
+    """,
     "text_unigram_logprob": """
         WITH toks AS (
             SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
