@@ -148,3 +148,28 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
                   .collect())
     }
     assert got == want
+
+
+def test_streaming_sliding_window_matches_batch(spark, sf_dir, tmp_path):
+    """Overlapping window('1 hour', '20 minutes') through a real stream
+    must equal the batch plan — each event lands in 3 overlapping windows
+    in both modes."""
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (agg.writeStream.format("memory").queryName("sliding_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["w"]["start"], r["w"]["end"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM sliding_stream").collect()}
+    want = {(r["w"]["start"], r["w"]["end"]): r["n_events"]
+            for r in (load_table(spark, sf_dir, "events")
+                      .groupBy(F.window("ts", "1 hour", "20 minutes")
+                               .alias("w"))
+                      .agg(F.count(F.lit(1)).alias("n_events"))
+                      .collect())}
+    assert got == want
