@@ -531,6 +531,28 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness report per event type: latest event time, lag behind
+    a fixed audit point, and the reference's 25-hour freshness verdict
+    (retrieval.py:210-212's guard, turned from a driver-side abort into a
+    queryable per-stream report).
+
+    A min/max aggregate over the scan — metadata-cheap at any scale, and at
+    100 TB the parquet footer stats answer max(ts) without reading rows.
+    """
+    as_of = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    lag_h = (F.unix_micros(as_of) - F.unix_micros(F.max("ts"))) / 3.6e9
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("latest_ts"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(lag_h, 4).alias("lag_hours"),
+             (lag_h <= 25.0).alias("is_fresh"))
+        .orderBy("event_type")
+    )
+
+
 _HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 1000.0, 10
 
 
@@ -1156,6 +1178,7 @@ QUERIES = {
     "timeseries_gap_fill": timeseries_gap_fill,
     "timeseries_ohlc_bars": timeseries_ohlc_bars,
     "dq_anomaly_zscore": dq_anomaly_zscore,
+    "dq_freshness_report": dq_freshness_report,
     "agg_value_histogram": agg_value_histogram,
     "timeseries_forward_fill": timeseries_forward_fill,
     "agg_stats_moments": agg_stats_moments,
@@ -1485,6 +1508,18 @@ ORACLE = {
         FROM events
         GROUP BY 1, 2
         ORDER BY day, event_type
+    """,
+    "dq_freshness_report": """
+        SELECT event_type,
+               MAX(ts) AS latest_ts,
+               COUNT(1) AS n_events,
+               ROUND((epoch_us(TIMESTAMP '2024-01-08 00:00:00')
+                      - epoch_us(MAX(ts))) / 3.6e9, 4) AS lag_hours,
+               ((epoch_us(TIMESTAMP '2024-01-08 00:00:00')
+                 - epoch_us(MAX(ts))) / 3.6e9) <= 25.0 AS is_fresh
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "dq_anomaly_zscore": """
         WITH daily AS (

@@ -31,11 +31,11 @@ def _modules():
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
-    from build_pipeline_with_apache_beam_spark.streaming import stateful, windows
+    from build_pipeline_with_apache_beam_spark.streaming import runner, stateful, windows
 
     return [scans, relational, tpch, tpch2, subqueries, arrays, corpus, behavioral, scalars,
             normalize, text, dedup, similarity, multimodal, udfs, windows,
-            stateful, sinks, docstore]
+            stateful, sinks, docstore, runner]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

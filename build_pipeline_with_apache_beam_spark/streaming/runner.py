@@ -76,3 +76,85 @@ class IncrementalRunner:
             results.append({"window_start": w_start, "window_end": w_end,
                             "record_count": n})
         return results
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the incremental flow itself, driver-gate checkable
+# ---------------------------------------------------------------------------
+
+_RUN_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+_RUN_WINDOW_H = 6
+_RUN_SPAN_H = 48
+
+
+def q_incremental_runlog(spark, sf_dir: str) -> DataFrame:
+    """Run the incremental flow over two days of events in 6-hour windows
+    and return the committed run log — the engine's version of the
+    reference's run-metadata tables (record_count per window,
+    retrieval.py:53-60 / normalization.py:24-43), produced by the
+    watermark-committing runner instead of hand-written SQLite rows.
+
+    Built once per testdata generation; re-running a round reuses the
+    committed store and (correctly) processes nothing new — idempotence is
+    the point of the watermark.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH, source_tag)
+
+    store_dir = os.path.join(SCRATCH, f"runlog_{source_tag(sf_dir)}")
+    store = WatermarkStore(store_dir, default_epoch=_RUN_EPOCH)
+    runner = IncrementalRunner(
+        store,
+        source=lambda: load_table(spark, sf_dir, "events"),
+        sink=lambda df, ws, we: df.count(),   # count action gates the commit
+        ts_col="ts",
+        window=timedelta(hours=_RUN_WINDOW_H))
+    runner.run_once(now=_RUN_EPOCH + timedelta(hours=_RUN_SPAN_H))
+
+    recs = store.history()
+    rows = ",\n".join(
+        "('{ws}', '{we}', {n})".format(
+            ws=r["window_start"], we=r["window_end"], n=r["record_count"])
+        for r in recs)
+    # VALUES literal (driver metadata, a handful of rows) → DataFrame
+    return spark.sql(f"""
+        SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+               CAST(window_end AS TIMESTAMP) AS window_end,
+               CAST(record_count AS BIGINT) AS record_count
+        FROM (VALUES {rows}) AS t(window_start, window_end, record_count)
+        ORDER BY window_start
+    """)
+
+
+QUERIES = {
+    "incremental_runlog": q_incremental_runlog,
+}
+
+ORACLE = {
+    # every window in the span is committed, including empty ones (the
+    # runner's invariant) — hence the zero-filled window spine
+    "incremental_runlog": f"""
+        WITH spine AS (
+            SELECT UNNEST(generate_series(
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-02 23:00:00',
+                INTERVAL {_RUN_WINDOW_H} HOUR)) AS window_start
+        ), actual AS (
+            SELECT time_bucket(INTERVAL {_RUN_WINDOW_H} HOUR, ts,
+                               TIMESTAMP '2024-01-01 00:00:00') AS ws,
+                   COUNT(1) AS n
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+            GROUP BY 1
+        )
+        SELECT window_start,
+               window_start + INTERVAL {_RUN_WINDOW_H} HOUR AS window_end,
+               COALESCE(n, 0) AS record_count
+        FROM spine LEFT JOIN actual ON window_start = ws
+        ORDER BY window_start
+    """,
+}
