@@ -56,9 +56,19 @@ def _staged(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
        runs, and join new documents against it.  Persisting it columnar
        between phases is the production shape, not a workaround.
     """
-    path = os.path.join(SCRATCH, "dedup_stage", name)
+    # sf-scoped: concurrent runs at different scale factors (gate at
+    # sf0.01 while bench reads sf0.1) must not clobber each other's stages
+    path = os.path.join(SCRATCH, "dedup_stage", f"{_SF_TAG or 'default'}", name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+_SF_TAG = ""
+
+
+def _set_sf(sf_dir: str) -> None:
+    global _SF_TAG
+    _SF_TAG = os.path.basename(sf_dir.rstrip("/"))
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +148,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification at the threshold.  (Rows-only: hash-seed
     specifics aren't portable SQL; the blocked exact-Jaccard op below is the
     oracle-checked ground truth of the same semantics.)"""
+    _set_sf(sf_dir)
     # stage 1: the signature index + hashed shingle sets (persisted — at
     # scale this is the reusable dedup index, built incrementally)
     shingled = _docs_with_shingles(spark, sf_dir)
@@ -173,6 +184,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees ≥ 1 exact sub-band match by pigeonhole).  Rows-only: seeded
     xxhash64 isn't portable SQL.
     """
+    _set_sf(sf_dir)
     # spread the tokenize+hash stage across cores: the test corpus is one
     # parquet file = one input split (at 100 TB splits provide this natively)
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -235,6 +247,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic only in block size.  (In production the block key is a cheap
     sketch — length bucket, simhash band — rather than a metadata column.)
     """
+    _set_sf(sf_dir)
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     t = docs.select("doc_id", "source",
                     F.array_distinct(F.split("text", " ")).alias("toks"))
@@ -271,6 +284,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: checkpoint).  Edges here are the deterministic exact-Jaccard
     pairs, so a DuckDB recursive CTE can verify the grouping exactly.
     """
+    _set_sf(sf_dir)
     # stage the pair computation BEFORE mirroring: union of the lazy plan
     # would run the jaccard self-join twice
     pairs = _staged(spark, dedup_ngram_jaccard(spark, sf_dir)
@@ -319,6 +333,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 isn't portable SQL; tests assert the incremental result equals
     the full pipeline restricted to new docs.)
     """
+    _set_sf(sf_dir)
     shingled = _docs_with_shingles(spark, sf_dir)
     is_new = F.col("doc_id") % 10 == 0
 
