@@ -220,6 +220,56 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def scan_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSONL ingestion with corrupt-record capture: bad lines
+    land in ``_corrupt_record`` instead of failing the scan — the file-level
+    version of the reference's tolerate-and-null (validate_json,
+    retrieval.py:97-102), with the quarantined raw line kept for triage.
+
+    The staged file corrupts every 7th record deterministically, so the
+    good/bad split is oracle-checkable.  At 100 TB the corrupt column
+    routes to a quarantine sink while the good rows continue — no job
+    restarts for a few bad lines.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_tag
+
+    path = os.path.join(SCRATCH, f"dirty_jsonl_{source_tag(sf_dir)}")
+    if not os.path.exists(path):
+        staging = path + "_staging"
+        line = F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("{BROKEN "), F.col("event_id").cast("string")))\
+            .otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+        (load_table(spark, sf_dir, "events")
+         .select(line.alias("value"))
+         .write.mode("overwrite").text(staging))
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
+    parsed = (spark.read
+              .schema("event_id BIGINT, event_type STRING, value DOUBLE, "
+                      "_corrupt_record STRING")
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .json(path))
+    # Spark refuses plans whose scan reads ONLY the internal corrupt column;
+    # the verdict references a parsed field too, so pruning keeps both (a
+    # broken line nulls every parsed field, making the two tests agree)
+    triaged = parsed.select(
+        F.when(F.col("_corrupt_record").isNull()
+               & F.col("event_id").isNotNull(), "good")
+        .otherwise("quarantined").alias("bucket"))
+    return (
+        triaged.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("bucket")
+    )
+
+
 N_BINARY_FILES = 100  # bounded staging set for the binaryFile source op
 
 
@@ -275,6 +325,7 @@ def _write_bin_files(root: str, rows) -> None:
 
 
 QUERIES = {
+    "scan_corrupt_capture": scan_corrupt_capture,
     "scan_binary_files": scan_binary_files,
     "join_dynamic_partition_pruning": join_dynamic_partition_pruning,
     "scan_parquet_project": scan_parquet_project,
@@ -288,6 +339,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scan_corrupt_capture": """
+        SELECT CASE WHEN event_id % 7 = 0 THEN 'quarantined'
+                    ELSE 'good' END AS bucket,
+               COUNT(1) AS n_records
+        FROM events
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     "scan_binary_files": f"""
         SELECT doc_id,
                CAST(LENGTH(text) AS BIGINT) AS n_bytes,
