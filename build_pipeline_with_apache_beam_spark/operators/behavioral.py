@@ -161,7 +161,52 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per day — the running-distinct-count
+    problem solved without a distinct window (which Spark rightly lacks):
+    each user's first event gets a first_seen flag via row_number, daily
+    flag-sums give new-user counts, and returning = daily active − new.
+
+    Two shuffles total (user_id window, then the tiny day aggregate); the
+    user-cardinality state never concentrates on one task.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_first"))
+    return (
+        flagged.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"),
+             F.sum("is_first").alias("new_users"))
+        .withColumn("returning_users",
+                    F.col("active_users") - F.col("new_users"))
+        .orderBy("day")
+    )
+
+
+def agg_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT CASE WHEN ...) — distinct cardinalities of several
+    subpopulations in ONE aggregate pass (Catalyst expands multi-distinct
+    into a single Expand + two-stage aggregate, not N scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct(F.when(F.col("event_type") == "purchase",
+                                   F.col("user_id"))).alias("buyers"),
+            F.countDistinct(F.when(F.col("event_type") == "click",
+                                   F.col("user_id"))).alias("clickers"),
+            F.countDistinct("user_id").alias("all_users"))
+        .orderBy("day")
+    )
+
+
 QUERIES = {
+    "events_new_vs_returning": events_new_vs_returning,
+    "agg_conditional_distinct": agg_conditional_distinct,
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
@@ -171,6 +216,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_new_vs_returning": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT day,
+               COUNT(DISTINCT user_id) AS active_users,
+               SUM(is_first) AS new_users,
+               COUNT(DISTINCT user_id) - SUM(is_first) AS returning_users
+        FROM flagged
+        GROUP BY day
+        ORDER BY day
+    """,
+    "agg_conditional_distinct": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END) AS buyers,
+               COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                   THEN user_id END) AS clickers,
+               COUNT(DISTINCT user_id) AS all_users
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
     "sessionize_events": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,

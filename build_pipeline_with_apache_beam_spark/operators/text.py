@@ -331,7 +331,41 @@ def text_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy reference-data matching: noisy source labels snapped to the
+    closest canonical label by edit distance — the typo-tolerant dimension
+    join of entity resolution.
+
+    The noisy label is synthesized deterministically (every 3rd doc's
+    source loses its last character); the canonical label set is a tiny
+    broadcast cross join and the argmin is one ranked window.  JVM-side
+    levenshtein — at 100 TB this is scan-bound, with the candidate space
+    bounded by the reference table, never corpus × corpus.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.when(F.col("doc_id") % 3 == 0,
+                   F.expr("substring(source, 1, length(source) - 1)"))\
+             .otherwise(F.col("source"))
+    canon = docs.select(F.col("source").alias("canon")).distinct()
+    scored = (
+        docs.select("doc_id", noisy.alias("noisy"))
+        .crossJoin(F.broadcast(canon))
+        .withColumn("dist", F.levenshtein("noisy", "canon"))
+    )
+    w = W.partitionBy("doc_id").orderBy("dist", "canon")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "noisy", F.col("canon").alias("matched_source"),
+                F.col("dist").cast("int").alias("edit_distance"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_fuzzy_match_levenshtein": text_fuzzy_match_levenshtein,
     "text_ngram_novelty": text_ngram_novelty,
     "text_canonical_selection": text_canonical_selection,
     "text_unigram_logprob": text_unigram_logprob,
@@ -356,6 +390,27 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_fuzzy_match_levenshtein": """
+        WITH noisy AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN SUBSTRING(source, 1, LENGTH(source) - 1)
+                        ELSE source END AS noisy
+            FROM documents
+        ), canon AS (SELECT DISTINCT source AS canon FROM documents),
+        scored AS (
+            SELECT doc_id, noisy, canon,
+                   levenshtein(noisy, canon) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY levenshtein(noisy, canon),
+                                               canon) AS rn
+            FROM noisy CROSS JOIN canon
+        )
+        SELECT doc_id, noisy, canon AS matched_source,
+               CAST(dist AS INT) AS edit_distance
+        FROM scored WHERE rn = 1
+        ORDER BY doc_id
+    """,
     "text_ngram_novelty": """
         WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
         dg AS (
