@@ -200,6 +200,35 @@ def scalar_map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reshape_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map explode: per-group metric maps built with map_from_entries, then
+    fanned back out to (group, key, value) rows with explode — the
+    wide-to-long reshape for map-typed columns (tags, feature bags,
+    metric dictionaries).
+
+    The map is built in the aggregate (collecting #metrics entries per
+    group), so the shuffle carries maps, not rows; the explode is a
+    generator in the same stage as the downstream projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total"),
+             F.round(F.avg("value"), 4).alias("mean"),
+             F.round(F.max("value"), 4).alias("peak"))
+        .select("event_type", F.map_from_entries(F.array(
+            F.struct(F.lit("total").alias("k"), F.col("total").alias("v")),
+            F.struct(F.lit("mean").alias("k"), F.col("mean").alias("v")),
+            F.struct(F.lit("peak").alias("k"), F.col("peak").alias("v")),
+        )).alias("metrics"))
+    )
+    return (
+        per_type.select("event_type",
+                        F.explode("metrics").alias("metric", "value"))
+        .orderBy("event_type", "metric")
+    )
+
+
 def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise surface: and/or/xor, shifts, popcount — the band-blocking
     arithmetic dedup_simhash builds on, exposed as a first-class op."""
@@ -298,6 +327,7 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "reshape_explode_map": reshape_explode_map,
     "scalar_collation_group": scalar_collation_group,
     "scalar_try_cast_dirty": scalar_try_cast_dirty,
     "scalar_string_ops": scalar_string_ops,
@@ -317,6 +347,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "reshape_explode_map": """
+        WITH agg AS (
+            SELECT event_type,
+                   ROUND(SUM(value), 4) AS total,
+                   ROUND(AVG(value), 4) AS mean,
+                   ROUND(MAX(value), 4) AS peak
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, u.metric, u.value
+        FROM agg, UNNEST([
+            {'metric': 'mean', 'value': mean},
+            {'metric': 'peak', 'value': peak},
+            {'metric': 'total', 'value': total}
+        ]) AS t(u)
+        ORDER BY event_type, u.metric
+    """,
     "scalar_collation_group": """
         SELECT LOWER(CASE WHEN doc_id % 2 = 0 THEN UPPER(source)
                           ELSE source END) AS source_key,
