@@ -47,7 +47,9 @@ def main() -> int:
                 print(f"FAIL {q}: errored in new run")
                 failed = True
             continue
-        if n > max(o, noise_floor) * per_query_ratio:
+        # both gates: ratio AND ≥1 s absolute — sub-second ops on a shared
+        # local[32] host jitter 3-4x from scheduler/GC noise alone
+        if n > max(o, noise_floor) * per_query_ratio and n - o >= 1.0:
             regressions.append((n / o, q, o, n))
     for r, q, o, n in sorted(regressions, reverse=True):
         print(f"FAIL {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
