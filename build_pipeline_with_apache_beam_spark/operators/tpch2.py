@@ -372,7 +372,33 @@ def flagship_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     """)
 
 
+def flagship_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: N independent band-filtered scalar aggregates
+    cross-joined into ONE result row (the 'dashboard row' query).
+
+    Catalyst runs the N aggregates as parallel one-row subplans and
+    cross-joins one-row results — no data-side cartesian anywhere; with
+    grouped CASE aggregation this would be one scan, kept as N subplans to
+    pin the canonical Q88 plan shape (each band's filter pushes to its own
+    scan).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT h2.cnt AS h02_04, h6.cnt AS h06_08,
+               h10.cnt AS h10_12, h14.cnt AS h14_16
+        FROM (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 2 AND HOUR(ts) < 4) h2,
+             (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 6 AND HOUR(ts) < 8) h6,
+             (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 10 AND HOUR(ts) < 12) h10,
+             (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 14 AND HOUR(ts) < 16) h14
+    """)
+
+
 QUERIES = {
+    "flagship_multi_band_counts": flagship_multi_band_counts,
     "flagship_q2_min_cost_supplier": flagship_q2_min_cost_supplier,
     "flagship_q7_volume_shipping": flagship_q7_volume_shipping,
     "flagship_q8_market_share": flagship_q8_market_share,
@@ -387,6 +413,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "flagship_multi_band_counts": """
+        SELECT h2.cnt AS h02_04, h6.cnt AS h06_08,
+               h10.cnt AS h10_12, h14.cnt AS h14_16
+        FROM (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 2 AND HOUR(ts) < 4) h2,
+             (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 6 AND HOUR(ts) < 8) h6,
+             (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 10 AND HOUR(ts) < 12) h10,
+             (SELECT COUNT(1) AS cnt FROM events
+              WHERE HOUR(ts) >= 14 AND HOUR(ts) < 16) h14
+    """,
     "flagship_q2_min_cost_supplier": f"""
         WITH partsupp AS ({_PARTSUPP_SQL}),
         europe_ps AS (

@@ -185,9 +185,82 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(sink_dir)
 
 
+def q_stream_upsert_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: each micro-batch MERGEs into a keyed lake state
+    (read-modify-overwrite parquet — the foreachBatch upsert pattern that
+    Delta/Iceberg MERGE INTO formalizes).
+
+    The source delivers events in two micro-batches (maxFilesPerTrigger=1,
+    the file split by event parity so updates for the same user arrive in
+    both batches); each batch keeps the latest event per user by (ts,
+    event_id) and merges it against the existing state with the same
+    keep-newest rule.  Final state = latest event per user — the arg_max
+    GROUP BY oracle.  At scale the overwrite becomes a partition-scoped
+    MERGE on a table format; the batch-side plan is identical.
+    """
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"upsert_src_{sf_tag}")
+    state_dir = os.path.join(SCRATCH, f"upsert_state_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"upsert_ckpt_{sf_tag}")
+    for d in (src_dir, state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "batch_a"))
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "batch_b"))
+
+    schema = ev.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(src_dir))
+
+    from pyspark.sql.window import Window as W
+
+    def _keep_newest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1).drop("rn"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _keep_newest(batch_df)
+        target = os.path.join(state_dir, "current")
+        if os.path.exists(target):
+            existing = batch_df.sparkSession.read.parquet(target)
+            merged = _keep_newest(existing.unionByName(latest))
+        else:
+            merged = latest
+        # version-and-swap: write the new state, atomically replace current
+        tmp = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state_dir, f"old{batch_id}")
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(os.path.join(state_dir, "current"))
+    return out.select("user_id", "event_id", "ts", "event_type",
+                      F.round("value", 4).alias("value")).orderBy("user_id")
+
+
 QUERIES = {
     "stream_stateful_user_agg": q_stream_stateful_user_agg,
     "stream_transform_with_state": q_stream_transform_with_state,
+    "stream_upsert_foreach_batch": q_stream_upsert_foreach_batch,
 }
 
 ORACLE = {
@@ -200,5 +273,15 @@ ORACLE = {
         SELECT user_id, COUNT(1) AS n_events,
                ROUND(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id
+    """,
+    "stream_upsert_foreach_batch": """
+        SELECT user_id,
+               ARG_MAX(event_id, ts) AS event_id,
+               MAX(ts) AS ts,
+               ARG_MAX(event_type, ts) AS event_type,
+               ROUND(ARG_MAX(value, ts), 4) AS value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
 }
