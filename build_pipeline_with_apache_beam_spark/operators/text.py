@@ -364,7 +364,42 @@ def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF (ln(N/df) idf, ties on the
+    term) — the classic salient-term extraction over a corpus.
+
+    Three aggregates over one exploded token stream: term frequency per
+    (doc, term), document frequency per term (broadcast back — the
+    vocabulary is small relative to the corpus), corpus size as a one-row
+    broadcast; then a ranked window per doc takes the top-3.  Nothing
+    touches the driver, and the df table is the reusable index.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (toks.select("doc_id", "tok").distinct()
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf",
+                    F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+                            4))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("keyword"), "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
+    "text_tfidf_keywords": text_tfidf_keywords,
     "text_fuzzy_match_levenshtein": text_fuzzy_match_levenshtein,
     "text_ngram_novelty": text_ngram_novelty,
     "text_canonical_selection": text_canonical_selection,
@@ -390,6 +425,31 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_tfidf_keywords": """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(1) AS tf
+            FROM toks GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, COUNT(1) AS df
+            FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+        ), n AS (SELECT COUNT(1) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, tok,
+                   ROUND(tf * LN(n_docs * 1.0 / df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (tok), n
+        )
+        SELECT doc_id, tok AS keyword, tfidf, rank FROM (
+            SELECT doc_id, tok, tfidf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, tok) AS INT)
+                       AS rank
+            FROM scored) t
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
     "text_fuzzy_match_levenshtein": """
         WITH noisy AS (
             SELECT doc_id,

@@ -93,3 +93,45 @@ def test_runner_respects_min_lag(tmp_path, spark, sf_dir):
     assert runner.pending_windows(now=EPOCH + timedelta(hours=26, minutes=30)) == [
         (EPOCH, EPOCH + timedelta(hours=1))]
     assert runner.pending_windows(now=EPOCH + timedelta(hours=20)) == []
+
+
+def test_pending_windows_properties():
+    """Property: for any epoch/watermark/horizon/width, pending windows
+    tile [watermark, horizon) with no gaps, no overlaps, constant width,
+    and never cross the horizon — the invariant the reference's hand-rolled
+    loops break (double download, normalization.py:144+154)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        start_min=st.integers(min_value=0, max_value=10_000),
+        width_min=st.integers(min_value=1, max_value=600),
+        horizon_min=st.integers(min_value=0, max_value=20_000),
+        lag_min=st.integers(min_value=0, max_value=600),
+    )
+    def check(start_min, width_min, horizon_min, lag_min):
+        wm = EPOCH + timedelta(minutes=start_min)
+        now = EPOCH + timedelta(minutes=horizon_min)
+        width = timedelta(minutes=width_min)
+        lag = timedelta(minutes=lag_min)
+
+        class _Store:
+            def last_processed(self):
+                return wm
+
+        r = IncrementalRunner(_Store(), source=None, sink=None,
+                              window=width, min_lag=lag)
+        wins = r.pending_windows(now=now)
+        horizon = now - lag
+        assert all(e - s == width for s, e in wins)
+        assert all(e <= horizon for _, e in wins)
+        if wins:
+            assert wins[0][0] == wm
+            for (s1, e1), (s2, e2) in zip(wins, wins[1:]):
+                assert e1 == s2          # contiguous, no gap/overlap
+            # maximal: one more window would cross the horizon
+            assert wins[-1][1] + width > horizon
+        else:
+            assert wm + width > horizon
+
+    check()
