@@ -360,7 +360,73 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation composition: quality gate → exact-dup
+    canonical selection → benchmark-contamination gate → split assignment,
+    in ONE declarative plan, reported as a per-stage survival funnel.
+
+    Every stage is a column, not a materialization: the funnel output is a
+    single aggregate over the fully-annotated corpus, so Catalyst fuses the
+    whole chain into the scan projection plus the two narrow joins
+    (fingerprint window, contamination semi-join).  This is the shape a
+    100 TB curation run takes before committing a training cut.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    # stage 1: quality (the gopher-style battery, abbreviated)
+    q_ok = (F.size(toks).between(3, 1000)
+            & (F.size(F.array_distinct(toks)) / F.size(toks) > 0.2))
+
+    # stage 2: exact-dup canonical (longest text wins per fingerprint)
+    fp = F.md5(F.encode(F.lower(F.concat_ws(" ", F.split(F.trim("text"),
+                                                         r"\s+"))), "utf-8"))
+    w = W.partitionBy("fingerprint").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id"))
+    annotated = (docs.withColumn("fingerprint", fp)
+                 .withColumn("canonical", F.row_number().over(w) == 1))
+
+    # stage 3: contamination — docs sharing a 5-gram with the src0 slice
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, 5), " "))
+    with_grams = docs.select("doc_id", "source", F.explode(grams).alias("g"))
+    bench = (with_grams.where(F.col("source") == "src0")
+             .select("g").distinct())
+    contaminated = (with_grams.where(F.col("source") != "src0")
+                    .join(F.broadcast(bench), "g")
+                    .select("doc_id").distinct()
+                    .withColumn("is_contam", F.lit(True)))
+
+    # stage 4: deterministic split over the survivors
+    split = F.when(_bucket_64k(F.col("text")) < 58982, "train").otherwise("eval")
+
+    staged = (
+        annotated.join(contaminated, "doc_id", "left")
+        .select(
+            (F.col("source") != "src0").alias("in_scope"),
+            q_ok.alias("s1_quality"),
+            "canonical",
+            F.coalesce("is_contam", F.lit(False)).alias("contam"),
+            split.alias("split"))
+        .where("in_scope")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(F.col("s1_quality")).alias("n_pass_quality"),
+        F.count_if(F.col("s1_quality") & F.col("canonical"))
+        .alias("n_pass_dedup"),
+        F.count_if(F.col("s1_quality") & F.col("canonical") & ~F.col("contam"))
+        .alias("n_pass_contam"),
+        F.count_if(F.col("s1_quality") & F.col("canonical") & ~F.col("contam")
+                   & (F.col("split") == "train")).alias("n_train"),
+    )
+
+
 QUERIES = {
+    "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_doc_packing": corpus_doc_packing,
     "embedding_centroid_per_label": embedding_centroid_per_label,
     "embedding_dim_stats": embedding_dim_stats,
@@ -378,6 +444,49 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_curation_funnel": f"""
+        WITH toks AS (
+            SELECT doc_id, source, text, str_split(text, ' ') AS t
+            FROM documents
+        ), annotated AS (
+            SELECT doc_id, source, text,
+                   (len(t) BETWEEN 3 AND 1000
+                    AND len(list_distinct(t)) * 1.0 / len(t) > 0.2)
+                       AS s1_quality,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY MD5(LOWER(regexp_replace(TRIM(text),
+                                                             '\\s+', ' ', 'g')))
+                       ORDER BY LENGTH(text) DESC, doc_id) = 1 AS canonical
+            FROM toks
+        ), grams AS (
+            SELECT doc_id, source,
+                   UNNEST(list_transform(range(1, len(t) - 3),
+                          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ',
+                                      t[i+3], ' ', t[i+4]))) AS g
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE source = 'src0'
+        ), contam AS (
+            SELECT DISTINCT doc_id FROM grams
+            WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+        ), staged AS (
+            SELECT a.s1_quality, a.canonical,
+                   (c.doc_id IS NOT NULL) AS contam,
+                   CASE WHEN ({{b}}) < 58982 THEN 'train'
+                        ELSE 'eval' END AS split
+            FROM annotated a LEFT JOIN contam c USING (doc_id)
+            WHERE a.source <> 'src0'
+        )
+        SELECT COUNT(1) AS n_input,
+               COUNT(1) FILTER (WHERE s1_quality) AS n_pass_quality,
+               COUNT(1) FILTER (WHERE s1_quality AND canonical)
+                   AS n_pass_dedup,
+               COUNT(1) FILTER (WHERE s1_quality AND canonical AND NOT contam)
+                   AS n_pass_contam,
+               COUNT(1) FILTER (WHERE s1_quality AND canonical AND NOT contam
+                                  AND split = 'train') AS n_train
+        FROM staged
+    """.format(b=_BUCKET_64K_SQL.format(c="text")),
     "embedding_dim_stats": """
         WITH flat AS (
             SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
