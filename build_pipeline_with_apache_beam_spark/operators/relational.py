@@ -350,6 +350,26 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionAll(b)
 
 
+def setop_union_allow_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: ``unionByName(allowMissingColumns=True)`` aligns
+    by NAME and null-fills columns one side lacks — how generations of a
+    feed with additive schema change concatenate without positional-union
+    corruption (the silent killer when column orders diverge)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    a = cust.select(F.col("c_custkey").alias("entity_key"),
+                    F.col("c_acctbal").alias("acctbal"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.lit("customer").alias("kind"))
+    # supplier generation lacks `segment`
+    b = sup.select(F.col("s_suppkey").alias("entity_key"),
+                   F.col("s_acctbal").alias("acctbal"),
+                   F.lit("supplier").alias("kind"))
+    return (a.unionByName(b, allowMissingColumns=True)
+            .select("entity_key", F.round("acctbal", 4).alias("acctbal"),
+                    "segment", "kind"))
+
+
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation keys present among both customers and suppliers (INTERSECT =
     distinct semantics in both engines)."""
@@ -1151,6 +1171,7 @@ QUERIES = {
     "window_lag_lead": window_lag_lead,
     "sort_limit_topk": sort_limit_topk,
     "setop_union_all": setop_union_all,
+    "setop_union_allow_missing": setop_union_allow_missing,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
     "dedup_exact": dedup_exact,
@@ -1615,6 +1636,16 @@ ORACLE = {
     "sort_limit_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "setop_union_allow_missing": """
+        SELECT entity_key, ROUND(acctbal, 4) AS acctbal, segment, kind
+        FROM (
+            SELECT c_custkey AS entity_key, c_acctbal AS acctbal,
+                   c_mktsegment AS segment, 'customer' AS kind
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_acctbal, NULL, 'supplier' FROM supplier
+        )
     """,
     "setop_union_all": """
         SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
