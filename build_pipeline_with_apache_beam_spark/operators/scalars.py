@@ -55,6 +55,12 @@ def scalar_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.ceil("l_discount").cast("bigint").alias("disc_ceil"),
         F.floor("l_tax").cast("bigint").alias("tax_floor"),
+        # transcendental tier: sqrt/power are exactly-rounded IEEE ops, so
+        # cross-engine equality holds without presentation rounding
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow(F.col("l_discount") + 1, 2).alias("disc_p1_sq"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).cast("int").alias("key_mod97"),
     )
 
 
@@ -407,7 +413,11 @@ ORACLE = {
                ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
                ABS(l_quantity - 25) AS qty_dev,
                CAST(CEIL(l_discount) AS BIGINT) AS disc_ceil,
-               CAST(FLOOR(l_tax) AS BIGINT) AS tax_floor
+               CAST(FLOOR(l_tax) AS BIGINT) AS tax_floor,
+               SQRT(l_quantity) AS qty_sqrt,
+               POWER(l_discount + 1, 2) AS disc_p1_sq,
+               CAST(SIGN(l_quantity - 25) AS INT) AS qty_sign,
+               CAST(l_orderkey % 97 AS INT) AS key_mod97
         FROM lineitem
     """,
     "scalar_json_extract": """
