@@ -204,7 +204,50 @@ def agg_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain fit of
+    behavioral sequence mining): lag(event_type) over each user's timeline,
+    then one count per (from, to) pair with its row-share.
+
+    One user-key window shuffle + a #types² aggregate — the classic
+    'what do users do next' query, all window+agg, no self-join.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id",
+                       F.lag("event_type").over(w).alias("from_type"),
+                       F.col("event_type").alias("to_type"))
+             .where(F.col("from_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    total_from = W.partitionBy("from_type")
+    return (counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(total_from), 4).alias("p"))
+        .orderBy("from_type", "to_type"))
+
+
+def agg_decimal_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation on DECIMAL(18,4): cast once at the scan,
+    aggregate in fixed-point — no floating drift regardless of row count or
+    partitioning (SURVEY.md §1.3: the engine's money type).  The double-sum
+    column alongside shows what the decimal path protects against."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.sum(dec).alias("exact_total"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg(dec), 4).cast("decimal(18,4)").alias("exact_avg"))
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
+    "events_transition_matrix": events_transition_matrix,
+    "agg_decimal_money_sum": agg_decimal_money_sum,
     "events_new_vs_returning": events_new_vs_returning,
     "agg_conditional_distinct": agg_conditional_distinct,
     "sessionize_events": sessionize_events,
@@ -216,6 +259,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, COUNT(1) AS n
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+        FROM counts
+        ORDER BY from_type, to_type
+    """,
+    "agg_decimal_money_sum": """
+        SELECT o_orderstatus,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS exact_total,
+               COUNT(1) AS n_orders,
+               CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                    AS DECIMAL(18,4)) AS exact_avg
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "events_new_vs_returning": """
         WITH flagged AS (
             SELECT user_id,
