@@ -81,6 +81,39 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_grouped_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same GROUPED_AGG pandas UDF applied OVER a window frame: a
+    rolling 5-row weighted average per user — custom aggregates compose
+    with window specs exactly like built-ins (the UDAF-as-window corner of
+    the UDF surface).
+
+    Bounded-row frames re-evaluate the UDF per frame (no retract path for
+    arbitrary Python), so keep frames short; unbounded ones stream.  The
+    oracle is the windowed sum(v*w)/sum(w) identity — computed on exact
+    integer cents, because float window sums associate differently across
+    engines (segment trees vs frame order) and flip rounding boundaries.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    cents = F.round(F.col("value") * 100).cast("double")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, W.currentRow))
+    base = ev.select("event_id", "user_id", "ts",
+                     cents.alias("v_cents"), k.alias("k"))
+    raw = _weighted_avg(F.col("v_cents"), F.col("k")).over(w) / 100
+    # truncate, don't round: the quotient can land exactly on a decimal
+    # half-boundary, where Spark (binary-faithful HALF_UP) and DuckDB
+    # (decimal-repr rounding) disagree; floor of identical doubles cannot
+    return (
+        base.select(
+            "event_id", "user_id",
+            (F.floor(raw * 10000) / 10000).alias("rolling_weighted_avg"))
+        .orderBy("event_id")
+    )
+
+
 def udtf_explode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoFn-style 1→N batch flatMap via mapInPandas (N2's line-array →
     records, normalization.py:89-90): documents → one row per token."""
@@ -189,6 +222,7 @@ QUERIES = {
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
+    "udf_grouped_agg_over_window": udf_grouped_agg_over_window,
     "udtf_explode_batch": udtf_explode_batch,
     "udf_grouped_map_pandas": udf_grouped_map_pandas,
     "udtf_python_native": udtf_python_native,
@@ -210,6 +244,18 @@ ORACLE = {
         SELECT event_id,
                ROUND(1.0 / (1.0 + EXP(-value / 100.0)), 4) AS value_sigmoid
         FROM events
+    """,
+    "udf_grouped_agg_over_window": """
+        SELECT event_id, user_id,
+               FLOOR((SUM(v_cents * k) OVER w / SUM(k) OVER w / 100) * 10000)
+                   / 10000 AS rolling_weighted_avg
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 100) AS DOUBLE) AS v_cents,
+                     CAST(props->>'$.k' AS DOUBLE) AS k
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "udf_grouped_agg": """
         SELECT event_type,
