@@ -398,7 +398,27 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication analytics per source: how many docs, how many distinct
+    contents, and the duplicate rate — the curation dashboard that decides
+    which feeds get deduped first.  One fingerprint projection + one
+    two-level aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.concat_ws(" ", F.split(F.trim("text"), r"\s+")))
+    fp = docs.select("source",
+                     F.md5(F.encode(normalized, "utf-8")).alias("fingerprint"))
+    return (
+        fp.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("fingerprint").alias("n_distinct"))
+        .withColumn("dup_rate",
+                    F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 4))
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
     "text_tfidf_keywords": text_tfidf_keywords,
     "text_fuzzy_match_levenshtein": text_fuzzy_match_levenshtein,
     "text_ngram_novelty": text_ngram_novelty,
@@ -425,6 +445,18 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "corpus_dup_rate_by_source": """
+        SELECT source, COUNT(1) AS n_docs,
+               COUNT(DISTINCT MD5(LOWER(regexp_replace(TRIM(text),
+                                                       '\\s+', ' ', 'g'))))
+                   AS n_distinct,
+               ROUND(1.0 - COUNT(DISTINCT MD5(LOWER(regexp_replace(TRIM(text),
+                                '\\s+', ' ', 'g')))) * 1.0 / COUNT(1), 4)
+                   AS dup_rate
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
     "text_tfidf_keywords": """
         WITH toks AS (
             SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok

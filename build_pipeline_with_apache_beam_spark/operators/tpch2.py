@@ -397,7 +397,30 @@ def flagship_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema subtotal report: revenue ROLLUP over (region, nation)
+    after the full dimension chain join — the grand-total/regional/national
+    report in one pass (Expand feeds one hash aggregate; no per-level
+    re-scans).  Dims broadcast; lineitem ⋈ orders is the one fact shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
 QUERIES = {
+    "flagship_star_rollup": flagship_star_rollup,
     "flagship_multi_band_counts": flagship_multi_band_counts,
     "flagship_q2_min_cost_supplier": flagship_q2_min_cost_supplier,
     "flagship_q7_volume_shipping": flagship_q7_volume_shipping,
@@ -413,6 +436,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "flagship_star_rollup": """
+        SELECT r_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(1) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
     "flagship_multi_band_counts": """
         SELECT h2.cnt AS h02_04, h6.cnt AS h06_08,
                h10.cnt AS h10_12, h14.cnt AS h14_16
