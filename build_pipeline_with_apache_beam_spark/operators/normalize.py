@@ -172,13 +172,79 @@ def q_normalize_parity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", rendered.alias("props_pystr"))
 
 
+def q_normalize_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete NormalizeJson flow as one registered query
+    (normalization.py:81-107 end-to-end): JSONL lines that each hold a JSON
+    ARRAY of records → parse → explode → whitelist-project → flatten.
+
+    The array-lines are staged from events (10 records per line, the
+    reference's batch shape) so the whole chain — including the
+    line-as-array quirk at normalization.py:89-90 — runs under the oracle
+    gate, not just in unit tests.  Every step after the text scan is a
+    codegen expression.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH, source_tag)
+
+    path = os.path.join(SCRATCH, f"arraylines_{source_tag(sf_dir)}")
+    if not os.path.exists(path):
+        staging = path + "_staging"
+        ev = load_table(spark, sf_dir, "events")
+        rec = F.to_json(F.struct(
+            F.col("event_id").cast("string").alias("_id"),
+            F.col("event_type").alias("type"),
+            F.col("value").alias("amount"),
+            F.struct(F.col("user_id").alias("uid")).alias("resource"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("createdAt")))
+        lines = (ev.groupBy((F.col("event_id") / 10).cast("long").alias("g"))
+                 .agg(F.concat(F.lit("["),
+                               F.concat_ws(",", F.collect_list(rec)),
+                               F.lit("]")).alias("value"))
+                 .select("value"))
+        lines.write.mode("overwrite").text(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
+    element = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("resource", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("createdAt", T.StringType()),
+    ])
+    raw = spark.read.text(path)
+    normalized = normalize_balance_log(
+        parse_json_array_lines(raw, "value", element))
+    return normalized.select(
+        F.col("_id").cast("bigint").alias("event_id"),
+        "type",
+        F.round("amount", 4).alias("amount"),
+        "resource",
+        "createdAt",
+    ).orderBy("event_id")
+
+
 QUERIES = {
+    "normalize_pipeline_e2e": q_normalize_pipeline_e2e,
     "normalize_flatten_nested": q_normalize_flatten_nested,
     "json_validate_nullify": q_json_validate_nullify,
     "udf_python_parity_render": q_normalize_parity_udf,
 }
 
 ORACLE = {
+    "normalize_pipeline_e2e": """
+        SELECT event_id, event_type AS type,
+               ROUND(value, 4) AS amount,
+               '{"uid":' || CAST(user_id AS VARCHAR) || '}' AS resource,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS createdAt
+        FROM events
+        ORDER BY event_id
+    """,
     "normalize_flatten_nested": """
         SELECT event_id,
                CASE WHEN event_id % 10 = 0 THEN ''
