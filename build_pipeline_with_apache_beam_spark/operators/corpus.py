@@ -425,8 +425,42 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BOOTSTRAP = 20
+
+
+def corpus_bootstrap_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for a corpus metric (mean doc length)
+    WITHOUT randomness: replicate b includes a doc iff a seeded content
+    hash of (b, doc) lands under 50% — deterministic Poisson-ish bootstrap,
+    reproducible across runs and engines.
+
+    The replicate axis is a generated column (explode of a literal range),
+    so the corpus is scanned ONCE; the shuffle carries B×1 partial means.
+    This is how a 100 TB pipeline attaches error bars to its quality
+    metrics without a second pass per replicate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.explode(F.sequence(F.lit(0), F.lit(N_BOOTSTRAP - 1))).alias("b")
+    replicated = docs.select("doc_id", "n_chars", b)
+    keep = _bucket_64k(
+        F.concat(F.col("b").cast("string"), F.lit(":"),
+                 F.col("doc_id").cast("string"))) < 32768
+    per_rep = (replicated.where(keep)
+               .groupBy("b")
+               .agg(F.avg("n_chars").alias("rep_mean"),
+                    F.count(F.lit(1)).alias("rep_n")))
+    return per_rep.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("rep_mean"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("rep_mean"), 4).alias("boot_se"),
+        F.min("rep_n").alias("min_rep_n"),
+        F.max("rep_n").alias("max_rep_n"),
+    )
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
+    "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
     "corpus_doc_packing": corpus_doc_packing,
     "embedding_centroid_per_label": embedding_centroid_per_label,
     "embedding_dim_stats": embedding_dim_stats,
@@ -444,6 +478,24 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_bootstrap_metric_ci": f"""
+        WITH reps AS (
+            SELECT b.range AS b, d.doc_id, d.n_chars
+            FROM documents d CROSS JOIN range({N_BOOTSTRAP}) b
+            WHERE ({_BUCKET_64K_SQL.format(
+                c="(CAST(b.range AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))")})
+                  < 32768
+        ), per_rep AS (
+            SELECT b, AVG(n_chars) AS rep_mean, COUNT(1) AS rep_n
+            FROM reps GROUP BY b
+        )
+        SELECT COUNT(1) AS n_replicates,
+               ROUND(AVG(rep_mean), 4) AS boot_mean,
+               ROUND(STDDEV_SAMP(rep_mean), 4) AS boot_se,
+               MIN(rep_n) AS min_rep_n,
+               MAX(rep_n) AS max_rep_n
+        FROM per_rep
+    """,
     "corpus_curation_funnel": f"""
         WITH toks AS (
             SELECT doc_id, source, text, str_split(text, ' ') AS t
