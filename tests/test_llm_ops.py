@@ -155,3 +155,33 @@ def test_incremental_minhash_matches_full_pipeline(spark, sf_dir):
             if d % 10 == 0:
                 want[d] += 1
     assert inc == want
+
+
+def test_minhash_signature_estimates_jaccard(spark, sf_dir):
+    """The sketch theory the dedup index rests on: the fraction of agreeing
+    minhash components is an unbiased Jaccard estimator, so across the
+    exact-verified candidate pairs the estimate must track the true value
+    (16 hashes → se ≈ 0.125; assert mean abs error well inside that)."""
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        N_MINHASH,
+        _docs_with_shingles,
+        dedup_fuzzy_minhash,
+        minhash_signatures,
+    )
+
+    pairs = dedup_fuzzy_minhash(spark, sf_dir)   # (doc_a, doc_b, jaccard)
+    sigs = minhash_signatures(_docs_with_shingles(spark, sf_dir))
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_MINHASH)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_MINHASH)])
+    agree = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+                for i in range(N_MINHASH))
+    est = (pairs.join(a, "doc_a").join(b, "doc_b")
+           .select("jaccard", (agree / N_MINHASH).alias("estimate")))
+    rows = est.collect()
+    assert rows, "no verified near-dup pairs to check"
+    mae = sum(abs(r["jaccard"] - r["estimate"]) for r in rows) / len(rows)
+    assert mae < 0.15, mae
