@@ -417,7 +417,46 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at corpus scale: the lang-ID heuristic's
+    confusion matrix (labeled × predicted counts with per-cell share of the
+    labeled class).  The whole evaluation is the classifier projection plus
+    one two-key aggregate — the model-eval query a curation pipeline runs
+    on every heuristic before trusting its cuts.
+    """
+    from pyspark.sql import Window as W
+
+    preds = text_lang_id(spark, sf_dir)
+    counts = (preds.groupBy("labeled_lang", "predicted_lang")
+              .agg(F.count(F.lit(1)).alias("n")))
+    per_label = W.partitionBy("labeled_lang")
+    return (counts.select(
+        "labeled_lang", "predicted_lang", "n",
+        F.round(F.col("n") / F.sum("n").over(per_label), 4).alias("share"))
+        .orderBy("labeled_lang", "predicted_lang"))
+
+
+def window_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas: each event type's daily volume with the
+    previous day's value and the percent change (lag window over the tiny
+    daily aggregate — the heavy table is touched once)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.round(F.sum("value"), 4).alias("total")))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return (daily.select(
+        "day", "event_type", "total",
+        F.round(prev, 4).alias("prev_total"),
+        F.round((F.col("total") - prev) / prev * 100, 4).alias("pct_change"))
+        .orderBy("day", "event_type"))
+
+
 QUERIES = {
+    "text_lang_confusion": text_lang_confusion,
+    "window_percent_change": window_percent_change,
     "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
     "text_tfidf_keywords": text_tfidf_keywords,
     "text_fuzzy_match_levenshtein": text_fuzzy_match_levenshtein,
@@ -445,6 +484,51 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_lang_confusion": f"""
+        WITH t AS (
+            SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents
+        ), s AS (
+            SELECT lang,
+                   len(list_intersect(toks, {_markers_sql('en')})) AS score_en,
+                   len(list_intersect(toks, {_markers_sql('es')})) AS score_es,
+                   len(list_intersect(toks, {_markers_sql('de')})) AS score_de
+            FROM t
+        ), preds AS (
+            SELECT lang AS labeled_lang,
+                   CASE WHEN GREATEST(score_en, score_es, score_de) <= 0
+                            THEN 'unknown'
+                        WHEN score_en = GREATEST(score_en, score_es, score_de)
+                            THEN 'en'
+                        WHEN score_es = GREATEST(score_en, score_es, score_de)
+                            THEN 'es'
+                        ELSE 'de' END AS predicted_lang
+            FROM s
+        ), counts AS (
+            SELECT labeled_lang, predicted_lang, COUNT(1) AS n
+            FROM preds GROUP BY labeled_lang, predicted_lang
+        )
+        SELECT labeled_lang, predicted_lang, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY labeled_lang), 4)
+                   AS share
+        FROM counts
+        ORDER BY labeled_lang, predicted_lang
+    """,
+    "window_percent_change": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type,
+                   ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, total,
+               ROUND(LAG(total) OVER w, 4) AS prev_total,
+               ROUND((total - LAG(total) OVER w) / LAG(total) OVER w * 100, 4)
+                   AS pct_change
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ORDER BY day, event_type
+    """,
     "corpus_dup_rate_by_source": """
         SELECT source, COUNT(1) AS n_docs,
                COUNT(DISTINCT MD5(LOWER(regexp_replace(TRIM(text),
