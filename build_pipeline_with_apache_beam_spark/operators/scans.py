@@ -270,6 +270,37 @@ def scan_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``Dataset.observe``: row counts and
+    control totals are collected ON THE SIDE of a real pass (an aggregate
+    riding the task metrics), not by re-scanning — the engine-native form
+    of the reference's per-run record_count bookkeeping
+    (retrieval.py:53-60, normalization.py:38-43).
+
+    The op drives a pass over events with an Observation attached, then
+    surfaces the captured metrics as a one-row DataFrame; the oracle
+    recomputes the same totals declaratively.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        # DISTINCT aggregates aren't allowed in observed metrics; max ids
+        # serve as the reconciliation control totals
+        F.max("event_id").alias("max_event_id"))
+    observed.write.format("noop").mode("overwrite").save()   # the real pass
+    m = obs.get
+    return spark.sql(
+        "SELECT CAST({n} AS BIGINT) AS n_rows, "
+        "CAST({t} AS DOUBLE) AS total_value, "
+        "CAST({mx} AS BIGINT) AS max_event_id".format(
+            n=m["n_rows"], t=m["total_value"], mx=m["max_event_id"]))
+
+
 N_BINARY_FILES = 100  # bounded staging set for the binaryFile source op
 
 
@@ -325,6 +356,7 @@ def _write_bin_files(root: str, rows) -> None:
 
 
 QUERIES = {
+    "scan_observe_metrics": scan_observe_metrics,
     "scan_corrupt_capture": scan_corrupt_capture,
     "scan_binary_files": scan_binary_files,
     "join_dynamic_partition_pruning": join_dynamic_partition_pruning,
@@ -339,6 +371,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scan_observe_metrics": """
+        SELECT COUNT(1) AS n_rows,
+               ROUND(SUM(value), 4) AS total_value,
+               MAX(event_id) AS max_event_id
+        FROM events
+    """,
     "scan_corrupt_capture": """
         SELECT CASE WHEN event_id % 7 = 0 THEN 'quarantined'
                     ELSE 'good' END AS bucket,
