@@ -245,7 +245,32 @@ def agg_decimal_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_adjacent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: drop events whose event_type repeats the
+    user's immediately previous one — keeping only state CHANGES (the
+    sensor/CDC pattern that shrinks an append log to its transitions).
+
+    One lag window per user key; the survivor set plus each row's previous
+    state comes out of the same pass.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type",
+                  prev.alias("prev_type"))
+        # filter on the MATERIALIZED column, never a re-stated window expr
+        .where(F.col("prev_type").isNull()
+               | (F.col("event_type") != F.col("prev_type")))
+        .select("event_id", "user_id", "event_type", "prev_type")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
+    "dedup_adjacent_state": dedup_adjacent_state,
     "events_transition_matrix": events_transition_matrix,
     "agg_decimal_money_sum": agg_decimal_money_sum,
     "events_new_vs_returning": events_new_vs_returning,
@@ -259,6 +284,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_adjacent_state": """
+        WITH lagged AS (
+            SELECT event_id, user_id, ts, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT event_id, user_id, event_type, prev_type
+        FROM lagged
+        WHERE prev_type IS NULL OR event_type <> prev_type
+        ORDER BY event_id
+    """,
     "events_transition_matrix": """
         WITH pairs AS (
             SELECT user_id,
