@@ -573,6 +573,32 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram: 8 buckets holding equal row
+    counts, each reporting its value range — the optimizer-statistics shape
+    (range boundaries adapt to the distribution, unlike fixed-width
+    agg_value_histogram).  ntile assigns buckets in one ranked window over
+    (value, event_id); the boundary report is a tiny per-bucket aggregate.
+
+    Scale note: the global ntile is the EXACT small-data form (single sort
+    partition — fine for per-group histograms, not a corpus-wide one); at
+    100 TB the same report comes from approx_percentile boundaries +
+    agg_value_histogram-style bucket assignment, both shuffle-light.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    bucketed = ev.select("value", F.ntile(8).over(w).alias("bucket"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.min("value"), 4).alias("lo"),
+             F.round(F.max("value"), 4).alias("hi"))
+        .orderBy("bucket")
+    )
+
+
 _HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 1000.0, 10
 
 
@@ -1200,6 +1226,7 @@ QUERIES = {
     "timeseries_ohlc_bars": timeseries_ohlc_bars,
     "dq_anomaly_zscore": dq_anomaly_zscore,
     "dq_freshness_report": dq_freshness_report,
+    "agg_equidepth_histogram": agg_equidepth_histogram,
     "agg_value_histogram": agg_value_histogram,
     "timeseries_forward_fill": timeseries_forward_fill,
     "agg_stats_moments": agg_stats_moments,
@@ -1529,6 +1556,19 @@ ORACLE = {
         FROM events
         GROUP BY 1, 2
         ORDER BY day, event_type
+    """,
+    "agg_equidepth_histogram": """
+        WITH b AS (
+            SELECT value,
+                   NTILE(8) OVER (ORDER BY value, event_id) AS bucket
+            FROM events
+        )
+        SELECT bucket, COUNT(1) AS n_rows,
+               ROUND(MIN(value), 4) AS lo,
+               ROUND(MAX(value), 4) AS hi
+        FROM b
+        GROUP BY bucket
+        ORDER BY bucket
     """,
     "dq_freshness_report": """
         SELECT event_type,
