@@ -454,7 +454,26 @@ def window_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day", "event_type"))
 
 
+def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level trigram features per document: total and distinct
+    char-3-gram counts plus the leading trigram — the char-granularity
+    blocking key family (robust to tokenization differences, the usual
+    companion to word-level MinHash).  One substring-transform projection,
+    no explode needed for the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)),"
+        " i -> substring(text, i, 3))")
+    return docs.select(
+        "doc_id",
+        F.size(grams).alias("n_char3"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_char3"),
+        F.substring("text", 1, 3).alias("first_char3"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "text_char_ngrams": text_char_ngrams,
     "text_lang_confusion": text_lang_confusion,
     "window_percent_change": window_percent_change,
     "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
@@ -484,6 +503,21 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_char_ngrams": """
+        WITH g AS (
+            SELECT doc_id, text,
+                   list_transform(range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+                                  i -> SUBSTRING(text, CAST(i AS INT), 3))
+                       AS grams
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS INT) AS n_char3,
+               CAST(len(list_distinct(grams)) AS INT) AS n_distinct_char3,
+               SUBSTRING(text, 1, 3) AS first_char3
+        FROM g
+        ORDER BY doc_id
+    """,
     "text_lang_confusion": f"""
         WITH t AS (
             SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks
