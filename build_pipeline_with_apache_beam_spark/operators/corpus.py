@@ -489,10 +489,35 @@ def corpus_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training sequences: per (lang, 512-token bin)
+    the member docs concatenated IN ORDER into one training example, with
+    its doc count and token total.
+
+    Builds on corpus_doc_packing's bin assignment; the concatenation is a
+    deterministic ordered string aggregate per bin (sort_array over
+    (doc_id, text) structs → no reliance on shuffle arrival order).  The
+    shuffle carries one row per bin — the write side of sequence packing.
+    """
+    packed = corpus_doc_packing(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = packed.join(docs, "doc_id")
+    return (
+        joined.groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"),
+             F.length(F.concat_ws(" ", F.transform(
+                 F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                 lambda s: s["text"]))).alias("seq_chars"))
+        .orderBy("lang", "bin_id")
+    )
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
     "corpus_interleave_sources": corpus_interleave_sources,
+    "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_doc_packing": corpus_doc_packing,
     "embedding_centroid_per_label": embedding_centroid_per_label,
     "embedding_dim_stats": embedding_dim_stats,
@@ -510,6 +535,24 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_pack_sequences": """
+        WITH packed AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(len(str_split(text, ' ')))
+                           OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) / 512)
+                        AS INT) AS bin_id
+            FROM documents
+        )
+        SELECT lang, bin_id, COUNT(1) AS n_docs,
+               SUM(n_tokens) AS bin_tokens,
+               CAST(SUM(LENGTH(text)) + COUNT(1) - 1 AS INT) AS seq_chars
+        FROM packed
+        GROUP BY lang, bin_id
+        ORDER BY lang, bin_id
+    """,
     "corpus_interleave_sources": """
         WITH src AS (
             SELECT source,
