@@ -269,7 +269,40 @@ def dedup_adjacent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency distribution: for every click with a next
+    purchase in 2 h (the forward-as-of attribution), the exact p50/p90 of
+    the delay per event-volume — the time-to-convert report marketing runs
+    on every attribution table.  The as-of pass is one user-key window; the
+    distribution is a single exact-percentile aggregate over the matches.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (ev.where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "ts", "event_type"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    nxt = F.first(F.when(F.col("event_type") == "purchase", F.col("ts")),
+                  ignorenulls=True).over(w)
+    lat = (
+        tagged.withColumn("nxt", nxt)
+        .where((F.col("event_type") == "click")
+               & F.col("nxt").isNotNull()
+               & (F.col("nxt") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")))
+        .select(((F.unix_micros("nxt") - F.unix_micros("ts")) / 60e6)
+                .alias("latency_min"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile("latency_min", 0.5), 4).alias("p50_min"),
+        F.round(F.percentile("latency_min", 0.9), 4).alias("p90_min"),
+        F.round(F.avg("latency_min"), 4).alias("mean_min"),
+    )
+
+
 QUERIES = {
+    "events_conversion_latency": events_conversion_latency,
     "dedup_adjacent_state": dedup_adjacent_state,
     "events_transition_matrix": events_transition_matrix,
     "agg_decimal_money_sum": agg_decimal_money_sum,
@@ -284,6 +317,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_conversion_latency": """
+        WITH tagged AS (
+            SELECT event_id, user_id, ts, event_type
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), n AS (
+            SELECT *,
+                   FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS nxt
+            FROM tagged
+        ), lat AS (
+            SELECT (epoch_us(nxt) - epoch_us(ts)) / 60e6 AS latency_min
+            FROM n
+            WHERE event_type = 'click' AND nxt IS NOT NULL
+              AND nxt <= ts + INTERVAL 2 HOUR
+        )
+        SELECT COUNT(1) AS n_conversions,
+               ROUND(QUANTILE_CONT(latency_min, 0.5), 4) AS p50_min,
+               ROUND(QUANTILE_CONT(latency_min, 0.9), 4) AS p90_min,
+               ROUND(AVG(latency_min), 4) AS mean_min
+        FROM lat
+    """,
     "dedup_adjacent_state": """
         WITH lagged AS (
             SELECT event_id, user_id, ts, event_type,
