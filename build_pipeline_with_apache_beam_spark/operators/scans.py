@@ -301,6 +301,46 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=m["n_rows"], t=m["total_value"], mx=m["max_event_id"]))
 
 
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline JSON: one file containing ONE pretty-printed JSON array,
+    read with ``multiLine=true`` — the API-export format (as opposed to
+    line-delimited JSONL).
+
+    Scale caveat, encoded here deliberately: a multiline JSON file is NOT
+    splittable — one task parses the whole file — so the lake keeps such
+    files bounded (one per API page) and converts to JSONL/parquet on
+    ingest; this op stages 100 docs per file, the bounded shape.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_tag
+
+    path = os.path.join(SCRATCH, f"mljson_{source_tag(sf_dir, 'documents')}")
+    if not os.path.exists(path):
+        staging = path + "_staging"
+        docs = load_table(spark, sf_dir, "documents")
+        # one pretty-shaped array per 100-doc page, one file per page
+        (docs.where(F.col("doc_id") < 300)
+         .select(F.floor(F.col("doc_id") / 100).alias("page"),
+                 F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("j"))
+         .groupBy("page")
+         .agg(F.concat(F.lit("[\n  "),
+                       F.concat_ws(",\n  ", F.collect_list("j")),
+                       F.lit("\n]")).alias("value"))
+         .select("value")
+         .repartition(3)
+         .write.mode("overwrite").text(staging))
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
+    return (spark.read.option("multiLine", "true")
+            .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+            .json(path)
+            .orderBy("doc_id"))
+
+
 N_BINARY_FILES = 100  # bounded staging set for the binaryFile source op
 
 
@@ -356,6 +396,7 @@ def _write_bin_files(root: str, rows) -> None:
 
 
 QUERIES = {
+    "scan_json_multiline": scan_json_multiline,
     "scan_observe_metrics": scan_observe_metrics,
     "scan_corrupt_capture": scan_corrupt_capture,
     "scan_binary_files": scan_binary_files,
@@ -371,6 +412,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scan_json_multiline": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id < 300
+        ORDER BY doc_id
+    """,
     "scan_observe_metrics": """
         SELECT COUNT(1) AS n_rows,
                ROUND(SUM(value), 4) AS total_value,
