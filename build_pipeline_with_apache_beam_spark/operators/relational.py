@@ -573,6 +573,40 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_multi_col_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct cardinality: distinct (user, type) pairs per
+    day vs single-column distincts — the composite-key cardinality query
+    behind interaction-matrix sizing.  One Expand-based multi-distinct
+    aggregate, single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id", "event_type").alias("n_user_type"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.countDistinct("event_type").alias("n_types"))
+        .orderBy("day")
+    )
+
+
+def window_moving_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling extrema channel: 7-row trailing min/max of value per event
+    type (the Donchian-channel / envelope pattern) with a breakout flag
+    when the current value touches the channel's top."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-6, W.currentRow))
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    return (
+        ev.select("event_id", "event_type", "value",
+                  F.round(lo, 4).alias("chan_lo"),
+                  F.round(hi, 4).alias("chan_hi"),
+                  (F.col("value") >= hi).alias("at_top"))
+        .orderBy("event_id")
+    )
+
+
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-bucketed) histogram: 8 buckets holding equal row
     counts, each reporting its value range — the optimizer-statistics shape
@@ -1227,6 +1261,8 @@ QUERIES = {
     "dq_anomaly_zscore": dq_anomaly_zscore,
     "dq_freshness_report": dq_freshness_report,
     "agg_equidepth_histogram": agg_equidepth_histogram,
+    "agg_multi_col_distinct": agg_multi_col_distinct,
+    "window_moving_minmax": window_moving_minmax,
     "agg_value_histogram": agg_value_histogram,
     "timeseries_forward_fill": timeseries_forward_fill,
     "agg_stats_moments": agg_stats_moments,
@@ -1556,6 +1592,25 @@ ORACLE = {
         FROM events
         GROUP BY 1, 2
         ORDER BY day, event_type
+    """,
+    "agg_multi_col_distinct": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT (user_id, event_type)) AS n_user_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
+    "window_moving_minmax": """
+        SELECT event_id, event_type, value,
+               ROUND(MIN(value) OVER w, 4) AS chan_lo,
+               ROUND(MAX(value) OVER w, 4) AS chan_hi,
+               value >= MAX(value) OVER w AS at_top
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "agg_equidepth_histogram": """
         WITH b AS (
