@@ -573,6 +573,43 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id(): the bitmask that tells subtotal rows apart
+    from rows whose grouping column is genuinely NULL — without it a cube
+    over nullable keys is ambiguous.  Labels each row's aggregation level
+    explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = F.grouping_id("l_returnflag", "l_linestatus")
+    level = (F.when(gid == 0, "cell").when(gid == 1, "flag_total")
+             .when(gid == 2, "status_total").otherwise("grand_total"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             gid.cast("int").alias("gid"),
+             level.alias("level"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative share of the day's total per event type: running sum over
+    the ordered daily aggregate divided by its full-partition total — the
+    Pareto ('what fraction of volume do the top types cover') report."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.sum("value").alias("total")))
+    run = (W.partitionBy("day").orderBy(F.desc("total"), "event_type")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    full = W.partitionBy("day")
+    return (daily.select(
+        "day", "event_type", F.round("total", 4).alias("total"),
+        F.round(F.sum("total").over(run) / F.sum("total").over(full), 4)
+        .alias("cum_share"))
+        .orderBy("day", F.desc("total"), "event_type"))
+
+
 def agg_multi_col_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column distinct cardinality: distinct (user, type) pairs per
     day vs single-column distincts — the composite-key cardinality query
@@ -1263,6 +1300,8 @@ QUERIES = {
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "agg_multi_col_distinct": agg_multi_col_distinct,
     "window_moving_minmax": window_moving_minmax,
+    "agg_grouping_id_report": agg_grouping_id_report,
+    "window_cumulative_share": window_cumulative_share,
     "agg_value_histogram": agg_value_histogram,
     "timeseries_forward_fill": timeseries_forward_fill,
     "agg_stats_moments": agg_stats_moments,
@@ -1592,6 +1631,33 @@ ORACLE = {
         FROM events
         GROUP BY 1, 2
         ORDER BY day, event_type
+    """,
+    "agg_grouping_id_report": """
+        SELECT l_returnflag, l_linestatus, COUNT(1) AS n_rows,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               CASE GROUPING(l_returnflag, l_linestatus)
+                    WHEN 0 THEN 'cell'
+                    WHEN 1 THEN 'flag_total'
+                    WHEN 2 THEN 'status_total'
+                    ELSE 'grand_total' END AS level
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    "window_cumulative_share": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type, SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, ROUND(total, 4) AS total,
+               ROUND(SUM(total) OVER (PARTITION BY day
+                                      ORDER BY total DESC, event_type
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                     / SUM(total) OVER (PARTITION BY day), 4) AS cum_share
+        FROM daily
+        ORDER BY day, total DESC, event_type
     """,
     "agg_multi_col_distinct": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
