@@ -332,7 +332,31 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_json_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed parsing of a JSON ARRAY string: from_json(ArrayType) turns the
+    serialized list into a real array column, then array ops apply directly
+    (no per-element string surgery).  The array string is synthesized from
+    row values so the parse is observable and oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    arr_str = F.concat(
+        F.lit("["), F.col("event_id").cast("string"),
+        F.lit(","), (F.col("event_id") % 7).cast("string"),
+        F.lit(","), (F.col("event_id") % 13).cast("string"), F.lit("]"))
+    parsed = F.from_json(arr_str, "array<bigint>")
+    return ev.select(
+        "event_id",
+        arr_str.alias("raw_json"),
+        F.size(parsed).alias("n_elems"),
+        F.element_at(parsed, 2).alias("second_elem"),
+        F.expr("aggregate(from_json(concat('[', cast(event_id as string), ',',"
+               " cast(event_id % 7 as string), ',',"
+               " cast(event_id % 13 as string), ']'), 'array<bigint>'),"
+               " 0L, (a, x) -> a + x)").alias("elem_sum"),
+    )
+
+
 QUERIES = {
+    "scalar_json_array_parse": scalar_json_array_parse,
     "reshape_explode_map": reshape_explode_map,
     "scalar_collation_group": scalar_collation_group,
     "scalar_try_cast_dirty": scalar_try_cast_dirty,
@@ -353,6 +377,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_json_array_parse": """
+        SELECT event_id,
+               '[' || event_id || ',' || (event_id % 7) || ','
+                   || (event_id % 13) || ']' AS raw_json,
+               CAST(3 AS INT) AS n_elems,
+               event_id % 7 AS second_elem,
+               event_id + (event_id % 7) + (event_id % 13) AS elem_sum
+        FROM events
+    """,
     "reshape_explode_map": """
         WITH agg AS (
             SELECT event_type,

@@ -472,7 +472,27 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token-length distribution: nearest-rank p50/p90 of
+    token lengths per doc, computed by sorting the per-doc length array
+    with higher-order functions — zero shuffle, the whole profile rides the
+    scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = F.array_sort(F.transform(F.split("text", " "),
+                                    lambda t: F.length(t)))
+    n = F.size(lens)
+    p50 = F.element_at(lens, F.ceil(n * 0.5).cast("int"))
+    p90 = F.element_at(lens, F.ceil(n * 0.9).cast("int"))
+    return docs.select(
+        "doc_id", n.alias("n_tokens"),
+        p50.alias("p50_token_len"), p90.alias("p90_token_len"),
+        F.element_at(lens, 1).alias("min_token_len"),
+        F.element_at(lens, -1).alias("max_token_len"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "text_token_length_percentiles": text_token_length_percentiles,
     "text_char_ngrams": text_char_ngrams,
     "text_lang_confusion": text_lang_confusion,
     "window_percent_change": window_percent_change,
@@ -503,6 +523,24 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_token_length_percentiles": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_sort(list_transform(str_split(text, ' '),
+                                            x -> length(x))) AS lens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(lens) AS INT) AS n_tokens,
+               CAST(lens[CAST(CEIL(len(lens) * 0.5) AS INT)] AS INT)
+                   AS p50_token_len,
+               CAST(lens[CAST(CEIL(len(lens) * 0.9) AS INT)] AS INT)
+                   AS p90_token_len,
+               CAST(lens[1] AS INT) AS min_token_len,
+               CAST(lens[-1] AS INT) AS max_token_len
+        FROM t
+        ORDER BY doc_id
+    """,
     "text_char_ngrams": """
         WITH g AS (
             SELECT doc_id, text,
