@@ -301,7 +301,27 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 longest per-user inactivity gaps: lag(ts) difference ranked
+    globally — the dual of sessionization (the gaps ARE the session
+    boundaries), and the report that tunes the session timeout."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (F.unix_micros("ts")
+               - F.unix_micros(F.lag("ts").over(w))) / 60e6
+    gaps = (ev.select("user_id", "ts", gap_min.alias("gap_min"))
+            .where(F.col("gap_min").isNotNull()))
+    return (gaps.select("user_id",
+                        F.col("ts").alias("resumed_at"),
+                        F.round("gap_min", 4).alias("gap_min"))
+            .orderBy(F.desc("gap_min"), "user_id", "resumed_at")
+            .limit(10))
+
+
 QUERIES = {
+    "events_inactivity_gaps": events_inactivity_gaps,
     "events_conversion_latency": events_conversion_latency,
     "dedup_adjacent_state": dedup_adjacent_state,
     "events_transition_matrix": events_transition_matrix,
@@ -317,6 +337,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_inactivity_gaps": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   (epoch_us(ts) - epoch_us(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))) / 60e6
+                       AS gap_min
+            FROM events
+        )
+        SELECT user_id, ts AS resumed_at, ROUND(gap_min, 4) AS gap_min
+        FROM g WHERE gap_min IS NOT NULL
+        ORDER BY gap_min DESC, user_id, resumed_at
+        LIMIT 10
+    """,
     "events_conversion_latency": """
         WITH tagged AS (
             SELECT event_id, user_id, ts, event_type

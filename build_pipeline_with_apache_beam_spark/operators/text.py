@@ -491,7 +491,36 @@ def text_token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law profile): cumulative distinct
+    BIGRAM count after each 10-doc batch of the corpus (bigrams, because
+    the fixture's unigram vocabulary saturates within one batch).
+
+    No running-distinct needed: each gram's FIRST batch is a min
+    aggregate (shuffle = vocabulary size), and the growth curve is a
+    cumulative sum over the tiny batch axis — the scalable decomposition of
+    'distinct so far'.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr("transform(sequence(1, size(toks) - 1),"
+                   " i -> concat_ws(' ', toks[i-1], toks[i]))")
+    toks = (docs.select((F.floor(F.col("doc_id") / 10)).alias("batch"),
+                        F.split("text", " ").alias("toks"))
+            .select("batch", F.explode(grams).alias("tok")))
+    first_seen = toks.groupBy("tok").agg(F.min("batch").alias("batch"))
+    new_per_batch = first_seen.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("new_tokens"))
+    w = W.orderBy("batch").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (new_per_batch.select(
+        F.col("batch").cast("int").alias("batch"), "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_size"))
+        .orderBy("batch"))
+
+
 QUERIES = {
+    "corpus_vocab_growth": corpus_vocab_growth,
     "text_token_length_percentiles": text_token_length_percentiles,
     "text_char_ngrams": text_char_ngrams,
     "text_lang_confusion": text_lang_confusion,
@@ -523,6 +552,26 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "corpus_vocab_growth": """
+        WITH toks AS (
+            SELECT CAST(FLOOR(doc_id / 10) AS INT) AS batch,
+                   UNNEST(list_transform(range(1, len(str_split(text, ' '))),
+                          i -> concat(str_split(text, ' ')[i], ' ',
+                                      str_split(text, ' ')[i+1]))) AS tok
+            FROM documents
+        ), first_seen AS (
+            SELECT tok, MIN(batch) AS batch FROM toks GROUP BY tok
+        ), per_batch AS (
+            SELECT batch, COUNT(1) AS new_tokens
+            FROM first_seen GROUP BY batch
+        )
+        SELECT batch, new_tokens,
+               SUM(new_tokens) OVER (ORDER BY batch
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS vocab_size
+        FROM per_batch
+        ORDER BY batch
+    """,
     "text_token_length_percentiles": """
         WITH t AS (
             SELECT doc_id,
