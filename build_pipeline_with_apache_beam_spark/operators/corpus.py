@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
+from build_pipeline_with_apache_beam_spark.functions.ngrams import word_ngrams
 
 # md5-hex → uniform int bucket in [0, 65536): portable across engines.
 def _bucket_64k(col):
@@ -93,10 +94,7 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\s+")
-    n_grams = F.greatest(F.size(toks) - 4, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.array_join(F.slice(toks, i, 5), " "))
+    grams = word_ngrams(toks, 5)
     with_grams = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
     bench = (with_grams.where(F.col("source") == "src0")
              .select("gram").distinct())
@@ -389,9 +387,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumn("canonical", F.row_number().over(w) == 1))
 
     # stage 3: contamination — docs sharing a 5-gram with the src0 slice
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, 5), " "))
+    grams = word_ngrams(toks, 5)
     with_grams = docs.select("doc_id", "source", F.explode(grams).alias("g"))
     bench = (with_grams.where(F.col("source") == "src0")
              .select("g").distinct())

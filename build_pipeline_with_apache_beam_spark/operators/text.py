@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
+from build_pipeline_with_apache_beam_spark.functions.ngrams import (
+    char_ngrams_sql,
+    word_ngrams_sql,
+)
 
 # tiny demonstration lexicons for the language-ID heuristic; a real pipeline
 # would broadcast per-language frequency tables instead
@@ -178,9 +182,8 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
     toks = docs.select(F.split("text", " ").alias("toks"))
-    bigrams = toks.select(F.explode(F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat_ws(' ', toks[i-1], toks[i]))")).alias("bigram"))
+    bigrams = toks.select(
+        F.explode(F.expr(word_ngrams_sql("toks", 2))).alias("bigram"))
     return (bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "bigram").limit(20))
 
@@ -197,9 +200,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat_ws(' ', toks[i-1], toks[i]))")
+    bigrams = F.expr(word_ngrams_sql("toks", 2))
     top_tok_n = F.expr(
         "array_max(transform(array_distinct(toks),"
         " t -> size(filter(toks, x -> x = t))))")
@@ -209,7 +210,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(1.0 - F.size(F.array_distinct("toks")) / F.size("toks"), 4)
             .alias("dup_token_frac"),
-            F.round(1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4)
+            # try_divide: a doc too short for any bigram has an undefined
+            # (NULL) bigram-dup fraction — matches the SQL-oracle 0/0→NULL
+            F.round(1.0 - F.try_divide(F.size(F.array_distinct(bigrams)),
+                                       F.size(bigrams)), 4)
             .alias("dup_bigram_frac"),
             F.round(top_tok_n / F.size("toks"), 4).alias("top_token_share"),
         )
@@ -285,9 +289,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.array_distinct(F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat_ws(' ', toks[i-1], toks[i]))"))
+    bigrams = F.array_distinct(F.expr(word_ngrams_sql("toks", 2)))
     doc_grams = (docs.select("doc_id", toks.alias("toks"))
                  .select("doc_id", F.explode(bigrams).alias("bigram")))
     df_counts = doc_grams.groupBy("bigram").agg(
@@ -461,12 +463,12 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to word-level MinHash).  One substring-transform projection,
     no explode needed for the counts."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)),"
-        " i -> substring(text, i, 3))")
+    grams = F.expr(char_ngrams_sql("text", 3))
+    # n_char3 is length-derived — only the distinct count needs the array,
+    # so the trigram array is materialized exactly once per row.
     return docs.select(
         "doc_id",
-        F.size(grams).alias("n_char3"),
+        F.greatest(F.length("text") - 2, F.lit(0)).alias("n_char3"),
         F.size(F.array_distinct(grams)).alias("n_distinct_char3"),
         F.substring("text", 1, 3).alias("first_char3"),
     ).orderBy("doc_id")
@@ -504,8 +506,7 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = F.expr("transform(sequence(1, size(toks) - 1),"
-                   " i -> concat_ws(' ', toks[i-1], toks[i]))")
+    grams = F.expr(word_ngrams_sql("toks", 2))
     toks = (docs.select((F.floor(F.col("doc_id") / 10)).alias("batch"),
                         F.split("text", " ").alias("toks"))
             .select("batch", F.explode(grams).alias("tok")))
