@@ -471,15 +471,18 @@ def corpus_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_idx = (docs.select("source").distinct()
                .withColumn("src_idx", F.row_number().over(
                    W.orderBy("source")) - 1))
-    n_sources = F.lit(20)  # fixture constant; a production run derives it
+    # stride derived from the data (1-row broadcast), never hardcoded: a
+    # wrong constant would emit colliding or gapped positions silently
+    n_src = src_idx.agg(F.count(F.lit(1)).alias("n_sources"))
     rank_in_src = F.row_number().over(
         W.partitionBy("source").orderBy("doc_id"))
     return (
         docs.select("doc_id", "source")
         .withColumn("rank_in_source", rank_in_src)
         .join(F.broadcast(src_idx), "source")
+        .join(F.broadcast(n_src))
         .select("doc_id", "source",
-                ((F.col("rank_in_source") - 1) * n_sources
+                ((F.col("rank_in_source") - 1) * F.col("n_sources")
                  + F.col("src_idx")).cast("long").alias("interleave_pos"))
         .orderBy("interleave_pos")
     )
@@ -561,8 +564,8 @@ ORACLE = {
             FROM documents
         )
         SELECT doc_id, ranked.source,
-               CAST((rank_in_source - 1) * 20 + src_idx AS BIGINT)
-                   AS interleave_pos
+               CAST((rank_in_source - 1) * (SELECT COUNT(1) FROM src)
+                    + src_idx AS BIGINT) AS interleave_pos
         FROM ranked JOIN src ON ranked.source = src.source
         ORDER BY interleave_pos
     """,

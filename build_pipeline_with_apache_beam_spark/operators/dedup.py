@@ -37,7 +37,8 @@ JACCARD_THRESHOLD = 0.7
 SHINGLE_WIDTH = 3
 
 
-def _staged(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
+            name: str) -> DataFrame:
     """Materialize an intermediate to scratch parquet and re-read it.
 
     The sketch pipelines are deliberately executed in STAGES (signature
@@ -56,19 +57,13 @@ def _staged(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
        runs, and join new documents against it.  Persisting it columnar
        between phases is the production shape, not a workaround.
     """
-    # sf-scoped: concurrent runs at different scale factors (gate at
-    # sf0.01 while bench reads sf0.1) must not clobber each other's stages
-    path = os.path.join(SCRATCH, "dedup_stage", f"{_SF_TAG or 'default'}", name)
+    # sf-scoped via the EXPLICIT sf_dir parameter (not shared mutable
+    # state): concurrent runs at different scale factors (gate at sf0.01
+    # while bench reads sf0.1) must not clobber each other's stages
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(SCRATCH, "dedup_stage", tag, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
-
-
-_SF_TAG = ""
-
-
-def _set_sf(sf_dir: str) -> None:
-    global _SF_TAG
-    _SF_TAG = os.path.basename(sf_dir.rstrip("/"))
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,11 +143,10 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification at the threshold.  (Rows-only: hash-seed
     specifics aren't portable SQL; the blocked exact-Jaccard op below is the
     oracle-checked ground truth of the same semantics.)"""
-    _set_sf(sf_dir)
     # stage 1: the signature index + hashed shingle sets (persisted — at
     # scale this is the reusable dedup index, built incrementally)
     shingled = _docs_with_shingles(spark, sf_dir)
-    sigs = _staged(spark, minhash_signatures(shingled), "minhash_sigs")
+    sigs = _staged(spark, minhash_signatures(shingled), sf_dir, "minhash_sigs")
     # hashed shingle sets for verification: intersect/union on fixed-width
     # longs instead of ~20-byte strings — smaller shuffle, cheaper compares;
     # xxhash64 collisions are negligible for jaccard
@@ -160,9 +154,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
          .alias("sh"),
-    ), "minhash_shingle_sets")
+    ), sf_dir, "minhash_shingle_sets")
     # stage 2: LSH banding → candidate pairs
-    pairs = _staged(spark, lsh_candidate_pairs(sigs), "minhash_candidates")
+    pairs = _staged(spark, lsh_candidate_pairs(sigs), sf_dir, "minhash_candidates")
     # stage 3: exact-jaccard verification of the candidates
     a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -184,7 +178,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees ≥ 1 exact sub-band match by pigeonhole).  Rows-only: seeded
     xxhash64 isn't portable SQL.
     """
-    _set_sf(sf_dir)
     # spread the tokenize+hash stage across cores: the test corpus is one
     # parquet file = one input split (at 100 TB splits provide this natively)
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -204,7 +197,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_toks"),
         *[F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
           for b in range(64)]
-    ), "simhash_bits")
+    ), sf_dir, "simhash_bits")
     simhash = bit_sums.select(
         "doc_id",
         sum(
@@ -247,7 +240,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic only in block size.  (In production the block key is a cheap
     sketch — length bucket, simhash band — rather than a metadata column.)
     """
-    _set_sf(sf_dir)
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     t = docs.select("doc_id", "source",
                     F.array_distinct(F.split("text", " ")).alias("toks"))
@@ -284,11 +276,10 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: checkpoint).  Edges here are the deterministic exact-Jaccard
     pairs, so a DuckDB recursive CTE can verify the grouping exactly.
     """
-    _set_sf(sf_dir)
     # stage the pair computation BEFORE mirroring: union of the lazy plan
     # would run the jaccard self-join twice
     pairs = _staged(spark, dedup_ngram_jaccard(spark, sf_dir)
-                    .select("doc_a", "doc_b"), "cc_pairs")
+                    .select("doc_a", "doc_b"), sf_dir, "cc_pairs")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
@@ -333,15 +324,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 isn't portable SQL; tests assert the incremental result equals
     the full pipeline restricted to new docs.)
     """
-    _set_sf(sf_dir)
     shingled = _docs_with_shingles(spark, sf_dir)
     is_new = F.col("doc_id") % 10 == 0
 
     # persisted index over history; only the new batch is (re)signed
     hist_sigs = _staged(spark, minhash_signatures(shingled.where(~is_new)),
-                        "inc_index_sigs")
+                        sf_dir, "inc_index_sigs")
     new_sigs = _staged(spark, minhash_signatures(shingled.where(is_new)),
-                       "inc_new_sigs")
+                       sf_dir, "inc_new_sigs")
 
     def _bands(sigs: DataFrame) -> DataFrame:
         withb = sigs.select(
@@ -368,11 +358,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _staged(spark, shingled.select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-         .alias("sh")), "inc_shingle_sets")
+         .alias("sh")), sf_dir, "inc_shingle_sets")
     a = hashed.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col("doc_id").alias("cand_doc"), F.col("sh").alias("sh_b"))
     verified = (
-        _staged(spark, pairs, "inc_candidates")
+        _staged(spark, pairs, sf_dir, "inc_candidates")
         .join(a, "new_doc").join(b, "cand_doc")
         .withColumn("jaccard",
                     F.size(F.array_intersect("sh_a", "sh_b"))

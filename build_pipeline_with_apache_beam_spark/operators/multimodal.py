@@ -175,18 +175,21 @@ QUERIES = {
 # reconciled against SQL in tests/test_llm_ops.py.  The metadata-stats op
 # IS oracle-checked — it never leaves the metadata columns.
 ORACLE = {
+    # OCTET_LENGTH(ENCODE(...)) measures UTF-8 BYTES like the binary payload
+    # on the Spark side; LENGTH() would count characters and silently diverge
+    # on any non-ASCII testdata drop.
     "multimodal_resize": """
         SELECT doc_id,
-               CAST(LENGTH(text) AS BIGINT) AS orig_bytes,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS orig_bytes,
                CAST(256 AS BIGINT) AS resized_bytes,
-               LENGTH(text) > 256 AS was_truncated
+               OCTET_LENGTH(ENCODE(text)) > 256 AS was_truncated
         FROM documents
     """,
     "multimodal_metadata_stats": """
         SELECT source, 'application/x-fake-media' AS content_type,
                COUNT(1) AS n_assets,
-               SUM(LENGTH(text)) AS total_bytes,
-               MAX(LENGTH(text)) AS max_bytes
+               SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+               MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
         FROM documents GROUP BY source
     """,
 }

@@ -432,10 +432,12 @@ ORACLE = {
         GROUP BY bucket
         ORDER BY bucket
     """,
+    # OCTET_LENGTH(ENCODE(...)): UTF-8 byte count, matching the Spark-side
+    # binary payload length even on non-ASCII text
     "scan_binary_files": f"""
         SELECT doc_id,
-               CAST(LENGTH(text) AS BIGINT) AS n_bytes,
-               CAST(LENGTH(text) AS BIGINT) AS content_bytes
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS content_bytes
         FROM documents
         WHERE doc_id < {100}
         ORDER BY doc_id
