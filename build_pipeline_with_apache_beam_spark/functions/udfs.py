@@ -82,14 +82,16 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def udf_grouped_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same GROUPED_AGG pandas UDF applied OVER a window frame: a
-    rolling 5-row weighted average per user — custom aggregates compose
-    with window specs exactly like built-ins (the UDAF-as-window corner of
-    the UDF surface).
+    """UDF-SURFACE DEMO, not the product rolling-aggregate path: the same
+    GROUPED_AGG pandas UDF applied OVER a window frame — custom aggregates
+    compose with window specs exactly like built-ins (the UDAF-as-window
+    corner of the UDF surface).  Pipelines computing a rolling weighted
+    average should use ``window_rolling_weighted_avg`` below: the identical
+    result from two built-in window sums, pure JVM, ~25× faster — bounded
+    frames re-evaluate a Python UDAF per frame (no retract path for
+    arbitrary Python).
 
-    Bounded-row frames re-evaluate the UDF per frame (no retract path for
-    arbitrary Python), so keep frames short; unbounded ones stream.  The
-    oracle is the windowed sum(v*w)/sum(w) identity — computed on exact
+    The oracle is the windowed sum(v*w)/sum(w) identity — computed on exact
     integer cents, because float window sums associate differently across
     engines (segment trees vs frame order) and flip rounding boundaries.
     """
@@ -106,6 +108,37 @@ def udf_grouped_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate, don't round: the quotient can land exactly on a decimal
     # half-boundary, where Spark (binary-faithful HALF_UP) and DuckDB
     # (decimal-repr rounding) disagree; floor of identical doubles cannot
+    return (
+        base.select(
+            "event_id", "user_id",
+            (F.floor(raw * 10000) / 10000).alias("rolling_weighted_avg"))
+        .orderBy("event_id")
+    )
+
+
+def window_rolling_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT rolling weighted average: the built-in twin of
+    ``udf_grouped_agg_over_window`` — sum(v*k) OVER w / sum(k) OVER w on the
+    same 5-row frame.  Two JVM window sums share one WindowExec (one shuffle
+    on user_id, one sort per partition, whole-stage codegen frame updates),
+    so at 100 TB cost is the partition shuffle, not per-frame CPU.  Same
+    integer-cents + truncate conventions as the demo op, so both land on
+    identical values.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    cents = F.round(F.col("value") * 100).cast("double")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, W.currentRow))
+    base = ev.select("event_id", "user_id", "ts",
+                     cents.alias("v_cents"), k.alias("k"))
+    # try_divide: an all-zero-weight frame has an undefined average → NULL,
+    # matching both the SQL oracle (x/0 → NULL) and the UDF demo (whose
+    # pandas NaN becomes null over Arrow)
+    raw = F.try_divide(F.sum(F.col("v_cents") * F.col("k")).over(w),
+                       F.sum("k").over(w)) / 100
     return (
         base.select(
             "event_id", "user_id",
@@ -223,6 +256,7 @@ QUERIES = {
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udf_grouped_agg_over_window": udf_grouped_agg_over_window,
+    "window_rolling_weighted_avg": window_rolling_weighted_avg,
     "udtf_explode_batch": udtf_explode_batch,
     "udf_grouped_map_pandas": udf_grouped_map_pandas,
     "udtf_python_native": udtf_python_native,
@@ -246,6 +280,18 @@ ORACLE = {
         FROM events
     """,
     "udf_grouped_agg_over_window": """
+        SELECT event_id, user_id,
+               FLOOR((SUM(v_cents * k) OVER w / SUM(k) OVER w / 100) * 10000)
+                   / 10000 AS rolling_weighted_avg
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 100) AS DOUBLE) AS v_cents,
+                     CAST(props->>'$.k' AS DOUBLE) AS k
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "window_rolling_weighted_avg": """
         SELECT event_id, user_id,
                FLOOR((SUM(v_cents * k) OVER w / SUM(k) OVER w / 100) * 10000)
                    / 10000 AS rolling_weighted_avg
