@@ -262,8 +262,14 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query matrix is index metadata (N_QUERIES rows, fixed size) carried
     in the task closure; candidates stream through executors in Arrow
-    batches, each scored against all queries at once.  Output and oracle are
-    identical to the HOF version — only the physical kernel differs.
+    batches, each scored against all queries in one matmul.  Each batch then
+    reduces to its own per-query top-k BEFORE crossing Arrow back to the JVM
+    (global top-k ⊆ union of per-batch top-k), so the return transfer and
+    the final window carry ≤ k·N_QUERIES rows per batch instead of
+    batch·N_QUERIES — at 100 TB that partial reduction, not the matmul, is
+    what keeps the rerank stage from shuffling the whole scored pairspace.
+    Output and oracle are identical to the HOF version — only the physical
+    kernel differs.
     """
     from typing import Iterator as It
 
@@ -279,16 +285,26 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             cmat = np.stack(pdf["embedding"].values).astype(np.float64)
             cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = cmat @ qmat.T                      # (batch, N_QUERIES)
+            sims = np.round(cmat @ qmat.T, 4)         # (batch, N_QUERIES)
             cand = pdf["vec_id"].to_numpy()
-            out = pd.DataFrame({
-                "query_id": np.repeat(qids, len(cand)),
-                "cand_id": np.tile(cand, len(qids)),
-                "cosine": np.round(sims.T.ravel(), 4),
-            })
-            yield out[out["query_id"] != out["cand_id"]]
+            parts = []
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                keep = cand != qid
+                # partial top-k under the GLOBAL ordering (cosine desc,
+                # cand_id asc) — selection on the already-rounded value so
+                # tie handling matches the final JVM window exactly
+                order = np.lexsort((cand[keep], -col[keep]))[:TOP_K]
+                parts.append(pd.DataFrame({
+                    "query_id": qid,
+                    "cand_id": cand[keep][order],
+                    "cosine": col[keep][order],
+                }))
+            yield pd.concat(parts, ignore_index=True)
 
     pairs = (emb.repartition(spark.sparkContext.defaultParallelism)
              .mapInPandas(score,
