@@ -30,12 +30,12 @@ def _modules():
         tpch2,
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
-    from build_pipeline_with_apache_beam_spark.sources import docstore, sinks
+    from build_pipeline_with_apache_beam_spark.sources import docstore, sinks, txtable
     from build_pipeline_with_apache_beam_spark.streaming import runner, stateful, windows
 
     return [scans, relational, tpch, tpch2, subqueries, arrays, corpus, behavioral, scalars,
             normalize, text, dedup, similarity, multimodal, udfs, windows,
-            stateful, sinks, docstore, runner]
+            stateful, sinks, docstore, runner, txtable]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,223 @@
+"""Transactional copy-on-write table: ACID MERGE with an atomic commit log.
+
+The reference has no transactional story at all — its "sink" is a blind
+per-file upload (/root/reference/normalization.py:110-130) and its run
+metadata is committed BEFORE the write it describes (normalization.py:24-51),
+so a crash mid-run publishes a lie.  This module is the lakehouse-shaped
+answer on plain parquet, the same optimistic-concurrency design Delta Lake
+and Iceberg use, reduced to its portable core:
+
+Layout::
+
+    <root>/
+      _commits/00000001.json    one manifest per committed version
+      _commits/00000002.json
+      data-<uuid>/              immutable parquet snapshot per version
+
+- **Snapshots are immutable.**  A writer never mutates a committed data
+  dir; MERGE writes a brand-new snapshot dir (copy-on-write).
+- **Commit = one atomic filesystem op.**  The manifest is staged to a tmp
+  file and published with ``os.link(tmp, _commits/<N>.json)`` — link fails
+  with EEXIST if another writer committed version N first.  That makes the
+  version counter a total order and commits all-or-nothing: readers either
+  see version N fully or not at all, and a crashed writer leaves only an
+  unreferenced data dir (garbage, never corruption).
+- **Conflicts retry on the new snapshot** (optimistic concurrency): a
+  loser re-reads the winner's snapshot and re-applies its change-set, so
+  concurrent MERGEs serialize without locks and no update is lost.
+- **Time travel is free**: every committed version stays readable until
+  vacuumed.
+
+At 100 TB the snapshot write is the same distributed parquet write the
+engine always does; only the manifest hop is driver-side (one tiny file),
+exactly like a Delta commit.  On object stores without hard links the
+``link`` becomes a conditional PUT (If-None-Match) — same contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first."""
+
+
+class TxTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.commits = os.path.join(root, "_commits")
+
+    # ---- commit log -----------------------------------------------------
+
+    def latest_version(self) -> int:
+        try:
+            names = os.listdir(self.commits)
+        except FileNotFoundError:
+            return 0
+        versions = [int(n[:-5]) for n in names
+                    if n.endswith(".json") and n[:-5].isdigit()]
+        return max(versions, default=0)
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.commits, f"{version:08d}.json")) as f:
+            return json.load(f)
+
+    def _try_commit(self, version: int, data_dir: str, parent: int) -> bool:
+        """Publish version atomically; False if another writer won the race."""
+        os.makedirs(self.commits, exist_ok=True)
+        tmp = os.path.join(self.commits, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "parent": parent,
+                       "data": os.path.basename(data_dir)}, f)
+        target = os.path.join(self.commits, f"{version:08d}.json")
+        try:
+            os.link(tmp, target)  # atomic create-if-absent on POSIX
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _write_snapshot(self, df: DataFrame) -> str:
+        data_dir = os.path.join(self.root, f"data-{uuid.uuid4().hex}")
+        df.write.parquet(data_dir)
+        return data_dir
+
+    # ---- public surface -------------------------------------------------
+
+    def create(self, df: DataFrame) -> int:
+        """Initialize the table at version 1 (fails if already committed)."""
+        data_dir = self._write_snapshot(df)
+        if not self._try_commit(1, data_dir, parent=0):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise CommitConflict("table already initialized")
+        return 1
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        data = self._manifest(v)["data"]
+        return self.spark.read.parquet(os.path.join(self.root, data))
+
+    def merge(self, changes: DataFrame, key: str, max_retries: int = 10,
+              pre_commit=None) -> int:
+        """MERGE INTO: upsert ``changes`` over the latest snapshot by key.
+
+        Matching keys take the change row, others keep the base row, new
+        keys insert.  Retries the whole read-merge-write on commit conflict
+        so concurrent merges serialize (no lost updates).  ``pre_commit``
+        is a test hook invoked between snapshot write and commit attempt —
+        the window a race occupies.
+        """
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            base = self.read(base_v)
+            merged = self._apply_upsert(base, changes, key)
+            data_dir = self._write_snapshot(merged)
+            if pre_commit is not None:
+                pre_commit()
+            if self._try_commit(base_v + 1, data_dir, parent=base_v):
+                return base_v + 1
+            # lost the race: abandon the orphan snapshot, re-merge on top
+            # of the winner's version
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise CommitConflict(f"gave up after {max_retries} conflicts")
+
+    @staticmethod
+    def _apply_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+        # union + keep-first-by-priority: one shuffle on the key — the plan
+        # upsert-only MERGE INTO compiles to
+        merged = (base.withColumn("_pri", F.lit(1))
+                  .unionByName(changes.withColumn("_pri", F.lit(0))))
+        w = W.partitionBy(key).orderBy("_pri")
+        return (merged.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_pri", "_rn"))
+
+    def vacuum(self, keep_last: int = 1) -> None:
+        """Drop data dirs not referenced by the ``keep_last`` newest versions."""
+        latest = self.latest_version()
+        live = {self._manifest(v)["data"]
+                for v in range(max(1, latest - keep_last + 1), latest + 1)}
+        for name in os.listdir(self.root):
+            if name.startswith("data-") and name not in live:
+                shutil.rmtree(os.path.join(self.root, name),
+                              ignore_errors=True)
+
+
+# ---- registered operator surface ---------------------------------------
+
+
+def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same upsert change-set as ``merge_upsert``, but executed as a
+    real transaction against a TxTable: create v1 from the base snapshot,
+    MERGE the change-set (atomic commit → v2), read back the committed
+    version.  Result is identical to the pure-relational op, so one SQL
+    oracle checks both; the ACID protocol itself (conflict serialization,
+    no lost updates, time travel) is exercised in tests/test_txtable.py.
+    """
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    root = os.path.join(SCRATCH, "txtable",
+                        source_tag(sf_dir, "customer"), "demo")
+    shutil.rmtree(root, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .select("c_custkey", "c_name",
+                       F.round(F.col("c_acctbal") + 1000.0, 4)
+                       .alias("c_acctbal")))
+    inserts = updates.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"))
+
+    table = TxTable(spark, root)
+    table.create(cust)
+    table.merge(updates.unionByName(inserts), key="c_custkey")
+    return table.read()
+
+
+QUERIES = {
+    "merge_upsert_acid": merge_upsert_acid,
+}
+
+ORACLE = {
+    "merge_upsert_acid": """
+        WITH base AS (
+            SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal
+            FROM customer
+        ), updates AS (
+            SELECT c_custkey, c_name,
+                   ROUND(c_acctbal + 1000.0, 4) AS c_acctbal
+            FROM base WHERE c_custkey % 10 = 0
+        ), inserts AS (
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   'NEW ' || c_name AS c_name, 0.0 AS c_acctbal
+            FROM updates
+        ), merged AS (
+            SELECT *, 0 AS pri FROM updates
+            UNION ALL SELECT *, 0 FROM inserts
+            UNION ALL SELECT *, 1 FROM base
+        )
+        SELECT c_custkey, c_name, c_acctbal FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY pri) AS rn
+            FROM merged
+        ) WHERE rn = 1
+    """,
+}

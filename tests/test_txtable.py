@@ -1,0 +1,113 @@
+"""ACID protocol tests for the copy-on-write TxTable (MERGE INTO).
+
+The headline property: two writers MERGING concurrently against the same
+snapshot must both land — the loser of the commit race retries on top of
+the winner, so no update is ever lost (the reference has no transactional
+story at all; its run metadata is even committed before the write it
+describes, /root/reference/normalization.py:24-51).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from build_pipeline_with_apache_beam_spark.sources.txtable import (
+    CommitConflict,
+    TxTable,
+)
+
+
+def _base(spark):
+    return spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+
+
+def _changes(spark, keys, delta):
+    return (spark.range(10).selectExpr("id AS k")
+            .where(f"k IN ({','.join(map(str, keys))})")
+            .selectExpr("k", f"CAST(k + {delta} AS DOUBLE) AS v"))
+
+
+def test_create_merge_read_roundtrip(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t1"))
+    assert t.create(_base(spark)) == 1
+    v = t.merge(_changes(spark, [1, 3], 100), key="k")
+    assert v == 2
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == 101.0 and got[3] == 103.0 and got[2] == 2.0
+    assert len(got) == 10
+
+
+def test_insert_new_keys(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t2"))
+    t.create(_base(spark))
+    news = spark.range(100, 103).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v")
+    t.merge(news, key="k")
+    assert t.read().count() == 13
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t3"))
+    t.create(_base(spark))
+    t.merge(_changes(spark, [0], 500), key="k")
+    assert {r.v for r in t.read(1).where("k = 0").collect()} == {0.0}
+    assert {r.v for r in t.read(2).where("k = 0").collect()} == {500.0}
+
+
+def test_double_create_refused(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t4"))
+    t.create(_base(spark))
+    with pytest.raises(CommitConflict):
+        t.create(_base(spark))
+
+
+def test_concurrent_writers_no_lost_updates(spark, tmp_path):
+    """Force both writers to prepare their snapshot from the SAME base
+    version (barrier in the pre-commit hook), then race the commit: exactly
+    one wins v2, the other must retry on top and land v3 — with BOTH
+    change-sets present in the final state."""
+    root = str(tmp_path / "race")
+    TxTable(spark, root).create(_base(spark))
+
+    barrier = threading.Barrier(2, timeout=120)
+    tripped = {"a": False, "b": False}
+
+    def writer(tag, keys, delta):
+        t = TxTable(spark, root)
+
+        def pre_commit():
+            # only the FIRST attempt of each writer waits at the barrier —
+            # the retry after losing the race must proceed alone
+            if not tripped[tag]:
+                tripped[tag] = True
+                barrier.wait()
+
+        t.merge(_changes(spark, keys, delta), key="k", pre_commit=pre_commit)
+
+    ta = threading.Thread(target=writer, args=("a", [1, 2], 100))
+    tb = threading.Thread(target=writer, args=("b", [7, 8], 200))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+
+    t = TxTable(spark, root)
+    assert t.latest_version() == 3
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == 101.0 and got[2] == 102.0, "writer A's update lost"
+    assert got[7] == 207.0 and got[8] == 208.0, "writer B's update lost"
+    assert got[0] == 0.0 and len(got) == 10
+
+
+def test_vacuum_keeps_live_versions(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "vac")
+    t = TxTable(spark, root)
+    t.create(_base(spark))
+    t.merge(_changes(spark, [1], 10), key="k")
+    t.merge(_changes(spark, [2], 20), key="k")
+    t.vacuum(keep_last=1)
+    n_data = len([d for d in os.listdir(root) if d.startswith("data-")])
+    assert n_data == 1
+    assert t.read().count() == 10  # latest still readable
+    with pytest.raises(Exception):
+        t.read(1).count()  # vacuumed snapshot is gone
