@@ -51,6 +51,25 @@ from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH, source_
 SCHEMA_DDL = ("event_id BIGINT, ts_micros BIGINT, user_id BIGINT, "
               "event_type STRING, value DOUBLE")
 MANIFEST = "_manifest.json"
+AUTH_FILE = "_auth"
+
+
+def _check_auth(path: str, options) -> None:
+    """A collection carrying an ``_auth`` marker requires the matching
+    ``auth_token`` option.  The token reaches the reader ONLY via the
+    connector-config layer (env/config-file/override — see
+    connector_config.py); it never appears in operator code, closing the
+    reference's hard-coded-credential anti-pattern (retrieval.py:172).
+    The error message is deliberately token-free."""
+    marker = os.path.join(path, AUTH_FILE)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as fh:
+        expected = fh.read().strip()
+    if options.get("auth_token", "") != expected:
+        raise PermissionError(
+            f"docstore collection {path!r} requires auth_token "
+            f"(set SPARK_GRAFT_DOCSTORE_AUTH_TOKEN or pass auth_token)")
 
 
 class _FilePartition(InputPartition):
@@ -66,6 +85,7 @@ class DocStoreReader(DataSourceReader):
 
     def __init__(self, options):
         self.path = options["path"]
+        self.options = options
         self.filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -92,6 +112,7 @@ class DocStoreReader(DataSourceReader):
         return lo, hi
 
     def partitions(self) -> list[_FilePartition]:
+        _check_auth(self.path, self.options)
         with open(os.path.join(self.path, MANIFEST)) as fh:
             manifest = json.load(fh)
         lo, hi = self._ts_bounds()
@@ -142,6 +163,7 @@ class DocStoreStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.path = options["path"]
+        _check_auth(self.path, options)
 
     def _manifest(self) -> list[dict]:
         with open(os.path.join(self.path, MANIFEST)) as fh:
@@ -225,6 +247,27 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def open_docstore(spark: SparkSession, sf_dir: str, stream: bool = False,
+                  **overrides) -> DataFrame:
+    """Config-injected entry point for the docstore connector: resolve
+    options through the layered connector config (overrides > env
+    SPARK_GRAFT_DOCSTORE_* > $SPARK_GRAFT_CONNECTOR_CONFIG profile file >
+    defaults) and hand them to spark.read.format(...).options(...).  The
+    only default is the collection path; credentials, if the collection
+    requires them, must arrive through the config layers — never from code.
+    """
+    from build_pipeline_with_apache_beam_spark.sources.connector_config import (
+        resolve_options,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    defaults = {"path": overrides.pop("path", None)
+                or build_collection(spark, sf_dir)}
+    opts = resolve_options("docstore", defaults=defaults, overrides=overrides)
+    reader = spark.readStream if stream else spark.read
+    return reader.format("docstore").options(**opts).load()
+
+
 _TS_LO = "2024-01-08 00:00:00"
 _TS_HI = "2024-01-14 23:59:59.999999"
 
@@ -233,12 +276,10 @@ def scan_docstore_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range scan through the custom source: the reference's R1 semantics
     (time-range predicate at the source) with file pruning + executor-side
     reads instead of a driver fetch."""
-    spark.dataSource.register(DocStoreDataSource)
-    root = build_collection(spark, sf_dir)
     lo = F.unix_micros(F.lit(_TS_LO).cast("timestamp"))
     hi = F.unix_micros(F.lit(_TS_HI).cast("timestamp"))
     return (
-        spark.read.format("docstore").option("path", root).load()
+        open_docstore(spark, sf_dir)
         .where((F.col("ts_micros") >= lo) & (F.col("ts_micros") <= hi)
                & (F.col("event_type") == "purchase"))
         .select("event_id",
@@ -263,7 +304,7 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (sink_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
 
-    stream = spark.readStream.format("docstore").option("path", root).load()
+    stream = open_docstore(spark, sf_dir, stream=True, path=root)
     agg = (stream.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 4).alias("total_value")))
