@@ -1,12 +1,14 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode step itself is STUBBED — the real image/audio libraries are not
-in this container — but everything Spark-side is real and tested: the
+The decode step routes by content type: image payloads hit a REAL decoder
+— ``PIL.Image.open`` when PIL is installed, else a dependency-free stdlib
+PNG reader (8-bit grayscale: chunk parse, inflate, filter reconstruction)
+— while the synthetic ``application/x-fake-media`` type is the identity
+codec.  Everything Spark-side is the production shape either way: the
 binary+metadata schema, the mapInPandas batch shape, the UDF signatures,
-partitioning, and the frame-sampling fan-out.  Swapping the stub for
-``PIL.Image.open`` / ``soundfile.read`` changes one function body and no
-plan shape.
+partitioning, and the frame-sampling fan-out.  Adding audio/video means
+adding a branch in ``_decode`` (soundfile/pyav), no plan change.
 
 Scale notes: binary payloads dominate row size, so these stages want
 ``spark.sql.files.maxPartitionBytes`` tuned down (fewer rows per task) and
@@ -26,8 +28,76 @@ from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 
-#: flip to True in an environment with real codecs installed
-REAL_DECODE_AVAILABLE = False
+def _detect_codec() -> str:
+    """Pick the decoder backend once, driver-side; the name ships to
+    executors via closure capture (module globals don't — workers
+    re-import this module).  ``pil`` handles every PIL format; ``stdlib``
+    is a real, dependency-free PNG decoder for 8-bit grayscale."""
+    try:
+        import PIL.Image  # noqa: F401
+        return "pil"
+    except ImportError:
+        return "stdlib"
+
+
+#: decoder backend for real (non-fake) content types
+CODEC = _detect_codec()
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_gray(payload: bytes) -> bytes:
+    """Pure-stdlib PNG decode for non-interlaced 8-bit grayscale: parse
+    IHDR/IDAT chunks, zlib-inflate, undo the per-row filter (all 5 filter
+    types).  This is a REAL decode — the output is pixel values, not the
+    compressed container bytes — with zero native dependencies, so the
+    real-codec branch is exercisable in any container."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, 0, 0, b""
+    while pos < len(payload):
+        (length,), ctype = (struct.unpack(">I", payload[pos:pos + 4]),
+                            payload[pos + 4:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if (depth, color) != (8, 0) or data[12] != 0:
+                raise ValueError("stdlib codec: 8-bit non-interlaced "
+                                 "grayscale only (install PIL for more)")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = width  # 1 byte/pixel
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = bytearray(raw[row_start + 1:row_start + 1 + stride])
+        for x in range(stride):
+            a = row[x - 1] if x else 0          # left (already unfiltered)
+            b = prev[x]                          # up
+            c = prev[x - 1] if x else 0          # upper-left
+            if ftype == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif ftype == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif ftype == 3:
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 FRAME_STRIDE = 16  # frame-sample stride over the payload, bytes per "frame"
 
@@ -48,34 +118,45 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode(payload: bytes, real_decode: bool) -> bytes:
-    """Decode stub.  Real codecs are not installed in this container.
+def _decode(payload: bytes, content_type: str, codec: str) -> bytes:
+    """Decode a payload to raw pixel/sample bytes.
 
-    ``real_decode`` is passed explicitly (not read from the module global)
-    because executor Python workers re-import this module — driver-side
-    mutation of a global never reaches them; closure capture does.
+    Real content types route to a real decoder — PIL when installed
+    (any format), else the stdlib grayscale-PNG reader; the synthetic
+    ``application/x-fake-media`` type passes through unchanged (its
+    "encoding" is the identity).  ``codec`` is passed explicitly (not read
+    from the module global) because executor Python workers re-import this
+    module — driver-side state never reaches them; closure capture does.
     """
-    if real_decode:
-        raise NotImplementedError(
-            "wire a real decoder (PIL / soundfile / pyav) here")
-    return payload  # deterministic fake: decoded == encoded
+    if content_type.startswith("image/"):
+        if codec == "pil":
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8).tobytes()
+        return _png_decode_gray(payload)
+    return payload  # fake media: decoded == encoded by construction
 
 
-def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → feature-extract over Arrow batches: per-payload byte length
-    and an 8-bin byte histogram (the deterministic stand-in for an image
-    embedding).  Output schema is the real one: (doc_id, n_bytes, features)."""
-    media = _media_table(spark, sf_dir)
-    real_decode = REAL_DECODE_AVAILABLE  # captured at plan time → ships to executors
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode → feature-extract over Arrow batches: per-payload decoded
+    byte length and an 8-bin histogram over the DECODED bytes (the
+    deterministic stand-in for an image embedding).  Works on any media
+    table with (doc_id, payload, meta.content_type); image content types
+    hit the real decoder (PIL or the stdlib PNG reader)."""
+    codec = CODEC  # captured at plan time → ships to executors
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             feats, sizes = [], []
-            for payload in pdf["payload"]:
-                raw = np.frombuffer(_decode(bytes(payload), real_decode),
-                                    dtype=np.uint8)
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                decoded = _decode(bytes(payload), meta["content_type"], codec)
+                raw = np.frombuffer(decoded, dtype=np.uint8)
                 hist = np.bincount(raw >> 5, minlength=8).astype("float64")
                 total = hist.sum() or 1.0
                 feats.append((hist / total).round(6).tolist())
@@ -87,7 +168,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return media.mapInPandas(
-        extract, "doc_id BIGint, n_bytes BIGINT, features ARRAY<DOUBLE>")
+        extract, "doc_id BIGINT, n_bytes BIGINT, features ARRAY<DOUBLE>")
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`extract_features` over the synthetic media
+    table; the real-codec branch is exercised in tests/test_llm_ops.py with
+    genuine PNG payloads."""
+    return extract_features(_media_table(spark, sf_dir))
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

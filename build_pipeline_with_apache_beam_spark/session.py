@@ -34,7 +34,10 @@ def get_spark(app_name: str = "build_pipeline_with_apache_beam_spark",
     cpus = os.environ.get("SPARK_GRAFT_CPUS", _DEFAULT_CPUS)
     builder = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
+        # local[N, 2]: allow one task retry, like a real cluster (default
+        # maxFailures=4) — sinks must survive redelivery (at-least-once),
+        # and tests inject transient send failures to prove they do
+        .master(f"local[{cpus}, 2]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
