@@ -320,7 +320,36 @@ def events_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+
+
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle profile: first/last activity, lifespan, active
+    days, event volume, and total value — the user-grain summary a
+    behavioral warehouse keeps materialized.
+
+    One groupBy(user_id) pass: every measure is an algebraic aggregate
+    (min/max/count/sum + count-distinct on the derived day), so the shuffle
+    carries one partially-aggregated row per user per map task.  At 100 TB
+    this is the canonical two-phase hash aggregate; no windows, no joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"),
+             F.max("ts").alias("last_seen"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct(F.to_date("ts")).alias("active_days"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select("user_id", "first_seen", "last_seen",
+                F.datediff(F.to_date("last_seen"), F.to_date("first_seen"))
+                .alias("lifespan_days"),
+                "n_events", "active_days", "total_value")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "events_user_lifecycle": events_user_lifecycle,
     "events_inactivity_gaps": events_inactivity_gaps,
     "events_conversion_latency": events_conversion_latency,
     "dedup_adjacent_state": dedup_adjacent_state,
@@ -337,6 +366,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_user_lifecycle": """
+        SELECT user_id,
+               MIN(ts) AS first_seen,
+               MAX(ts) AS last_seen,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                              CAST(MAX(ts) AS DATE)) AS INT) AS lifespan_days,
+               COUNT(1) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "events_inactivity_gaps": """
         WITH g AS (
             SELECT user_id, ts,

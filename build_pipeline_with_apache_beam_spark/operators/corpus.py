@@ -512,6 +512,59 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+TEMPLATE_PREFIX_K = 5
+
+
+def corpus_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: documents sharing the same leading
+    k-token prefix (headers, licence blurbs, scraped nav chrome).  Reports
+    each template prefix with its document count and source/language
+    spread — the curation signal for "this isn't content, it's chrome".
+
+    One projection (slice of the split) + one groupBy on the prefix; the
+    shuffle carries distinct prefixes after map-side partial aggregation,
+    so at 100 TB cost is the scan plus a vocabulary-sized shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_K), " ")
+    return (
+        docs.select(prefix.alias("template_prefix"), "source", "lang")
+        .groupBy("template_prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("source").alias("n_sources"),
+             F.countDistinct("lang").alias("n_langs"))
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "template_prefix")
+    )
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate: L2 norms z-scored against the corpus norm
+    distribution; |z| > 2 flags degenerate vectors (collapsed, exploded, or
+    mis-scaled embeddings — the standard pre-index sanity check).
+
+    The norm is one higher-order-function pass in the scan projection; the
+    corpus stats are a single 1-row aggregate broadcast back over the scan
+    — two narrow stages, no wide shuffle of vectors at any sf.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    norms = emb.select("vec_id", l2.alias("l2"))
+    stats = norms.agg(F.avg("l2").alias("mu"),
+                      F.stddev_samp("l2").alias("sigma"))
+    z = (F.col("l2") - F.col("mu")) / F.col("sigma")
+    return (
+        norms.join(F.broadcast(stats))
+        .select("vec_id", F.round("l2", 4).alias("l2_norm"),
+                F.round(z, 4).alias("z"),
+                (F.abs(z) > 2).alias("is_outlier"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
@@ -520,6 +573,8 @@ QUERIES = {
     "corpus_doc_packing": corpus_doc_packing,
     "embedding_centroid_per_label": embedding_centroid_per_label,
     "embedding_dim_stats": embedding_dim_stats,
+    "corpus_template_detection": corpus_template_detection,
+    "embedding_norm_outliers": embedding_norm_outliers,
     "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
     "corpus_global_shuffle": corpus_global_shuffle,
     "corpus_train_val_test_split": corpus_train_val_test_split,
@@ -630,6 +685,36 @@ ORACLE = {
                                   AND split = 'train') AS n_train
         FROM staged
     """.format(b=_BUCKET_64K_SQL.format(c="text")),
+    "corpus_template_detection": """
+        WITH p AS (
+            SELECT array_to_string(str_split(text, ' ')[1:5], ' ')
+                       AS template_prefix,
+                   source, lang
+            FROM documents
+        )
+        SELECT template_prefix, COUNT(1) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM p
+        GROUP BY template_prefix
+        HAVING COUNT(1) > 1
+        ORDER BY n_docs DESC, template_prefix
+    """,
+    "embedding_norm_outliers": """
+        WITH norms AS (
+            SELECT vec_id,
+                   SQRT(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))) AS l2
+            FROM embeddings
+        ), stats AS (
+            SELECT AVG(l2) AS mu, STDDEV_SAMP(l2) AS sigma FROM norms
+        )
+        SELECT vec_id, ROUND(l2, 4) AS l2_norm,
+               ROUND((l2 - mu) / sigma, 4) AS z,
+               ABS((l2 - mu) / sigma) > 2 AS is_outlier
+        FROM norms, stats
+        ORDER BY vec_id
+    """,
     "embedding_dim_stats": """
         WITH flat AS (
             SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

@@ -382,15 +382,75 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+DEDUP_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate burden as a function of similarity threshold: pair
+    count and affected-document count at each Jaccard cut — the curve that
+    picks a dedup threshold for a training cut (how much data each setting
+    would remove).
+
+    ONE pass of the blocked exact-Jaccard pairs at the loosest cut feeds
+    every threshold (explode over the tiny threshold axis + filter), so
+    the curve costs the same as the single-threshold op; at 100 TB the
+    pair set, not the thresholds, dominates.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard")
+    thr = F.explode(F.array(
+        *[F.lit(t) for t in DEDUP_CURVE_THRESHOLDS])).alias("threshold")
+    at_thr = (pairs.select("doc_a", "doc_b", "jaccard", thr)
+              .where(F.col("jaccard") >= F.col("threshold")))
+    n_pairs = at_thr.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (at_thr.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold").agg(F.countDistinct("d").alias("n_docs")))
+    return n_pairs.join(n_docs, "threshold").orderBy("threshold")
+
+
 QUERIES = {
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "corpus_dedup_rate_curve": corpus_dedup_rate_curve,
     "dedup_connected_groups": dedup_connected_groups,
 }
 
 ORACLE = {
+    "corpus_dedup_rate_curve": """
+        WITH t AS (
+            SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 4 = 0
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+                       AS jaccard
+            FROM t a JOIN t b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        ), thr AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[])
+                       AS threshold),
+        at_thr AS (
+            SELECT threshold, doc_a, doc_b
+            FROM pairs, thr WHERE jaccard >= threshold
+        ), np AS (
+            SELECT threshold, COUNT(1) AS n_pairs
+            FROM at_thr GROUP BY threshold
+        ), nd AS (
+            SELECT threshold, COUNT(DISTINCT d) AS n_docs
+            FROM (SELECT threshold, UNNEST([doc_a, doc_b]) AS d FROM at_thr)
+            GROUP BY threshold
+        )
+        SELECT threshold, n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+        FROM np JOIN nd USING (threshold)
+        ORDER BY threshold
+    """,
     "dedup_ngram_jaccard": """
         WITH t AS (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks

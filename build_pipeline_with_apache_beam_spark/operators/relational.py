@@ -986,6 +986,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("purchase_value")))
 
 
+ASOF_NEAREST_TOL_US = 3_600_000_000  # 1-hour tolerance, microseconds
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join: each purchase matched to the closest click
+    in EITHER direction within a 1-hour tolerance (ties prefer the earlier
+    click) — the bidirectional variant of join_asof, pandas
+    ``merge_asof(direction='nearest')``.
+
+    Same merge-based shape: union both event kinds, ONE shuffle + sort per
+    user, prior click via backward ignore-nulls last() and next click via
+    forward ignore-nulls first() — never a quadratic range self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (ev.where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "ts", "event_type"))
+    wb = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    wf = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, W.unboundedFollowing))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    t = (tagged
+         .withColumn("prev_click", F.last(click_ts, ignorenulls=True).over(wb))
+         .withColumn("next_click", F.first(click_ts, ignorenulls=True).over(wf))
+         .where(F.col("event_type") == "purchase"))
+    gap_prev = F.unix_micros("ts") - F.unix_micros("prev_click")
+    gap_next = F.unix_micros("next_click") - F.unix_micros("ts")
+    use_prev = F.col("prev_click").isNotNull() & (
+        F.col("next_click").isNull() | (gap_prev <= gap_next))
+    nearest = F.when(use_prev, F.col("prev_click")).otherwise(F.col("next_click"))
+    gap = F.when(use_prev, gap_prev).otherwise(gap_next)
+    return (t.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.when(gap <= ASOF_NEAREST_TOL_US, nearest).alias("nearest_click_ts"),
+        F.when(gap <= ASOF_NEAREST_TOL_US, gap).alias("gap_us"),
+        F.when(gap <= ASOF_NEAREST_TOL_US,
+               F.when(use_prev, F.lit("before")).otherwise(F.lit("after")))
+        .alias("direction"))
+        .orderBy("event_id"))
+
+
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (rows-only: sketch values are
     engine-specific, like agg_approx_count_distinct / agg_hll_sketch_merge).
@@ -1289,6 +1330,7 @@ QUERIES = {
     "join_range_bucketized": join_range_bucketized,
     "join_null_safe": join_null_safe,
     "merge_upsert": merge_upsert,
+    "join_asof_nearest": join_asof_nearest,
     "merge_scd2_history": merge_scd2_history,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
     "agg_approx_percentile": agg_approx_percentile,
@@ -1743,6 +1785,45 @@ ORACLE = {
                ROUND(MIN(value), 4) AS lo_seen,
                ROUND(MAX(value), 4) AS hi_seen
         FROM events GROUP BY 1
+    """,
+    "join_asof_nearest": """
+        WITH tagged AS (
+            SELECT event_id, user_id, ts, event_type
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), t AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_click,
+                   first_value(CASE WHEN event_type = 'click' THEN ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_click
+            FROM tagged
+        ), p AS (
+            SELECT event_id, user_id, ts, prev_click, next_click,
+                   date_diff('microsecond', prev_click, ts) AS gap_prev,
+                   date_diff('microsecond', ts, next_click) AS gap_next,
+                   (prev_click IS NOT NULL AND (next_click IS NULL
+                    OR date_diff('microsecond', prev_click, ts)
+                       <= date_diff('microsecond', ts, next_click)))
+                       AS use_prev
+            FROM t WHERE event_type = 'purchase'
+        )
+        SELECT event_id, user_id, ts AS purchase_ts,
+               CASE WHEN g <= 3600000000 THEN nc END AS nearest_click_ts,
+               CASE WHEN g <= 3600000000 THEN g END AS gap_us,
+               CASE WHEN g <= 3600000000
+                    THEN (CASE WHEN use_prev THEN 'before' ELSE 'after' END)
+               END AS direction
+        FROM (SELECT *,
+                     CASE WHEN use_prev THEN prev_click ELSE next_click END AS nc,
+                     CASE WHEN use_prev THEN gap_prev ELSE gap_next END AS g
+              FROM p)
+        ORDER BY event_id
     """,
     "merge_upsert": """
         WITH base AS (

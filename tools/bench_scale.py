@@ -1,0 +1,145 @@
+"""Scale step-up bench: measure representative ops at sf0.1 AND sf1 (10x)
+and record the scaling ratio per op, plus physical-plan markers re-checked
+on the real sf1 data.
+
+The point is the 100x question: a plan that survives 10x with ~linear cost
+and keeps its broadcast/pushdown/skew decisions at the bigger sf is
+evidence the design scales; an op whose ratio blows past linear is flagged.
+
+Writes SCALE_r{N}.json at the repo root:
+    {"sf_small": ..., "sf_big": ..., "ratio_data": 10,
+     "ops": {op: {"small_sec": s, "big_sec": s, "ratio": r, "flag": ...}},
+     "plans": {op: {marker: bool}}}
+
+Usage: python tools/bench_scale.py [small_sf_dir] [big_sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from build_pipeline_with_apache_beam_spark import registry  # noqa: E402
+from build_pipeline_with_apache_beam_spark.session import get_spark  # noqa: E402
+
+# representative set: the flagship funnel, every dedup/sim op, the heavy
+# joins/aggs, streaming, and the hot text/corpus passes
+SCALE_OPS = [
+    "corpus_curation_funnel",
+    "flagship_q3_topk_revenue", "flagship_q9_product_profit",
+    "sql_tpch_q6", "agg_salted_skew", "join_skew_salted",
+    "join_broadcast", "join_bucketed_colocated", "join_range_bucketized",
+    "join_asof", "window_rolling_weighted_avg", "corpus_global_shuffle",
+    "dedup_exact", "dedup_fuzzy_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_connected_groups",
+    "dedup_incremental_minhash", "dedup_embedding_cosine",
+    "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "text_gopher_filter", "text_tfidf_keywords", "text_fingerprint",
+    "stream_window_append_watermark", "stream_docstore_tail",
+    "stream_watermark_dedup",
+]
+
+# plan markers that must hold on the BIG sf (static explain on real data):
+# dim joins stay broadcast, scans keep pushdown, DPP still fires
+PLAN_CHECKS = {
+    "join_broadcast": ["BroadcastHashJoin"],
+    "flagship_q3_topk_revenue": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "flagship_q9_product_profit": ["BroadcastHashJoin"],
+    "scan_parquet_project": ["ReadSchema"],   # pure projection — no filter
+    "filter_time_range": ["PushedFilters"],
+    "join_dynamic_partition_pruning": ["dynamicpruning"],
+    "sql_tpch_q6": ["PushedFilters"],
+    "sort_limit_topk": ["TakeOrderedAndProject"],
+}
+
+# ops whose cost is dominated by fixed startup (streaming triggers, python
+# worker spin-up) or that are quadratic-by-design ground truth — their
+# ratio is reported but not flagged against the linear gate
+NOT_GATED = {
+    "stream_window_append_watermark", "stream_docstore_tail",
+    "stream_watermark_dedup",          # micro-batch startup dominates
+    "dedup_ngram_jaccard",             # exact blocked all-pairs ground truth
+    "dedup_connected_groups",          # built on the above
+}
+
+LINEAR_FLAG = 1.5  # flag ops whose ratio exceeds data_ratio * this
+
+
+def _run(fn, spark, sf_dir) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    plans_only = "--plans-only" in sys.argv
+    small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    big = (args[1] if len(args) > 1
+           else os.path.join(REPO, ".scratch", "sfscale", "sf1"))
+    out_path = (args[2] if len(args) > 2
+                else os.path.join(REPO, "SCALE_r02.json"))
+    data_ratio = 10.0
+
+    spark = get_spark("bench-scale")
+    qs = registry.queries()
+
+    ops: dict[str, dict] = {}
+    if plans_only:
+        try:
+            with open(out_path) as fh:
+                ops = json.load(fh).get("ops", {})
+        except OSError:
+            pass
+    for name in [] if plans_only else SCALE_OPS:
+        fn = qs[name]
+        try:
+            s = _run(fn, spark, small)
+            b = _run(fn, spark, big)
+            ratio = round(b / s, 2) if s > 0 else None
+            flagged = (name not in NOT_GATED and ratio is not None
+                       and ratio > data_ratio * LINEAR_FLAG)
+            ops[name] = {"small_sec": s, "big_sec": b, "ratio": ratio,
+                         "flag": "superlinear" if flagged else "ok"}
+            print(f"{name}: {s}s -> {b}s  ratio {ratio}"
+                  f"{'  ** SUPERLINEAR' if flagged else ''}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            ops[name] = {"error": str(e)[:300]}
+            print(f"{name}: ERROR {e}", flush=True)
+        spark.catalog.clearCache()
+
+    plans: dict[str, dict] = {}
+    for name, markers in PLAN_CHECKS.items():
+        try:
+            plan = qs[name](spark, big)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+            plans[name] = {m: (m.lower() in plan.lower()) for m in markers}
+        except Exception as e:  # noqa: BLE001
+            plans[name] = {"error": str(e)[:200]}
+    for name, checks in plans.items():
+        print(f"plan {name}: {checks}", flush=True)
+
+    result = {
+        "sf_small": small, "sf_big": big, "ratio_data": data_ratio,
+        "ops": ops, "plans": plans,
+        "n_superlinear": sum(1 for o in ops.values()
+                             if o.get("flag") == "superlinear"),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
