@@ -565,6 +565,34 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+MIX_TEMPERATURE_ALPHA = 0.3
+
+
+def corpus_mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: sampling weights proportional to
+    share^alpha (alpha < 1 upsamples tail sources), the standard recipe for
+    balancing a multilingual / multi-source training mix.
+
+    Pure aggregate math: per-source counts (one two-phase agg), then the
+    normalization constants via window sums over the tiny source axis —
+    nothing rescans the corpus, so the weight table is free at any sf and
+    broadcastable into the actual sampler (corpus_quality_weighted_mix).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = W.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(tot)
+    scaled = F.pow(share, F.lit(MIX_TEMPERATURE_ALPHA))
+    weight = scaled / F.sum(scaled).over(tot)
+    return (counts.select(
+        "source", "n_docs",
+        F.round(share, 4).alias("share"),
+        F.round(weight, 4).alias("sample_weight"),
+        F.round(weight / share, 4).alias("oversample_factor"))
+        .orderBy("source"))
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
@@ -574,6 +602,7 @@ QUERIES = {
     "embedding_centroid_per_label": embedding_centroid_per_label,
     "embedding_dim_stats": embedding_dim_stats,
     "corpus_template_detection": corpus_template_detection,
+    "corpus_mixture_temperature_sampling": corpus_mixture_temperature_sampling,
     "embedding_norm_outliers": embedding_norm_outliers,
     "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
     "corpus_global_shuffle": corpus_global_shuffle,
@@ -685,6 +714,23 @@ ORACLE = {
                                   AND split = 'train') AS n_train
         FROM staged
     """.format(b=_BUCKET_64K_SQL.format(c="text")),
+    "corpus_mixture_temperature_sampling": """
+        WITH counts AS (
+            SELECT source, COUNT(1) AS n_docs FROM documents GROUP BY source
+        ), t AS (
+            SELECT source, n_docs,
+                   n_docs * 1.0 / SUM(n_docs) OVER () AS share,
+                   POW(n_docs * 1.0 / SUM(n_docs) OVER (), 0.3) AS scaled
+            FROM counts
+        )
+        SELECT source, n_docs,
+               ROUND(share, 4) AS share,
+               ROUND(scaled / SUM(scaled) OVER (), 4) AS sample_weight,
+               ROUND(scaled / SUM(scaled) OVER () / share, 4)
+                   AS oversample_factor
+        FROM t
+        ORDER BY source
+    """,
     "corpus_template_detection": """
         WITH p AS (
             SELECT array_to_string(str_split(text, ' ')[1:5], ' ')

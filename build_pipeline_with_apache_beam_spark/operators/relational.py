@@ -1027,6 +1027,27 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id"))
 
 
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in regression aggregates: OLS slope/intercept/R² of extended
+    price against quantity per return flag (regr_slope / regr_intercept /
+    regr_r2 / regr_count).
+
+    Each is algebraic (sums of x, y, xy, x², y²), so the whole fit is one
+    two-phase hash aggregate — the covariance sums combine map-side and
+    the shuffle carries 5 numbers per group at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.regr_slope(y, x), 4).alias("slope"),
+             F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+             F.round(F.regr_r2(y, x), 4).alias("r2"),
+             F.regr_count(y, x).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (rows-only: sketch values are
     engine-specific, like agg_approx_count_distinct / agg_hll_sketch_merge).
@@ -1331,6 +1352,7 @@ QUERIES = {
     "join_null_safe": join_null_safe,
     "merge_upsert": merge_upsert,
     "join_asof_nearest": join_asof_nearest,
+    "agg_linear_regression": agg_linear_regression,
     "merge_scd2_history": merge_scd2_history,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
     "agg_approx_percentile": agg_approx_percentile,
@@ -1785,6 +1807,17 @@ ORACLE = {
                ROUND(MIN(value), 4) AS lo_seen,
                ROUND(MAX(value), 4) AS hi_seen
         FROM events GROUP BY 1
+    """,
+    "agg_linear_regression": """
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "join_asof_nearest": """
         WITH tagged AS (

@@ -520,6 +520,75 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("batch"))
 
 
+
+ZIPF_TOP_N = 1000
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: the slope of
+    ln(freq) against ln(rank) over the top-N vocabulary, via the built-in
+    regression aggregates (regr_slope/regr_intercept/regr_r2).  A healthy
+    natural-language corpus fits slope ~ -1; a slope far off flags
+    synthetic, boilerplate-heavy, or mis-tokenized data.
+
+    The corpus collapses to vocabulary-sized data in one two-phase count;
+    the rank window then runs over the (small) vocabulary head only — the
+    global window is over aggregated data, never the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    w = W.orderBy(F.col("n").desc(), "tok")
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= ZIPF_TOP_N))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("n"), F.log("rank")), 4)
+        .alias("zipf_intercept"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 4).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_points"))
+
+
+COOC_TOP_TOKENS = 30
+COOC_MIN_PAIRS = 5
+
+
+def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the corpus' top keywords:
+    which of the head tokens co-occur in documents more than independence
+    predicts — topic structure from counts alone.
+
+    Scale shape: the candidate vocabulary is capped to the top-K head
+    (broadcast set), so the per-doc pair explosion is bounded at K²/2 per
+    doc regardless of document length; counts are two-phase aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_toks = (docs.select("doc_id",
+                            F.explode(F.array_distinct(F.split("text", " ")))
+                            .alias("tok")))
+    top = (doc_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.col("df").desc(), "tok").limit(COOC_TOP_TOKENS))
+    kept = doc_toks.join(F.broadcast(top), "tok")
+    a = kept.select("doc_id", F.col("tok").alias("tok_a"),
+                    F.col("df").alias("df_a"))
+    b = kept.select("doc_id", F.col("tok").alias("tok_b"),
+                    F.col("df").alias("df_b"))
+    pair_counts = (a.join(b, "doc_id")
+                   .where(F.col("tok_a") < F.col("tok_b"))
+                   .groupBy("tok_a", "tok_b", "df_a", "df_b")
+                   .agg(F.count(F.lit(1)).alias("n_ab"))
+                   .where(F.col("n_ab") >= COOC_MIN_PAIRS))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    pmi = F.log(F.col("n_ab") * F.col("n_docs")
+                / (F.col("df_a") * F.col("df_b")))
+    return (pair_counts.join(F.broadcast(n_docs))
+            .select("tok_a", "tok_b", "n_ab", F.round(pmi, 4).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+            .limit(20))
+
+
 QUERIES = {
     "corpus_vocab_growth": corpus_vocab_growth,
     "text_token_length_percentiles": text_token_length_percentiles,
@@ -543,6 +612,8 @@ QUERIES = {
     "sample_hash_bucket": sample_hash_bucket,
     "text_pii_scrub": text_pii_scrub,
     "text_ngram_freq": text_ngram_freq,
+    "text_zipf_fit": text_zipf_fit,
+    "text_keyword_cooccurrence": text_keyword_cooccurrence,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -881,6 +952,45 @@ ORACLE = {
                        '[^\s@]+@[^\s@]+', '<EMAIL>', 'g'),
                    '\d+', '<NUM>', 'g') AS clean_text
         FROM documents
+    """,
+    "text_zipf_fit": """
+        WITH counts AS (
+            SELECT tok, COUNT(1) AS n
+            FROM (SELECT UNNEST(str_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ), ranked AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+            FROM counts QUALIFY rank <= 1000
+        )
+        SELECT ROUND(regr_slope(LN(n), LN(rank)), 4) AS zipf_slope,
+               ROUND(regr_intercept(LN(n), LN(rank)), 4) AS zipf_intercept,
+               ROUND(regr_r2(LN(n), LN(rank)), 4) AS zipf_r2,
+               COUNT(1) AS n_points
+        FROM ranked
+    """,
+    "text_keyword_cooccurrence": """
+        WITH doc_toks AS (
+            SELECT DISTINCT doc_id, UNNEST(str_split(text, ' ')) AS tok
+            FROM documents
+        ), top AS (
+            SELECT tok, COUNT(1) AS df
+            FROM doc_toks GROUP BY tok
+            ORDER BY df DESC, tok LIMIT 30
+        ), kept AS (
+            SELECT doc_id, tok, df FROM doc_toks JOIN top USING (tok)
+        ), pair_counts AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   a.df AS df_a, b.df AS df_b, COUNT(1) AS n_ab
+            FROM kept a JOIN kept b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2, 3, 4
+            HAVING COUNT(1) >= 5
+        ), n AS (SELECT COUNT(1) AS n_docs FROM documents)
+        SELECT tok_a, tok_b, n_ab,
+               ROUND(LN(n_ab * n_docs * 1.0 / (df_a * df_b)), 4) AS pmi
+        FROM pair_counts, n
+        ORDER BY pmi DESC, tok_a, tok_b
+        LIMIT 20
     """,
     "text_ngram_freq": """
         WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),

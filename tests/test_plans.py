@@ -363,3 +363,42 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir, registry):
     plan = plan_of(registry["join_hint_shuffle_hash"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---- sf1 step-up plan assertions (run only when the scaled data exists:
+# python tools/scale_up.py builds it; the scale bench records the same
+# markers into SCALE_r{N}.json) ------------------------------------------
+
+import os as _os
+
+_SF1_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".scratch", "sfscale", "sf1")
+
+needs_sf1 = pytest.mark.skipif(
+    not _os.path.exists(_os.path.join(_SF1_DIR, "lineitem.parquet")),
+    reason="sf1 step-up data not generated (tools/scale_up.py)")
+
+
+@needs_sf1
+def test_sf1_dim_joins_stay_broadcast(spark, registry):
+    """10x the fact side must NOT flip dimension joins to shuffle joins —
+    dims are held fixed by design, so BroadcastHashJoin must survive."""
+    for op in ("join_broadcast", "flagship_q3_topk_revenue",
+               "flagship_q9_product_profit"):
+        plan = plan_of(registry[op](spark, _SF1_DIR))
+        assert "BroadcastHashJoin" in plan, f"{op} lost broadcast at sf1"
+
+
+@needs_sf1
+def test_sf1_pushdown_and_topk_survive(spark, registry):
+    plan = plan_of(registry["filter_time_range"](spark, _SF1_DIR))
+    assert "PushedFilters" in plan
+    plan = plan_of(registry["sort_limit_topk"](spark, _SF1_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+@needs_sf1
+def test_sf1_dpp_still_fires(spark, registry):
+    plan = plan_of(registry["join_dynamic_partition_pruning"](spark, _SF1_DIR))
+    assert "dynamicpruning" in plan.lower()
