@@ -235,18 +235,38 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_BLOCK = 1024  # hot-bucket cap: bounds the per-block quadratic cost
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: blocked self-join on the LSH bucket,
-    exact cosine ≥ threshold inside each block."""
+    exact cosine ≥ threshold inside each block.
+
+    Hot-bucket control — the known failure mode of fixed-plane LSH at
+    scale: a bucket holding B vectors costs B²/2 comparisons, so buckets
+    hotter than MAX_BLOCK are SPLIT by a secondary deterministic hash into
+    ceil(B/MAX_BLOCK) sub-blocks.  Pair candidates then require matching
+    (bucket, sub_block), which bounds every block's quadratic term at
+    MAX_BLOCK² at the cost of missing cross-sub-block pairs inside hot
+    buckets — the standard recall-for-boundedness trade (a production run
+    tunes MAX_BLOCK or adds more planes instead).  Buckets under the cap
+    are unaffected (ceil(B/MAX_BLOCK) = 1 → sub_block 0 for every row).
+    """
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
     bucketed = emb.select("vec_id", "vec").withColumn("bucket", _bucket(F.col("vec")))
-    a = bucketed.select(F.col("vec_id").alias("vec_a"),
-                        F.col("vec").alias("va"), "bucket")
-    b = bucketed.select(F.col("vec_id").alias("vec_b"),
-                        F.col("vec").alias("vb"),
-                        F.col("bucket").alias("bucket_b"))
+    sizes = bucketed.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
+    blocked = (bucketed.join(F.broadcast(sizes), "bucket")
+               .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub"))))
+    a = blocked.select(F.col("vec_id").alias("vec_a"),
+                       F.col("vec").alias("va"), "bucket", "sub")
+    b = blocked.select(F.col("vec_id").alias("vec_b"),
+                       F.col("vec").alias("vb"),
+                       F.col("bucket").alias("bucket_b"),
+                       F.col("sub").alias("sub_b"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("sub") == F.col("sub_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine", F.round(_dot(F.col("va"), F.col("vb")), 4))
         .where(F.col("cosine") >= 0.5)

@@ -276,3 +276,29 @@ def test_multimodal_png_filtered_rows_roundtrip():
            + chunk(b"IEND", b""))
 
     assert _png_decode_gray(png) == pixels
+
+
+def test_embedding_dedup_hot_bucket_split_bounds_blocks(spark, sf_dir):
+    """The hot-bucket cap: every (bucket, sub_block) candidate block must
+    hold <= 2*MAX_BLOCK vectors (hash splitting is approximately even), and
+    at test sf — where all buckets are under the cap — the sub-split must
+    be a no-op (every row in sub_block 0)."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        MAX_BLOCK,
+        _bucket,
+        _with_unit_vec,
+    )
+
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select("vec_id", "vec").withColumn(
+        "bucket", _bucket(F.col("vec")))
+    sizes = bucketed.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
+    blocked = (bucketed.join(F.broadcast(sizes), "bucket")
+               .withColumn("sub", F.pmod(F.xxhash64("vec_id"),
+                                         F.col("n_sub"))))
+    per_block = blocked.groupBy("bucket", "sub").count().collect()
+    assert max(r["count"] for r in per_block) <= 2 * MAX_BLOCK
+    # at this sf every bucket is under the cap → no recall loss
+    assert {r["sub"] for r in per_block} == {0}
