@@ -507,6 +507,82 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("total", F.lit(0.0)).alias("total")))
 
 
+EWMA_ALPHA = 0.3
+
+
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average — the RECURSIVE
+    aggregate (s_i = alpha*x_i + (1-alpha)*s_{i-1}) that SQL window frames
+    cannot express directly.  Each user's value series is collected sorted
+    once (one groupBy shuffle) and the recursion runs as a higher-order
+    ``aggregate`` seeded with the first observation, left-to-right — the
+    same fold DuckDB's list_reduce performs, so the oracle matches bitwise.
+
+    Scale note: per-group state is the user's series; EWMA forgets
+    geometrically, so an unbounded history would be truncated to a bounded
+    tail (slice of the sorted array) without changing the answer at 4dp —
+    the shape stays one shuffle either way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"]).alias("vals"))
+    vals = F.col("vals")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc)
+    return (per_user.select(
+        "user_id", F.size(vals).alias("n_events"),
+        F.round(F.element_at(vals, -1), 4).alias("last_value"),
+        F.round(ewma, 4).alias("ewma_value"))
+        .orderBy("user_id"))
+
+
+def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the purchase stream onto a dense hourly grid with LINEAR
+    interpolation across gaps (the middle ground between gap-fill-zero and
+    forward-fill): missing hours get prev + (next-prev) * elapsed/gap.
+
+    Shape: one hourly aggregate, the generated hour spine, and two
+    ignore-nulls window passes (previous/next known point) — no self-join,
+    so at 100 TB the cost stays the aggregation shuffle plus two sorts of
+    the (tiny) hourly axis.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.round(F.avg("value"), 4).alias("v")))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    g = spine.join(hourly, "hour", "left")
+    wb = W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("hour").rowsBetween(W.currentRow, W.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("hour")),
+                    ignorenulls=True).over(wb)
+    next_t = F.first(F.when(F.col("v").isNotNull(), F.col("hour")),
+                     ignorenulls=True).over(wf)
+    frac = ((F.unix_timestamp("hour") - F.unix_timestamp(prev_t))
+            / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(prev_v.isNull(), next_v)
+              .when(next_v.isNull(), prev_v)
+              .otherwise(prev_v + (next_v - prev_v) * frac))
+    # truncate, not round: interpolated quotients can land exactly on a
+    # decimal half-boundary where Spark and the SQL oracle round apart;
+    # floor of identical doubles cannot diverge (same trick as the rolling
+    # weighted average ops)
+    return (g.select("hour", F.col("v").isNotNull().alias("observed"),
+                     (F.floor(interp * 10000) / 10000).alias("value"))
+            .orderBy("hour"))
+
+
 def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample the event stream into daily OHLC bars per event type:
     open/close via min_by/max_by on the timestamp (argmin/argmax — one hash
@@ -1353,6 +1429,8 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "join_asof_nearest": join_asof_nearest,
     "agg_linear_regression": agg_linear_regression,
+    "timeseries_ewma": timeseries_ewma,
+    "timeseries_resample_interpolate": timeseries_resample_interpolate,
     "merge_scd2_history": merge_scd2_history,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
     "agg_approx_percentile": agg_approx_percentile,
@@ -1807,6 +1885,66 @@ ORACLE = {
                ROUND(MIN(value), 4) AS lo_seen,
                ROUND(MAX(value), 4) AS hi_seen
         FROM events GROUP BY 1
+    """,
+    "timeseries_ewma": """
+        WITH s AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS INT) AS n_events,
+               ROUND(vals[-1], 4) AS last_value,
+               ROUND(CAST(list_reduce(vals,
+                          (acc, x) -> 0.3 * x + 0.7 * acc) AS DOUBLE), 4)
+                   AS ewma_value
+        FROM s
+        ORDER BY user_id
+    """,
+    "timeseries_resample_interpolate": """
+        WITH p AS (
+            SELECT * FROM events WHERE event_type = 'purchase'
+        ), hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, ROUND(AVG(value), 4) AS v
+            FROM p GROUP BY 1
+        ), bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM p
+        ), spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ), g AS (
+            SELECT spine.hour, hourly.v
+            FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+        ), w AS (
+            SELECT hour, v,
+                   last_value(v IGNORE NULLS) OVER
+                       (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS prev_v,
+                   first_value(v IGNORE NULLS) OVER
+                       (ORDER BY hour ROWS BETWEEN CURRENT ROW
+                                              AND UNBOUNDED FOLLOWING) AS next_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN hour END
+                              IGNORE NULLS) OVER
+                       (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS prev_t,
+                   first_value(CASE WHEN v IS NOT NULL THEN hour END
+                               IGNORE NULLS) OVER
+                       (ORDER BY hour ROWS BETWEEN CURRENT ROW
+                                              AND UNBOUNDED FOLLOWING) AS next_t
+            FROM g
+        )
+        SELECT hour, v IS NOT NULL AS observed,
+               FLOOR((CASE WHEN v IS NOT NULL THEN v
+                           WHEN prev_v IS NULL THEN next_v
+                           WHEN next_v IS NULL THEN prev_v
+                           ELSE prev_v + (next_v - prev_v)
+                                * (epoch(hour) - epoch(prev_t))
+                                / (epoch(next_t) - epoch(prev_t))
+                      END) * 10000) / 10000 AS value
+        FROM w
+        ORDER BY hour
     """,
     "agg_linear_regression": """
         SELECT l_returnflag,

@@ -192,11 +192,78 @@ def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+
+def merge_acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff: after the MERGE transaction, diff version 2
+    against version 1 and classify every changed key as updated or
+    inserted — the audit query a versioned table makes free (the reference
+    cannot answer "what did that run change" at all; its sink overwrites
+    blindly, /root/reference/normalization.py:110-130).
+
+    One full-outer join between two immutable snapshots on the merge key;
+    unchanged keys drop out, so the output is bounded by the change-set.
+    """
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    root = os.path.join(SCRATCH, "txtable",
+                        source_tag(sf_dir, "customer"), "diffdemo")
+    shutil.rmtree(root, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .select("c_custkey", "c_name",
+                       F.round(F.col("c_acctbal") + 1000.0, 4)
+                       .alias("c_acctbal")))
+    inserts = updates.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"))
+
+    table = TxTable(spark, root)
+    table.create(cust)
+    table.merge(updates.unionByName(inserts), key="c_custkey")
+
+    v1 = table.read(1).select("c_custkey",
+                              F.col("c_acctbal").alias("bal_v1"))
+    v2 = table.read(2).select("c_custkey",
+                              F.col("c_acctbal").alias("bal_v2"))
+    return (v1.join(v2, "c_custkey", "full_outer")
+            .where(F.col("bal_v1").isNull()
+                   | (F.col("bal_v1") != F.col("bal_v2")))
+            .select("c_custkey", "bal_v1", "bal_v2",
+                    F.when(F.col("bal_v1").isNull(), "inserted")
+                    .otherwise("updated").alias("change"))
+            .orderBy("c_custkey"))
+
+
 QUERIES = {
     "merge_upsert_acid": merge_upsert_acid,
+    "merge_acid_version_diff": merge_acid_version_diff,
 }
 
 ORACLE = {
+    "merge_acid_version_diff": """
+        WITH base AS (
+            SELECT c_custkey, ROUND(c_acctbal, 4) AS bal FROM customer
+        ), updates AS (
+            SELECT c_custkey, ROUND(bal + 1000.0, 4) AS bal2
+            FROM base WHERE c_custkey % 10 = 0
+        ), inserts AS (
+            SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS bal2 FROM updates
+        )
+        SELECT c_custkey, b.bal AS bal_v1, c.bal2 AS bal_v2,
+               CASE WHEN b.bal IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS change
+        FROM (SELECT * FROM updates UNION ALL SELECT * FROM inserts) c
+        LEFT JOIN base b USING (c_custkey)
+        WHERE b.bal IS NULL OR b.bal <> c.bal2
+        ORDER BY c_custkey
+    """,
     "merge_upsert_acid": """
         WITH base AS (
             SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal
