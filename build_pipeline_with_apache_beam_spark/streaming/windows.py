@@ -241,6 +241,62 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(dirs["sink"])
 
 
+
+def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-batch streaming SESSION-window aggregation under a
+    watermark: per-user purchase sessions with a 30-minute inactivity gap,
+    append mode — a session is emitted exactly once, when the watermark
+    (max event time − 2 h) passes its end (last event + gap).  Sessions
+    still open at end-of-stream are withheld, which the oracle mirrors
+    with a session_end cutoff over a batch gaps-and-islands computation.
+
+    The 2-hour delay exceeds the 30-minute gap, so state for a session
+    that could still merge with late events is never evicted early — the
+    invariant that makes streamed sessions equal the batch answer.  State
+    size is bounded by (delay + gap) of per-user history: the watermark is
+    what makes session windows possible on an unbounded stream at all.
+    """
+    from pyspark.sql import Window as W
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"sesswin_src_{sf_tag}")
+    sink_dir = os.path.join(SCRATCH, f"sesswin_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"sesswin_ckpt_{sf_tag}")
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    if not os.path.exists(src_dir):
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("event_type") == "purchase")
+        (ev.withColumn("part", F.ntile(3).over(W.orderBy("ts")))
+         .repartition(1).sortWithinPartitions("ts")
+         .write.mode("overwrite").partitionBy("part").parquet(src_dir))
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir)
+              .select("user_id", "ts", "value"))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .select("user_id",
+                   F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"),
+                   "n_events", "sum_value"))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (agg.writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(sink_dir)
+
+
 QUERIES = {
     "window_tumbling_agg": q_window_tumbling_agg,
     "window_sliding_agg": q_window_sliding_agg,
@@ -249,6 +305,7 @@ QUERIES = {
     "stream_foreach_batch_sink": q_stream_foreach_batch_sink,
     "stream_window_append_watermark": q_stream_window_append_watermark,
     "stream_stream_interval_join": q_stream_stream_interval_join,
+    "stream_session_window_watermark": q_stream_session_window_watermark,
 }
 
 # naive-timestamp bucket arithmetic (no to_timestamp: that returns TIMESTAMPTZ
@@ -319,6 +376,32 @@ ORACLE = {
         )
         SELECT w_start, w_end, n_events, sum_value FROM w
         WHERE w_end <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
+    """,
+    "stream_session_window_watermark": """
+        WITH p AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   COUNT(1) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM sessions GROUP BY user_id, sid
+        )
+        SELECT * FROM agg
+        WHERE session_end <= (SELECT MAX(ts) FROM p) - INTERVAL '2 hours'
     """,
     "stream_stream_interval_join": """
         SELECT c.event_id AS click_id, p.event_id AS purch_id,
