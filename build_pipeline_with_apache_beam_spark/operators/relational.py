@@ -568,18 +568,26 @@ def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFra
                     ignorenulls=True).over(wb)
     next_t = F.first(F.when(F.col("v").isNotNull(), F.col("hour")),
                      ignorenulls=True).over(wf)
-    frac = ((F.unix_timestamp("hour") - F.unix_timestamp(prev_t))
-            / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)))
-    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
-              .when(prev_v.isNull(), next_v)
-              .when(next_v.isNull(), prev_v)
-              .otherwise(prev_v + (next_v - prev_v) * frac))
-    # truncate, not round: interpolated quotients can land exactly on a
-    # decimal half-boundary where Spark and the SQL oracle round apart;
-    # floor of identical doubles cannot diverge (same trick as the rolling
-    # weighted average ops)
-    return (g.select("hour", F.col("v").isNotNull().alias("observed"),
-                     (F.floor(interp * 10000) / 10000).alias("value"))
+    # EXACT integer interpolation: endpoints scaled to basis points
+    # (bigint), weighted by integer second offsets, one floor division.
+    # Float interpolation diverges from the SQL oracle in the low bits on
+    # floor/round boundaries; integer arithmetic is engine-identical.
+    prev_i = F.round(prev_v * 10000).cast("long")
+    next_i = F.round(next_v * 10000).cast("long")
+    t, tp, tn = (F.unix_timestamp("hour"), F.unix_timestamp(prev_t),
+                 F.unix_timestamp(next_t))
+    interp_i = F.expr(
+        "(_prev_i * (_tn - _t) + _next_i * (_t - _tp)) div (_tn - _tp)")
+    staged = g.select(
+        "hour", "v", prev_v.alias("pv"), next_v.alias("nv"),
+        prev_i.alias("_prev_i"), next_i.alias("_next_i"),
+        t.alias("_t"), tp.alias("_tp"), tn.alias("_tn"))
+    value = (F.when(F.col("v").isNotNull(), F.col("v"))
+             .when(F.col("pv").isNull(), F.col("nv"))
+             .when(F.col("nv").isNull(), F.col("pv"))
+             .otherwise(interp_i / 10000))
+    return (staged.select("hour", F.col("v").isNotNull().alias("observed"),
+                          value.alias("value"))
             .orderBy("hour"))
 
 
@@ -1936,13 +1944,16 @@ ORACLE = {
             FROM g
         )
         SELECT hour, v IS NOT NULL AS observed,
-               FLOOR((CASE WHEN v IS NOT NULL THEN v
-                           WHEN prev_v IS NULL THEN next_v
-                           WHEN next_v IS NULL THEN prev_v
-                           ELSE prev_v + (next_v - prev_v)
-                                * (epoch(hour) - epoch(prev_t))
-                                / (epoch(next_t) - epoch(prev_t))
-                      END) * 10000) / 10000 AS value
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_v IS NULL THEN next_v
+                    WHEN next_v IS NULL THEN prev_v
+                    ELSE (CAST(ROUND(prev_v * 10000) AS BIGINT)
+                          * CAST(epoch(next_t) - epoch(hour) AS BIGINT)
+                          + CAST(ROUND(next_v * 10000) AS BIGINT)
+                          * CAST(epoch(hour) - epoch(prev_t) AS BIGINT))
+                         // CAST(epoch(next_t) - epoch(prev_t) AS BIGINT)
+                         / 10000.0
+               END AS value
         FROM w
         ORDER BY hour
     """,
