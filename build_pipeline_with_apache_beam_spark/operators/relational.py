@@ -1132,6 +1132,65 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps: per (group,
+    bucket) a fixed-size bitmap of bit positions, then the distinct count
+    is the sum of bitmap popcounts — Spark's bitmap_construct_agg /
+    bitmap_count surface.
+
+    Why it matters at 100 TB: COUNT(DISTINCT key) shuffles every distinct
+    key; the bitmap form shuffles one bounded bitmap per (group, bucket)
+    and composes incrementally (bitmaps OR-merge across days/partitions),
+    which is how warehouses maintain exact distinct counts under streaming
+    ingest.  The oracle is plain COUNT(DISTINCT) — same answer, different
+    physics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy("event_type",
+                   F.bitmap_bucket_number(F.col("user_id")).alias("bkt"))
+        .agg(F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))).alias("bm"))
+    )
+    return (per_bucket.groupBy("event_type")
+            .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
+            .orderBy("event_type"))
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: child rows whose
+    FK has no parent (orders→customer, lineitem→orders, customer→nation),
+    one row per relationship with child/orphan counts.
+
+    Each check is a LEFT ANTI join — the filtering side carries no
+    payload, dims broadcast, and the fact-to-fact check shuffles on the
+    join key once.  The fixture is referentially intact, so expected
+    orphans are zero — which is exactly what a DQ gate asserts nightly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def check(name: str, child: DataFrame, key, parent: DataFrame,
+              pkey, bcast: bool) -> DataFrame:
+        p = parent.select(pkey)
+        orphans = child.join(F.broadcast(p) if bcast else p,
+                             child[key] == p[pkey], "left_anti")
+        return child.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child_rows")).join(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+
+    return (check("orders->customer", orders, "o_custkey", cust,
+                  "c_custkey", True)
+            .unionByName(check("lineitem->orders", li, "l_orderkey",
+                               orders, "o_orderkey", False))
+            .unionByName(check("customer->nation", cust, "c_nationkey",
+                               nation, "n_nationkey", True))
+            .orderBy("relationship"))
+
+
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (rows-only: sketch values are
     engine-specific, like agg_approx_count_distinct / agg_hll_sketch_merge).
@@ -1437,6 +1496,8 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "join_asof_nearest": join_asof_nearest,
     "agg_linear_regression": agg_linear_regression,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
+    "dq_referential_integrity": dq_referential_integrity,
     "timeseries_ewma": timeseries_ewma,
     "timeseries_resample_interpolate": timeseries_resample_interpolate,
     "merge_scd2_history": merge_scd2_history,
@@ -1956,6 +2017,34 @@ ORACLE = {
                END AS value
         FROM w
         ORDER BY hour
+    """,
+    "agg_bitmap_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_distinct_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "dq_referential_integrity": """
+        SELECT 'orders->customer' AS relationship,
+               (SELECT COUNT(1) FROM orders) AS n_child_rows,
+               (SELECT COUNT(1) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT COUNT(1) FROM lineitem),
+               (SELECT COUNT(1) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT COUNT(1) FROM customer),
+               (SELECT COUNT(1) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        ORDER BY relationship
     """,
     "agg_linear_regression": """
         SELECT l_returnflag,

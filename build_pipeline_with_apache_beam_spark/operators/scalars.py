@@ -355,7 +355,29 @@ def scalar_json_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def scalar_json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiling: which keys appear in the events'
+    JSON props and how often — the first query anyone runs against a
+    landed JSON feed (schema drift shows up as new/vanishing keys).
+
+    json_object_keys + explode + one count: key presence collapses
+    map-side, so the shuffle carries the (tiny) key vocabulary; the JSON
+    parse rides the scan projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.select(F.count(F.lit(1)).alias("n_rows"))
+    keys = ev.select(F.explode(F.json_object_keys("props")).alias("key"))
+    return (keys.groupBy("key").agg(F.count(F.lit(1)).alias("n_present"))
+            .join(F.broadcast(n_rows))
+            .select("key", "n_present",
+                    F.round(F.col("n_present") / F.col("n_rows"), 4)
+                    .alias("presence_rate"))
+            .orderBy("key"))
+
+
 QUERIES = {
+    "scalar_json_keys_profile": scalar_json_keys_profile,
     "scalar_json_array_parse": scalar_json_array_parse,
     "reshape_explode_map": reshape_explode_map,
     "scalar_collation_group": scalar_collation_group,
@@ -377,6 +399,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_json_keys_profile": """
+        WITH keys AS (
+            SELECT UNNEST(json_keys(props)) AS key FROM events
+        ), n AS (SELECT COUNT(1) AS n_rows FROM events)
+        SELECT key, COUNT(1) AS n_present,
+               ROUND(COUNT(1) * 1.0 / MAX(n_rows), 4) AS presence_rate
+        FROM keys, n
+        GROUP BY key
+        ORDER BY key
+    """,
     "scalar_json_array_parse": """
         SELECT event_id,
                '[' || event_id || ',' || (event_id % 7) || ','
