@@ -593,6 +593,64 @@ def corpus_mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> Dat
         .orderBy("source"))
 
 
+
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: frequency of adjacent
+    SYMBOL PAIRS inside words, weighted by word frequency — the statistic
+    each merge round of byte-pair encoding maximizes.
+
+    The corpus collapses to the word vocabulary first (two-phase count:
+    shuffle carries distinct words, not corpus positions), so the
+    character-pair explosion runs over vocabulary entries weighted by
+    their counts — at 100 TB this is the difference between exploding the
+    corpus (10^12 positions) and exploding the vocabulary (10^6 words).
+    Top-20 pairs by weighted frequency, ties broken lexicographically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.length("w") >= 2)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wf")))
+    pair = F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1),"
+        " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+    )).alias("pair")
+    return (words.select(pair, "wf")
+            .groupBy("pair").agg(F.sum("wf").alias("pair_freq"))
+            .orderBy(F.col("pair_freq").desc(), "pair")
+            .limit(20))
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of symmetric int8 quantization, per label:
+    mean and max absolute element error of dequantize(quantize(unit_vec)).
+    The acceptance metric for shipping a quantized ANN index — run before
+    swapping the fp32 index for the 4x-smaller int8 one.
+
+    One projection computes quantize→dequantize→error with higher-order
+    functions (zero Python); per-label stats are one algebraic aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: x / norm)
+    # quantize to int8, dequantize, element-wise |error|
+    err = F.zip_with(
+        unit,
+        F.transform(unit, lambda x: F.round(x * 127) / 127),
+        lambda a, b: F.abs(a - b))
+    return (emb.select("label",
+                       F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+                       .alias("sum_err"),
+                       F.array_max(err).alias("max_err"),
+                       F.size(err).alias("dim"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum("sum_err") / F.sum("dim"), 6)
+                 .alias("mean_abs_err"),
+                 F.round(F.max("max_err"), 6).alias("max_abs_err"))
+            .orderBy("label"))
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
@@ -603,6 +661,8 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "corpus_template_detection": corpus_template_detection,
     "corpus_mixture_temperature_sampling": corpus_mixture_temperature_sampling,
+    "corpus_bpe_pair_stats": corpus_bpe_pair_stats,
+    "embedding_quantize_error": embedding_quantize_error,
     "embedding_norm_outliers": embedding_norm_outliers,
     "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
     "corpus_global_shuffle": corpus_global_shuffle,
@@ -714,6 +774,48 @@ ORACLE = {
                                   AND split = 'train') AS n_train
         FROM staged
     """.format(b=_BUCKET_64K_SQL.format(c="text")),
+    "corpus_bpe_pair_stats": """
+        WITH words AS (
+            SELECT w, COUNT(1) AS wf
+            FROM (SELECT UNNEST(str_split(text, ' ')) AS w FROM documents)
+            WHERE LENGTH(w) >= 2
+            GROUP BY w
+        ), pairs AS (
+            SELECT UNNEST(list_transform(range(1, LENGTH(w)),
+                          i -> SUBSTRING(w, CAST(i AS INT), 1) || ' ' ||
+                               SUBSTRING(w, CAST(i AS INT) + 1, 1)))
+                       AS pair,
+                   wf
+            FROM words
+        )
+        SELECT pair, SUM(wf) AS pair_freq
+        FROM pairs
+        GROUP BY pair
+        ORDER BY pair_freq DESC, pair
+        LIMIT 20
+    """,
+    "embedding_quantize_error": """
+        WITH t AS (
+            SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        ), u AS (
+            SELECT label,
+                   list_transform(v, x -> x / sqrt(list_sum(
+                       list_transform(v, y -> y * y)))) AS unit
+            FROM t
+        ), e AS (
+            SELECT label,
+                   list_transform(unit, x -> ABS(x - ROUND(x * 127) / 127))
+                       AS err
+            FROM u
+        )
+        SELECT label,
+               COUNT(1) AS n_vecs,
+               ROUND(SUM(list_sum(err)) / SUM(len(err)), 6) AS mean_abs_err,
+               ROUND(MAX(list_max(err)), 6) AS max_abs_err
+        FROM e
+        GROUP BY label
+        ORDER BY label
+    """,
     "corpus_mixture_temperature_sampling": """
         WITH counts AS (
             SELECT source, COUNT(1) AS n_docs FROM documents GROUP BY source

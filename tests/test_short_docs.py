@@ -15,6 +15,7 @@ import os
 import pytest
 
 import duckdb
+from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.oracle import compare
 from build_pipeline_with_apache_beam_spark.registry import oracle_sql, queries
@@ -76,3 +77,39 @@ def test_char_ngrams_empty_for_short_text(spark, short_sf_dir):
     assert rows[0].n_char3 == 0 and rows[0].n_distinct_char3 == 0
     assert rows[6].n_char3 == 0 and rows[6].n_distinct_char3 == 0
     assert rows[4].n_char3 == len(_SHORT_DOCS[4][1]) - 2
+
+
+from hypothesis import given, settings, strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=12), min_size=1, max_size=30)
+
+
+def _py_word_ngrams(text: str, n: int) -> list[str]:
+    toks = text.split(" ")  # Spark split semantics: "" -> [""]
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(_texts)
+def test_word_ngrams_matches_python_reference(spark, texts):
+    """Property: the guarded HOF n-gram builder equals the obvious Python
+    implementation on arbitrary (including degenerate) inputs."""
+    from build_pipeline_with_apache_beam_spark.functions.ngrams import (
+        word_ngrams,
+        word_ngrams_sql,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    toks = F.split("text", " ")
+    got = {r.i: (r.g2, r.g5) for r in df.select(
+        "i",
+        F.expr(word_ngrams_sql("toks", 2).replace("toks", "split(text, ' ')"))
+        .alias("g2"),
+        word_ngrams(toks, 5).alias("g5")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i][0] == _py_word_ngrams(t, 2), (t, got[i][0])
+        assert got[i][1] == _py_word_ngrams(t, 5), (t, got[i][1])
