@@ -40,20 +40,33 @@ def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole game.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # DECIMAL aggregation: the fixture's measures are exact 4-decimal
+    # values, so summing them as DECIMAL is lossless AND exact — the same
+    # answer on any engine, any parallelism, any scale factor.  Float sums
+    # associate differently across partition counts and start flipping the
+    # 4th decimal around a few million rows (observed at sf1); TPC-H
+    # itself specifies these columns as DECIMAL for exactly this reason.
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    n = F.count(F.lit(1))
+
+    def r4(c):
+        return F.round(c.cast("double"), 4)
+
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-             .alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                          * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            r4(F.sum(qty)).alias("sum_qty"),
+            r4(F.sum(price)).alias("sum_base_price"),
+            r4(F.sum(price * (1 - disc))).alias("sum_disc_price"),
+            r4(F.sum(price * (1 - disc) * (1 + tax))).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -552,8 +565,15 @@ def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFra
     """
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase")
-    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
-              .agg(F.round(F.avg("value"), 4).alias("v")))
+    # all-integer hourly mean: values are exact 4-decimal, so sum basis
+    # points (bigint) and floor-divide by the count — engine-exact at any
+    # row count AND free of round-half boundaries (float AVG flips the 4th
+    # decimal on big buckets; rounded exact division still ties on .5)
+    bp = F.round(F.col("value") * 10000).cast("long")
+    hourly = (ev.select(F.date_trunc("hour", "ts").alias("hour"),
+                        bp.alias("_bp"))
+              .groupBy("hour")
+              .agg((F.expr("sum(_bp) div count(1)") / 10000).alias("v")))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"))
@@ -1522,17 +1542,27 @@ QUERIES = {
 
 ORACLE = {
     "agg_groupby_multi": """
+        WITH d AS (
+            SELECT l_returnflag, l_linestatus,
+                   l_quantity::DECIMAL(18,4) AS qty,
+                   l_extendedprice::DECIMAL(18,4) AS price,
+                   l_discount::DECIMAL(8,4) AS disc,
+                   l_tax::DECIMAL(8,4) AS tax
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        )
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               ROUND(CAST(SUM(qty) AS DOUBLE), 4) AS sum_qty,
+               ROUND(CAST(SUM(price) AS DOUBLE), 4) AS sum_base_price,
+               ROUND(CAST(SUM(price * (1 - disc)) AS DOUBLE), 4)
+                   AS sum_disc_price,
+               ROUND(CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE), 4)
+                   AS sum_charge,
+               ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(1), 4) AS avg_qty,
+               ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(1), 4) AS avg_price,
+               ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(1), 4) AS avg_disc,
                COUNT(1) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        FROM d
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
@@ -1974,7 +2004,9 @@ ORACLE = {
         WITH p AS (
             SELECT * FROM events WHERE event_type = 'purchase'
         ), hourly AS (
-            SELECT date_trunc('hour', ts) AS hour, ROUND(AVG(value), 4) AS v
+            SELECT date_trunc('hour', ts) AS hour,
+                   (SUM(CAST(ROUND(value * 10000) AS BIGINT)) // COUNT(1))
+                       / 10000.0 AS v
             FROM p GROUP BY 1
         ), bounds AS (
             SELECT date_trunc('hour', MIN(ts)) AS lo,
