@@ -101,14 +101,17 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour rolling sum per user via a RANGE window frame.
 
-    RANGE (not ROWS) over event-time seconds: all peers with equal ts share
-    the frame, so the result is deterministic under timestamp ties without a
-    tiebreak column.  One shuffle on user_id; the frame scan is a sorted-run
-    sliding window, O(n) per partition.
+    RANGE (not ROWS) over event-time MICROSECONDS: all peers with equal ts
+    share the frame, so the result is deterministic under timestamp ties
+    without a tiebreak column — and the frame boundary is exact at the
+    timestamp's native precision (second-truncated ordering silently
+    admits/excludes boundary rows once events are dense enough to collide
+    within a second, observed at sf1).  One shuffle on user_id; the frame
+    scan is a sorted-run sliding window, O(n) per partition.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (W.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
-         .rangeBetween(-3600, 0))
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
     return ev.select(
         "user_id", "event_id", "ts",
         F.round(F.sum("value").over(w), 4).alias("trailing_1h_value"),
@@ -156,8 +159,10 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("l_orderkey") == F.col("o_orderkey"))
                         & (salted["salt"] == replicated["salt"]))
             .groupBy("o_orderpriority")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            # decimal revenue sum: engine-exact on multi-million-row groups
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                               * (1 - F.col("l_discount").cast("decimal(8,4)")))
+                         .cast("double"), 4).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -563,7 +568,9 @@ ORACLE = {
     """,
     "join_skew_salted": """
         SELECT o.o_orderpriority,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               ROUND(CAST(SUM(l.l_extendedprice::DECIMAL(18,4)
+                              * (1 - l.l_discount::DECIMAL(8,4)))
+                          AS DOUBLE), 4) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority

@@ -916,10 +916,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small, which would bypass the bucketed layout this op demonstrates
     # (at 100 TB neither fact side broadcasts and SMJ is what Spark picks)
     li = li.hint("merge")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
     return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .groupBy("o_orderpriority")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
+            # decimal revenue sum: engine-exact on multi-million-row groups
+            .agg(F.round(F.sum(price * (1 - disc)).cast("double"), 4)
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
@@ -1767,7 +1769,9 @@ ORACLE = {
     """,
     "join_bucketed_colocated": """
         SELECT o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))) AS DOUBLE), 4)
+                   AS revenue,
                COUNT(1) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority

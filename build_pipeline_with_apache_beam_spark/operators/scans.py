@@ -142,7 +142,11 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy(F.coalesce("o_orderpriority", F.lit("(pre-schema)"))
                        .alias("priority"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 4).alias("total"))
+             # decimal sum: engine-exact at any row count (float sums flip
+             # the 4th decimal on multi-million-row groups; prices are
+             # exact 4-decimal values, so the cast is lossless)
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                     .cast("double"), 4).alias("total"))
         .orderBy("priority")
     )
 
@@ -487,7 +491,8 @@ ORACLE = {
         SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
                         '(pre-schema)') AS priority,
                COUNT(1) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total
+               ROUND(CAST(SUM(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 4)
+                   AS total
         FROM orders
         GROUP BY 1
         ORDER BY priority

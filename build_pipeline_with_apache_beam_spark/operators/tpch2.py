@@ -412,8 +412,10 @@ def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                     4).alias("revenue"),
+        # decimal revenue sum: engine-exact on multi-million-row groups
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                           * (1 - F.col("l_discount").cast("decimal(8,4)")))
+                     .cast("double"), 4).alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
@@ -438,7 +440,9 @@ QUERIES = {
 ORACLE = {
     "flagship_star_rollup": """
         SELECT r_name, n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))) AS DOUBLE), 4)
+                   AS revenue,
                COUNT(1) AS n_lines
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey

@@ -6,6 +6,12 @@ row-count + column names + order-insensitive values (exact — see
 build_pipeline_with_apache_beam_spark/oracle.py).
 
 Usage: python tools/check_correctness.py [sf_dir] [op ...]
+
+Set CHECK_MAX_ROWS to cap result size (default unlimited): ops whose
+Spark result exceeds the cap are recorded as SKIP-LARGE instead of
+collected — the compare is driver-side by design (it IS the oracle
+harness, not a data path), so at big scale factors row-heavy outputs
+are sampled out rather than materialized.
 """
 
 from __future__ import annotations
@@ -37,6 +43,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            max_rows = int(os.environ.get("CHECK_MAX_ROWS", "0"))
+            if max_rows and sdf.count() > max_rows:
+                print(f"SKIP-LARGE {name}: > {max_rows} rows "
+                      f"({time.time()-t0:.1f}s)")
+                continue
             if name not in oracles:
                 n = sdf.count()
                 print(f"ROWS-ONLY {name}: {n} rows  ({time.time()-t0:.1f}s)")
