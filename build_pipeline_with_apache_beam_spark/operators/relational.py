@@ -1033,9 +1033,11 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.hint("shuffle_hash"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
+        # decimal revenue sum: engine-exact on multi-million-row groups
         .agg(F.count(F.lit(1)).alias("n_lines"),
-             F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
+             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                           * (1 - F.col("l_discount").cast("decimal(8,4)")))
+                     .cast("double"), 4).alias("revenue"))
         .orderBy("o_orderpriority")
     )
 
@@ -1713,7 +1715,9 @@ ORACLE = {
     """,
     "join_hint_shuffle_hash": """
         SELECT o_orderpriority, COUNT(1) AS n_lines,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+               ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))) AS DOUBLE), 4)
+                   AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority

@@ -73,12 +73,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity = F.size(F.array_distinct(toks)) / n
     len_score = F.least(n / F.lit(30.0), F.lit(1.0))
     stop_ratio = n_stop / n
-    score = F.round(0.4 * len_score + 0.3 * (1 - stop_ratio) + 0.3 * diversity, 4)
+    # truncate, don't round: the components are small-integer rationals
+    # (n_stop/n etc.), which land exactly on decimal half-boundaries often
+    # enough to flip ROUND between engines at scale; floor of identical
+    # doubles cannot diverge
+    def t4(c):
+        return F.floor(c * 10000) / 10000
+
+    score = 0.4 * len_score + 0.3 * (1 - stop_ratio) + 0.3 * diversity
     return docs.select(
         "doc_id",
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(diversity, 4).alias("diversity"),
-        score.alias("quality_score"),
+        t4(stop_ratio).alias("stopword_ratio"),
+        t4(diversity).alias("diversity"),
+        t4(score).alias("quality_score"),
     )
 
 
@@ -896,11 +903,12 @@ ORACLE = {
             FROM t
         )
         SELECT doc_id,
-               ROUND(n_stop * 1.0 / n, 4) AS stopword_ratio,
-               ROUND(n_dist * 1.0 / n, 4) AS diversity,
-               ROUND(0.4 * LEAST(n / 30.0, 1.0)
-                     + 0.3 * (1 - n_stop * 1.0 / n)
-                     + 0.3 * (n_dist * 1.0 / n), 4) AS quality_score
+               FLOOR(n_stop * 1.0 / n * 10000) / 10000 AS stopword_ratio,
+               FLOOR(n_dist * 1.0 / n * 10000) / 10000 AS diversity,
+               FLOOR((0.4 * LEAST(n / 30.0, 1.0)
+                      + 0.3 * (1 - n_stop * 1.0 / n)
+                      + 0.3 * (n_dist * 1.0 / n)) * 10000) / 10000
+                   AS quality_score
         FROM m
     """,
     "text_lang_id": f"""
