@@ -867,6 +867,36 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("t2") - F.col("t1")).alias("gap_us")))
 
 
+def join_range_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketized big-to-big range join with a BOUNDED output: instead
+    of materializing every event pair within 2 minutes (quadratic-ish rows
+    that no driver should collect), aggregate the pairspace into a 10-second
+    gap histogram — pair count and distinct left events per gap bin.
+
+    Same join physics as join_range_bucketized (time-bucket equi-join +
+    residual predicate); the aggregation collapses map-side, so the output
+    is 13 rows at any scale factor — this is the form the sf1 oracle sweep
+    can verify exactly where the raw pair dump cannot be compared.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = (ev.select(F.col("event_id").alias("e1_id"), us.alias("t1"))
+         .withColumn("bkt", F.explode(F.array(
+             F.expr(f"t1 div {_RANGE_W_US}"),
+             F.expr(f"t1 div {_RANGE_W_US}") + 1))))
+    b = ev.select(F.col("event_id").alias("e2_id"), us.alias("t2"),
+                  F.expr(f"unix_micros(ts) div {_RANGE_W_US}").alias("bkt2"))
+    pairs = (a.join(b, (F.col("bkt") == F.col("bkt2"))
+                    & (F.col("t2") >= F.col("t1"))
+                    & (F.col("t2") <= F.col("t1") + _RANGE_W_US)
+                    & (F.col("e1_id") != F.col("e2_id")))
+             .select("e1_id", (F.col("t2") - F.col("t1")).alias("gap_us")))
+    return (pairs.groupBy(F.expr("gap_us div 10000000").alias("gap_10s_bin"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("e1_id").alias("n_left_events"))
+            .orderBy("gap_10s_bin"))
+
+
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect-style aggregation, made deterministic: the per-group distinct
     set is sorted before serialization (collect_set order is otherwise
@@ -1523,6 +1553,7 @@ QUERIES = {
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "dq_referential_integrity": dq_referential_integrity,
     "timeseries_ewma": timeseries_ewma,
+    "join_range_gap_histogram": join_range_gap_histogram,
     "timeseries_resample_interpolate": timeseries_resample_interpolate,
     "merge_scd2_history": merge_scd2_history,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
@@ -1992,6 +2023,22 @@ ORACLE = {
                ROUND(MIN(value), 4) AS lo_seen,
                ROUND(MAX(value), 4) AS hi_seen
         FROM events GROUP BY 1
+    """,
+    "join_range_gap_histogram": """
+        WITH e AS (
+            SELECT event_id, epoch_us(ts) AS t FROM events
+        ), pairs AS (
+            SELECT a.event_id AS e1_id, b.t - a.t AS gap_us
+            FROM e a JOIN e b
+              ON b.t >= a.t AND b.t <= a.t + 120000000
+             AND a.event_id <> b.event_id
+        )
+        SELECT gap_us // 10000000 AS gap_10s_bin,
+               COUNT(1) AS n_pairs,
+               CAST(COUNT(DISTINCT e1_id) AS BIGINT) AS n_left_events
+        FROM pairs
+        GROUP BY 1
+        ORDER BY gap_10s_bin
     """,
     "timeseries_ewma": """
         WITH s AS (
