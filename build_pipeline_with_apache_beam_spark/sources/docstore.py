@@ -320,9 +320,116 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir)
 
 
+
+def append_batch(spark: SparkSession, root: str, df: DataFrame,
+                 name: str) -> dict:
+    """The docstore WRITE path: append a batch as one new JSONL file plus
+    an atomic manifest update — the producer side of the streaming tail.
+
+    Protocol (matches the reader's assumptions exactly):
+    1. the batch is written DISTRIBUTED to a staging dir (executors do the
+       JSON encoding), then concatenated into one named collection file —
+       a file never becomes visible until fully written;
+    2. the manifest is republished via write-tmp + ``os.replace`` (atomic
+       on POSIX), with the new entry APPENDED — the streaming reader's
+       offset is a file index, so appends never reorder committed history;
+    3. an ``O_EXCL`` lock file serializes concurrent appenders (writers
+       retry briefly); crash mid-append leaves either no new entry (the
+       data file is unreferenced garbage) or the full entry — never a
+       half-visible batch.
+
+    Returns the appended manifest entry.  At scale the staging write is
+    the same distributed JSON write the lake sink uses; only the manifest
+    hop is driver-side (one small file), like every log-structured store.
+    """
+    import shutil
+    import time
+    import uuid
+
+    staging = os.path.join(root, f"_append_{uuid.uuid4().hex}")
+    (df.select("event_id", "ts_micros", "user_id", "event_type", "value")
+       .write.mode("overwrite").json(staging))
+
+    out_name = f"{name}.jsonl"
+    lo, hi = float("inf"), float("-inf")
+    n = 0
+    with open(os.path.join(root, out_name), "w") as out:
+        for part in sorted(os.listdir(staging)):
+            if not part.endswith(".json"):
+                continue
+            with open(os.path.join(staging, part)) as fh:
+                for line in fh:
+                    doc = json.loads(line)
+                    lo, hi = min(lo, doc["ts_micros"]), max(hi, doc["ts_micros"])
+                    n += 1
+                    out.write(line)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    entry = {"file": out_name, "min_ts": lo, "max_ts": hi}
+    lock = os.path.join(root, ".manifest.lock")
+    for _ in range(50):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            time.sleep(0.1)
+    else:
+        raise TimeoutError(f"could not lock manifest under {root}")
+    try:
+        with open(os.path.join(root, MANIFEST)) as fh:
+            manifest = json.load(fh)
+        manifest.append(entry)
+        tmp = os.path.join(root, f".manifest.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(root, MANIFEST))
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    return entry
+
+
+def sink_docstore_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the docstore WRITE path: copy the collection,
+    append a late-arriving batch (the top-200 event_ids re-keyed above the
+    existing range) via append_batch, then re-read EVERYTHING through the
+    docstore source and aggregate — the oracle is the same aggregate over
+    original ∪ appended in SQL, so the append is verified lossless and
+    immediately visible to readers."""
+    import shutil
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    src = build_collection(spark, sf_dir)
+    root = os.path.join(SCRATCH, f"docstore_append_{source_tag(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(src, root)
+
+    ev = load_table(spark, sf_dir, "events")
+    late = (ev.orderBy(F.col("event_id").desc()).limit(200)
+            .select((F.col("event_id") + 10_000_000).alias("event_id"),
+                    F.unix_micros("ts").alias("ts_micros"),
+                    "user_id", "event_type", "value"))
+    append_batch(spark, root, late, name="late-batch")
+
+    back = spark.read.format("docstore").option("path", root).load()
+    return (back.groupBy("event_type")
+            # decimal sum: engine-exact at any scale (values are exact 4dp)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                         .cast("double"), 4).alias("total_value"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "scan_docstore_pushdown": scan_docstore_pushdown,
     "stream_docstore_tail": stream_docstore_tail,
+    "sink_docstore_append": sink_docstore_append,
 }
 
 ORACLE = {
@@ -332,6 +439,21 @@ ORACLE = {
         FROM events
         WHERE ts >= TIMESTAMP '{_TS_LO}' AND ts <= TIMESTAMP '{_TS_HI}'
           AND event_type = 'purchase'
+    """,
+    "sink_docstore_append": """
+        WITH late AS (
+            SELECT event_type, value FROM events
+            ORDER BY event_id DESC LIMIT 200
+        ), unioned AS (
+            SELECT event_type, value FROM events
+            UNION ALL SELECT event_type, value FROM late
+        )
+        SELECT event_type, COUNT(1) AS n_events,
+               ROUND(CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE), 4)
+                   AS total_value
+        FROM unioned
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "stream_docstore_tail": """
         SELECT event_type, COUNT(1) AS n_events,

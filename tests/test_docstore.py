@@ -129,3 +129,46 @@ def test_docstore_scan_matches_native_parquet_read(spark, sf_dir):
                    & (F.col("event_type") == "purchase")))
     assert got.count() == want.count()
     assert got.where(F.col("event_type") != "purchase").count() == 0
+
+
+def test_concurrent_appends_serialize_without_loss(spark, sf_dir, tmp_path):
+    """Two threads appending batches concurrently: the manifest lock
+    serializes the commits, so BOTH batches land (no lost manifest entry)
+    and the collection re-reads with every appended row."""
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        DocStoreDataSource,
+        append_batch,
+        build_collection,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    src = build_collection(spark, sf_dir)
+    root = str(tmp_path / "appcoll")
+    shutil.copytree(src, root)
+
+    ev = load_table(spark, sf_dir, "events")
+    base_n = spark.read.format("docstore").option("path", root).load().count()
+
+    def one_batch(tag, offset):
+        late = (ev.orderBy("event_id").limit(50)
+                .select((F.col("event_id") + offset).alias("event_id"),
+                        F.unix_micros("ts").alias("ts_micros"),
+                        "user_id", "event_type", "value"))
+        append_batch(spark, root, late, name=f"batch-{tag}")
+
+    ta = threading.Thread(target=one_batch, args=("a", 20_000_000))
+    tb = threading.Thread(target=one_batch, args=("b", 30_000_000))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    names = {m["file"] for m in manifest}
+    assert {"batch-a.jsonl", "batch-b.jsonl"} <= names, "manifest entry lost"
+    total = spark.read.format("docstore").option("path", root).load().count()
+    assert total == base_n + 100
