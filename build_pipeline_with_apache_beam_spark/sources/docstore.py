@@ -261,8 +261,10 @@ def open_docstore(spark: SparkSession, sf_dir: str, stream: bool = False,
     )
 
     spark.dataSource.register(DocStoreDataSource)
-    defaults = {"path": overrides.pop("path", None)
-                or build_collection(spark, sf_dir)}
+    # the built collection is only the DEFAULT path (lowest layer); an
+    # explicit path= stays in overrides, so it wins over env/profile
+    # config exactly as the documented precedence requires
+    defaults = {"path": build_collection(spark, sf_dir)}
     opts = resolve_options("docstore", defaults=defaults, overrides=overrides)
     reader = spark.readStream if stream else spark.read
     return reader.format("docstore").options(**opts).load()
@@ -322,7 +324,7 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def append_batch(spark: SparkSession, root: str, df: DataFrame,
-                 name: str) -> dict:
+                 name: str) -> dict | None:
     """The docstore WRITE path: append a batch as one new JSONL file plus
     an atomic manifest update — the producer side of the streaming tail.
 
@@ -353,7 +355,11 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     out_name = f"{name}.jsonl"
     lo, hi = float("inf"), float("-inf")
     n = 0
-    with open(os.path.join(root, out_name), "w") as out:
+    # concatenate into a hidden tmp file, publish with an atomic
+    # create-if-absent link: an already-committed batch file can NEVER be
+    # truncated or overwritten, and readers never see a partial file
+    tmp_file = os.path.join(root, f".tmp-{uuid.uuid4().hex}.jsonl")
+    with open(tmp_file, "w") as out:
         for part in sorted(os.listdir(staging)):
             if not part.endswith(".json"):
                 continue
@@ -364,6 +370,20 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
                     n += 1
                     out.write(line)
     shutil.rmtree(staging, ignore_errors=True)
+
+    if n == 0:
+        # empty batch: nothing to publish (and no Infinity stats that
+        # would break strict-JSON consumers of the manifest)
+        os.unlink(tmp_file)
+        return None
+    try:
+        os.link(tmp_file, os.path.join(root, out_name))
+    except FileExistsError:
+        raise ValueError(
+            f"batch name {name!r} already exists in {root} — batch names "
+            f"must be unique (a committed file is never rewritten)")
+    finally:
+        os.unlink(tmp_file)
 
     entry = {"file": out_name, "min_ts": lo, "max_ts": hi}
     lock = os.path.join(root, ".manifest.lock")

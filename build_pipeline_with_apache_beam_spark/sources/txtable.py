@@ -143,37 +143,40 @@ class TxTable:
         return (merged.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_pri", "_rn"))
 
-    def vacuum(self, keep_last: int = 1) -> None:
-        """Drop data dirs not referenced by the ``keep_last`` newest versions."""
+    def vacuum(self, keep_last: int = 1,
+               min_age_seconds: float = 3600.0) -> None:
+        """Drop data dirs not referenced by the ``keep_last`` newest
+        versions AND older than ``min_age_seconds``.
+
+        The age threshold is what keeps vacuum safe against concurrent
+        writers (the same guard Delta's retention period provides): a
+        merge in flight has written its snapshot dir but not yet committed
+        — deleting that young, not-yet-referenced dir would let the commit
+        publish a manifest pointing at nothing.  Only dirs old enough that
+        any writer referencing them must have finished are collected.
+        """
+        import time
+
         latest = self.latest_version()
         live = {self._manifest(v)["data"]
                 for v in range(max(1, latest - keep_last + 1), latest + 1)}
+        cutoff = time.time() - min_age_seconds
         for name in os.listdir(self.root):
-            if name.startswith("data-") and name not in live:
-                shutil.rmtree(os.path.join(self.root, name),
-                              ignore_errors=True)
+            path = os.path.join(self.root, name)
+            if (name.startswith("data-") and name not in live
+                    and os.path.getmtime(path) <= cutoff):
+                shutil.rmtree(path, ignore_errors=True)
 
 
 # ---- registered operator surface ---------------------------------------
 
 
-def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same upsert change-set as ``merge_upsert``, but executed as a
-    real transaction against a TxTable: create v1 from the base snapshot,
-    MERGE the change-set (atomic commit → v2), read back the committed
-    version.  Result is identical to the pure-relational op, so one SQL
-    oracle checks both; the ACID protocol itself (conflict serialization,
-    no lost updates, time travel) is exercised in tests/test_txtable.py.
-    """
+def _demo_changeset(spark: SparkSession, sf_dir: str):
+    """The shared demo change-set: base customer snapshot, +1000 balance
+    updates on every 10th key, re-keyed inserts.  ONE definition on purpose
+    — both ACID ops' SQL oracles encode exactly these transformations, so
+    the op-side construction must not be duplicated and drift."""
     from build_pipeline_with_apache_beam_spark.catalog import load_table
-    from build_pipeline_with_apache_beam_spark.sources.sinks import (
-        SCRATCH,
-        source_tag,
-    )
-
-    root = os.path.join(SCRATCH, "txtable",
-                        source_tag(sf_dir, "customer"), "demo")
-    shutil.rmtree(root, ignore_errors=True)
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
@@ -185,12 +188,35 @@ def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
         F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
         F.lit(0.0).alias("c_acctbal"))
+    return cust, updates.unionByName(inserts)
 
+
+def _demo_table(spark: SparkSession, sf_dir: str, name: str) -> "TxTable":
+    """Fresh TxTable under scratch with the demo change-set applied."""
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    root = os.path.join(SCRATCH, "txtable",
+                        source_tag(sf_dir, "customer"), name)
+    shutil.rmtree(root, ignore_errors=True)
+    base, changes = _demo_changeset(spark, sf_dir)
     table = TxTable(spark, root)
-    table.create(cust)
-    table.merge(updates.unionByName(inserts), key="c_custkey")
-    return table.read()
+    table.create(base)
+    table.merge(changes, key="c_custkey")
+    return table
 
+
+def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same upsert change-set as ``merge_upsert``, but executed as a
+    real transaction against a TxTable: create v1 from the base snapshot,
+    MERGE the change-set (atomic commit → v2), read back the committed
+    version.  Result is identical to the pure-relational op, so one SQL
+    oracle checks both; the ACID protocol itself (conflict serialization,
+    no lost updates, time travel) is exercised in tests/test_txtable.py.
+    """
+    return _demo_table(spark, sf_dir, "demo").read()
 
 
 def merge_acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,31 +229,7 @@ def merge_acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     One full-outer join between two immutable snapshots on the merge key;
     unchanged keys drop out, so the output is bounded by the change-set.
     """
-    from build_pipeline_with_apache_beam_spark.catalog import load_table
-    from build_pipeline_with_apache_beam_spark.sources.sinks import (
-        SCRATCH,
-        source_tag,
-    )
-
-    root = os.path.join(SCRATCH, "txtable",
-                        source_tag(sf_dir, "customer"), "diffdemo")
-    shutil.rmtree(root, ignore_errors=True)
-
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
-    updates = (cust.where(F.col("c_custkey") % 10 == 0)
-               .select("c_custkey", "c_name",
-                       F.round(F.col("c_acctbal") + 1000.0, 4)
-                       .alias("c_acctbal")))
-    inserts = updates.select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
-        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
-        F.lit(0.0).alias("c_acctbal"))
-
-    table = TxTable(spark, root)
-    table.create(cust)
-    table.merge(updates.unionByName(inserts), key="c_custkey")
-
+    table = _demo_table(spark, sf_dir, "diffdemo")
     v1 = table.read(1).select("c_custkey",
                               F.col("c_acctbal").alias("bal_v1"))
     v2 = table.read(2).select("c_custkey",

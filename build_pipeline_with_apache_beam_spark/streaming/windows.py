@@ -97,8 +97,10 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
+    from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(SCRATCH, f"stream_src_{sf_tag}")
+    src_dir = os.path.join(SCRATCH, f"stream_src_{source_tag(sf_dir)}")
     sink_dir = os.path.join(SCRATCH, f"stream_sink_{sf_tag}")
     ckpt_dir = os.path.join(SCRATCH, f"stream_ckpt_{sf_tag}")
     for d in (src_dir, sink_dir, ckpt_dir):
@@ -141,8 +143,10 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
+    from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(SCRATCH, f"wmwin_src_{sf_tag}")
+    src_dir = os.path.join(SCRATCH, f"wmwin_src_{source_tag(sf_dir)}")
     sink_dir = os.path.join(SCRATCH, f"wmwin_sink_{sf_tag}")
     ckpt_dir = os.path.join(SCRATCH, f"wmwin_ckpt_{sf_tag}")
     for d in (sink_dir, ckpt_dir):
@@ -198,7 +202,10 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    dirs = {n: os.path.join(SCRATCH, f"ssj_{n}_{sf_tag}")
+    from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
+
+    src_tag = source_tag(sf_dir)
+    dirs = {n: os.path.join(SCRATCH, f"ssj_{n}_{src_tag if n in ('click', 'purch') else sf_tag}")
             for n in ("click", "purch", "sink", "ckpt")}
     for n in ("sink", "ckpt"):
         shutil.rmtree(dirs[n], ignore_errors=True)
@@ -260,8 +267,10 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
 
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
+    from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(SCRATCH, f"sesswin_src_{sf_tag}")
+    src_dir = os.path.join(SCRATCH, f"sesswin_src_{source_tag(sf_dir)}")
     sink_dir = os.path.join(SCRATCH, f"sesswin_sink_{sf_tag}")
     ckpt_dir = os.path.join(SCRATCH, f"sesswin_ckpt_{sf_tag}")
     for d in (sink_dir, ckpt_dir):

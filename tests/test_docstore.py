@@ -172,3 +172,42 @@ def test_concurrent_appends_serialize_without_loss(spark, sf_dir, tmp_path):
     assert {"batch-a.jsonl", "batch-b.jsonl"} <= names, "manifest entry lost"
     total = spark.read.format("docstore").option("path", root).load().count()
     assert total == base_n + 100
+
+
+def test_append_batch_refuses_duplicate_name_and_skips_empty(spark, sf_dir,
+                                                             tmp_path):
+    """A committed batch file can never be truncated: re-using a batch
+    name raises before any data is touched.  An empty batch publishes
+    nothing (no manifest entry, no Infinity stats)."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        append_batch,
+        build_collection,
+    )
+
+    src = build_collection(spark, sf_dir)
+    root = str(tmp_path / "dupcoll")
+    shutil.copytree(src, root)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (ev.limit(5)
+             .select((F.col("event_id") + 50_000_000).alias("event_id"),
+                     F.unix_micros("ts").alias("ts_micros"),
+                     "user_id", "event_type", "value"))
+
+    entry = append_batch(spark, root, batch, name="b1")
+    assert entry["file"] == "b1.jsonl"
+    before = open(os.path.join(root, "b1.jsonl")).read()
+    with _pytest.raises(ValueError, match="must be unique"):
+        append_batch(spark, root, batch, name="b1")
+    assert open(os.path.join(root, "b1.jsonl")).read() == before
+
+    empty = batch.where("event_id < 0")
+    assert append_batch(spark, root, empty, name="b-empty") is None
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    assert all(m["file"] != "b-empty.jsonl" for m in manifest)

@@ -105,7 +105,7 @@ def test_vacuum_keeps_live_versions(spark, tmp_path):
     t.create(_base(spark))
     t.merge(_changes(spark, [1], 10), key="k")
     t.merge(_changes(spark, [2], 20), key="k")
-    t.vacuum(keep_last=1)
+    t.vacuum(keep_last=1, min_age_seconds=0)  # test override: no writers
     n_data = len([d for d in os.listdir(root) if d.startswith("data-")])
     assert n_data == 1
     assert t.read().count() == 10  # latest still readable

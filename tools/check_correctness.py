@@ -44,7 +44,9 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             max_rows = int(os.environ.get("CHECK_MAX_ROWS", "0"))
-            if max_rows and sdf.count() > max_rows:
+            # limit+count: the cap probe stops as soon as max_rows+1 rows
+            # exist instead of executing the full pipeline a second time
+            if max_rows and sdf.limit(max_rows + 1).count() > max_rows:
                 print(f"SKIP-LARGE {name}: > {max_rows} rows "
                       f"({time.time()-t0:.1f}s)")
                 continue
