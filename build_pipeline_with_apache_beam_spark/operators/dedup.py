@@ -411,16 +411,73 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_pairs.join(n_docs, "threshold").orderBy("threshold")
 
 
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplication: token-set containment |A∩B| / |A| —
+    the measure that catches a document EMBEDDED inside a larger one
+    (quote farms, scraped aggregations), which symmetric Jaccard misses
+    because the union dwarfs the intersection.
+
+    Same blocked self-join discipline as dedup_ngram_jaccard (per-source
+    blocks, doc_id % 4 sample), but both directions are emitted from ONE
+    ordered pair comparison (containment of a in b AND b in a share the
+    intersection computation).  Flags pairs where either direction ≥ 0.8
+    while Jaccard may be far lower.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    t = docs.select("doc_id", "source",
+                    F.array_distinct(F.split("text", " ")).alias("toks"))
+    t = t.repartition(spark.sparkContext.defaultParallelism)
+    a = t.select(F.col("doc_id").alias("doc_a"), "source",
+                 F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("doc_b"),
+                 F.col("source").alias("source_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    pairs = (a.join(b, (F.col("source") == F.col("source_b"))
+                    & (F.col("doc_a") < F.col("doc_b")))
+             .select("doc_a", "doc_b", "source",
+                     inter.alias("n_common"),
+                     F.size("toks_a").alias("n_a"),
+                     F.size("toks_b").alias("n_b")))
+    c_ab = F.col("n_common") / F.col("n_a")
+    c_ba = F.col("n_common") / F.col("n_b")
+    return (pairs
+            .where((c_ab >= 0.8) | (c_ba >= 0.8))
+            .select("doc_a", "doc_b", "source",
+                    F.round(c_ab, 4).alias("containment_a_in_b"),
+                    F.round(c_ba, 4).alias("containment_b_in_a"))
+            .orderBy("doc_a", "doc_b"))
+
+
 QUERIES = {
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "corpus_dedup_rate_curve": corpus_dedup_rate_curve,
+    "dedup_containment": dedup_containment,
     "dedup_connected_groups": dedup_connected_groups,
 }
 
 ORACLE = {
+    "dedup_containment": """
+        WITH t AS (
+            SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 4 = 0
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+                   len(list_intersect(a.toks, b.toks)) AS n_common,
+                   len(a.toks) AS n_a, len(b.toks) AS n_b
+            FROM t a JOIN t b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, source,
+               ROUND(n_common * 1.0 / n_a, 4) AS containment_a_in_b,
+               ROUND(n_common * 1.0 / n_b, 4) AS containment_b_in_a
+        FROM pairs
+        WHERE n_common * 1.0 / n_a >= 0.8 OR n_common * 1.0 / n_b >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
     "corpus_dedup_rate_curve": """
         WITH t AS (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks

@@ -136,9 +136,14 @@ class TxTable:
     @staticmethod
     def _apply_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
         # union + keep-first-by-priority: one shuffle on the key — the plan
-        # upsert-only MERGE INTO compiles to
+        # upsert-only MERGE INTO compiles to.  allowMissingColumns gives
+        # ADDITIVE schema evolution for free: a change-set carrying a new
+        # column null-fills history, a change-set missing a column
+        # null-fills its own rows — the copy-on-write snapshot simply
+        # adopts the widened schema at the next commit
         merged = (base.withColumn("_pri", F.lit(1))
-                  .unionByName(changes.withColumn("_pri", F.lit(0))))
+                  .unionByName(changes.withColumn("_pri", F.lit(0)),
+                               allowMissingColumns=True))
         w = W.partitionBy(key).orderBy("_pri")
         return (merged.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_pri", "_rn"))

@@ -111,3 +111,21 @@ def test_vacuum_keeps_live_versions(spark, tmp_path):
     assert t.read().count() == 10  # latest still readable
     with pytest.raises(Exception):
         t.read(1).count()  # vacuumed snapshot is gone
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """Additive evolution: a change-set carrying a NEW column widens the
+    table at the next commit; historical rows null-fill, and time travel
+    still reads the old snapshot with the old schema."""
+    t = TxTable(spark, str(tmp_path / "evo"))
+    t.create(_base(spark))
+    evolved = (_changes(spark, [1, 2], 100)
+               .selectExpr("k", "v", "'gold' AS tier"))
+    t.merge(evolved, key="k")
+
+    latest = t.read()
+    assert set(latest.columns) == {"k", "v", "tier"}
+    got = {r.k: r.tier for r in latest.collect()}
+    assert got[1] == "gold" and got[2] == "gold"
+    assert all(got[k] is None for k in got if k not in (1, 2))
+    assert set(t.read(1).columns) == {"k", "v"}  # history keeps its schema
