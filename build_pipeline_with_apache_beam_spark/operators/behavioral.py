@@ -353,8 +353,73 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: deterministic 50/50 user split by content
+    hash (the md5-bucket discipline every split in this engine uses), then
+    per-arm mean purchase value, lift, and the two-sample z statistic —
+    the readout of an A/B test computed entirely as algebraic aggregates.
+
+    One groupBy(arm) pass: mean/variance per arm are algebraic, so at
+    100 TB this is a two-phase hash aggregate whose shuffle carries two
+    rows.  The z-score formula is evaluated on the 2-row result.
+    """
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        _bucket_64k,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    arm = F.when(_bucket_64k(F.col("user_id").cast("string")) < 32768,
+                 "A").otherwise("B")
+    per_arm = (ev.select(arm.alias("arm"), "value")
+               .groupBy("arm")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("value").alias("mean"),
+                    F.var_samp("value").alias("var")))
+    a = per_arm.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"))
+    b = per_arm.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"))
+    z = ((F.col("mean_b") - F.col("mean_a"))
+         / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")))
+    return (a.join(b)
+            .select("n_a", "n_b",
+                    F.round("mean_a", 4).alias("mean_a"),
+                    F.round("mean_b", 4).alias("mean_b"),
+                    F.round(F.col("mean_b") / F.col("mean_a") - 1, 4)
+                    .alias("lift"),
+                    F.round(z, 4).alias("z_score")))
+
+
+def agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution — the per-entity version of the corpus-level mix entropy,
+    a standard engagement feature.
+
+    Two-level aggregation: (user, type) counts collapse map-side, then one
+    groupBy(user) computes -Σ p·ln p from the counts; the shuffle carries
+    users x types rows, never events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = W.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(tot)
+    return (counts.select("user_id", p.alias("p"))
+            .groupBy("user_id")
+            .agg(F.round(-F.sum(F.col("p") * F.log("p")), 4)
+                 .alias("type_entropy"),
+                 F.count(F.lit(1)).alias("n_types"))
+            .orderBy("user_id"))
+
+
 QUERIES = {
     "events_user_lifecycle": events_user_lifecycle,
+    "events_ab_test_lift": events_ab_test_lift,
+    "agg_entropy_per_group": agg_entropy_per_group,
     "events_inactivity_gaps": events_inactivity_gaps,
     "events_conversion_latency": events_conversion_latency,
     "dedup_adjacent_state": dedup_adjacent_state,
@@ -371,6 +436,52 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_ab_test_lift": """
+        WITH p AS (
+            SELECT CASE WHEN
+                     (STRPOS('0123456789abcdef',
+                             SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                         * 4096
+                   + (STRPOS('0123456789abcdef',
+                             SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)
+                         * 256
+                   + (STRPOS('0123456789abcdef',
+                             SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 3, 1)) - 1)
+                         * 16
+                   + (STRPOS('0123456789abcdef',
+                             SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+                   < 32768 THEN 'A' ELSE 'B' END AS arm,
+                   value
+            FROM events WHERE event_type = 'purchase'
+        ), s AS (
+            SELECT arm, COUNT(1) AS n, AVG(value) AS mean,
+                   VAR_SAMP(value) AS var
+            FROM p GROUP BY arm
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               ROUND(a.mean, 4) AS mean_a, ROUND(b.mean, 4) AS mean_b,
+               ROUND(b.mean / a.mean - 1, 4) AS lift,
+               ROUND((b.mean - a.mean)
+                     / SQRT(a.var / a.n + b.var / b.n), 4) AS z_score
+        FROM (SELECT * FROM s WHERE arm = 'A') a,
+             (SELECT * FROM s WHERE arm = 'B') b
+    """,
+    "agg_entropy_per_group": """
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(1) AS n
+            FROM events GROUP BY user_id, event_type
+        ), shares AS (
+            SELECT user_id,
+                   n * 1.0 / SUM(n) OVER (PARTITION BY user_id) AS p
+            FROM counts
+        )
+        SELECT user_id,
+               ROUND(-SUM(p * LN(p)), 4) AS type_entropy,
+               COUNT(1) AS n_types
+        FROM shares
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "events_user_lifecycle": """
         SELECT user_id,
                MIN(ts) AS first_seen,
