@@ -181,8 +181,21 @@ class DocStoreStreamReader(DataSourceStreamReader):
                 for m in files]
 
     def read(self, partition: _FilePartition):
+        # fault-injection surface (tests/chaos runs): a `<file>.fail_once`
+        # marker makes the FIRST task attempt die mid-read, after some rows
+        # were already emitted — proving redelivery: Spark retries the
+        # task, the micro-batch re-reads the file from the start, and the
+        # sink sees at-least-once delivery (the R9 raise-to-retry contract,
+        # /root/reference/retrieval.py:145-147, without a hand-rolled loop)
+        from pyspark import TaskContext
+
+        fail_once = (os.path.exists(partition.path + ".fail_once")
+                     and TaskContext.get().attemptNumber() == 0)
         with open(partition.path) as fh:
-            for line in fh:
+            for i, line in enumerate(fh):
+                if fail_once and i == 3:
+                    raise RuntimeError(
+                        "injected transient read failure (fail_once marker)")
                 doc = json.loads(line)
                 yield (doc["event_id"], doc["ts_micros"], doc["user_id"],
                        doc["event_type"], doc["value"])

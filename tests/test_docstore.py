@@ -211,3 +211,42 @@ def test_append_batch_refuses_duplicate_name_and_skips_empty(spark, sf_dir,
     with open(os.path.join(root, MANIFEST)) as fh:
         manifest = json.load(fh)
     assert all(m["file"] != "b-empty.jsonl" for m in manifest)
+
+
+def test_stream_read_failure_retries_without_loss(spark, sf_dir, tmp_path):
+    """R9 redelivery on the SOURCE side: a partition read that dies after
+    emitting some rows is retried by Spark (local[N, 2]), the micro-batch
+    re-reads the file from offset zero, and the sink ends up with every
+    row exactly as committed — no loss, no duplicate batch commit."""
+    import shutil
+
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        DocStoreDataSource,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    src = build_collection(spark, sf_dir)
+    root = str(tmp_path / "failcoll")
+    shutil.copytree(src, root)
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    # poison the first file's FIRST read attempt
+    victim = os.path.join(root, manifest[0]["file"])
+    open(victim + ".fail_once", "w").close()
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = spark.readStream.format("docstore").option("path", root).load()
+
+    def fb(df, bid):
+        df.write.mode("append").parquet(sink)
+
+    q = (stream.writeStream.foreachBatch(fb)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    n_expected = sum(1 for m in manifest
+                     for _ in open(os.path.join(root, m["file"])))
+    got = spark.read.parquet(sink)
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
