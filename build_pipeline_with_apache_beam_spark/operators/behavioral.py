@@ -161,8 +161,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             # decimal revenue sum: engine-exact on multi-million-row groups
             .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                               * (1 - F.col("l_discount").cast("decimal(8,4)")))
-                         .cast("double"), 4).alias("revenue"),
+                               * (1 - F.col("l_discount").cast("decimal(8,4)"))),
+                         4).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -679,9 +679,9 @@ ORACLE = {
     """,
     "join_skew_salted": """
         SELECT o.o_orderpriority,
-               ROUND(CAST(SUM(l.l_extendedprice::DECIMAL(18,4)
-                              * (1 - l.l_discount::DECIMAL(8,4)))
-                          AS DOUBLE), 4) AS revenue,
+               CAST(ROUND(SUM(l.l_extendedprice::DECIMAL(18,4)
+                              * (1 - l.l_discount::DECIMAL(8,4))), 4)
+                    AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority

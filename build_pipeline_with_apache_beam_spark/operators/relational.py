@@ -53,7 +53,10 @@ def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
 
     def r4(c):
-        return F.round(c.cast("double"), 4)
+        # round the DECIMAL (exact half-up on the true value), THEN cast:
+        # rounding after the double cast ties on .xxxx5 boundaries, which
+        # 60M-row sums actually hit
+        return F.round(c, 4).cast("double")
 
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -951,7 +954,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .groupBy("o_orderpriority")
             # decimal revenue sum: engine-exact on multi-million-row groups
-            .agg(F.round(F.sum(price * (1 - disc)).cast("double"), 4)
+            .agg(F.round(F.sum(price * (1 - disc)), 4).cast("double")
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
@@ -1066,8 +1069,8 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal revenue sum: engine-exact on multi-million-row groups
         .agg(F.count(F.lit(1)).alias("n_lines"),
              F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                           * (1 - F.col("l_discount").cast("decimal(8,4)")))
-                     .cast("double"), 4).alias("revenue"))
+                           * (1 - F.col("l_discount").cast("decimal(8,4)"))),
+                     4).cast("double").alias("revenue"))
         .orderBy("o_orderpriority")
     )
 
@@ -1587,11 +1590,11 @@ ORACLE = {
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         )
         SELECT l_returnflag, l_linestatus,
-               ROUND(CAST(SUM(qty) AS DOUBLE), 4) AS sum_qty,
-               ROUND(CAST(SUM(price) AS DOUBLE), 4) AS sum_base_price,
-               ROUND(CAST(SUM(price * (1 - disc)) AS DOUBLE), 4)
+               CAST(ROUND(SUM(qty), 4) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(price), 4) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(price * (1 - disc)), 4) AS DOUBLE)
                    AS sum_disc_price,
-               ROUND(CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE), 4)
+               CAST(ROUND(SUM(price * (1 - disc) * (1 + tax)), 4) AS DOUBLE)
                    AS sum_charge,
                ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(1), 4) AS avg_qty,
                ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(1), 4) AS avg_price,
@@ -1746,8 +1749,8 @@ ORACLE = {
     """,
     "join_hint_shuffle_hash": """
         SELECT o_orderpriority, COUNT(1) AS n_lines,
-               ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)
-                              * (1 - l_discount::DECIMAL(8,4))) AS DOUBLE), 4)
+               CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))), 4) AS DOUBLE)
                    AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -1804,8 +1807,8 @@ ORACLE = {
     """,
     "join_bucketed_colocated": """
         SELECT o_orderpriority,
-               ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)
-                              * (1 - l_discount::DECIMAL(8,4))) AS DOUBLE), 4)
+               CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))), 4) AS DOUBLE)
                    AS revenue,
                COUNT(1) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

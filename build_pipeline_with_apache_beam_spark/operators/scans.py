@@ -145,8 +145,8 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              # decimal sum: engine-exact at any row count (float sums flip
              # the 4th decimal on multi-million-row groups; prices are
              # exact 4-decimal values, so the cast is lossless)
-             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                     .cast("double"), 4).alias("total"))
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+             .cast("double").alias("total"))
         .orderBy("priority")
     )
 
@@ -491,7 +491,7 @@ ORACLE = {
         SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
                         '(pre-schema)') AS priority,
                COUNT(1) AS n_orders,
-               ROUND(CAST(SUM(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 4)
+               CAST(ROUND(SUM(o_totalprice::DECIMAL(18,4)), 4) AS DOUBLE)
                    AS total
         FROM orders
         GROUP BY 1

@@ -414,8 +414,8 @@ def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         # decimal revenue sum: engine-exact on multi-million-row groups
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                           * (1 - F.col("l_discount").cast("decimal(8,4)")))
-                     .cast("double"), 4).alias("revenue"),
+                           * (1 - F.col("l_discount").cast("decimal(8,4)"))),
+                     4).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
@@ -440,8 +440,8 @@ QUERIES = {
 ORACLE = {
     "flagship_star_rollup": """
         SELECT r_name, n_name,
-               ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)
-                              * (1 - l_discount::DECIMAL(8,4))) AS DOUBLE), 4)
+               CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))), 4) AS DOUBLE)
                    AS revenue,
                COUNT(1) AS n_lines
         FROM lineitem

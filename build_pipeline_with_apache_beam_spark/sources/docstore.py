@@ -454,8 +454,8 @@ def sink_docstore_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("event_type")
             # decimal sum: engine-exact at any scale (values are exact 4dp)
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,4)"))
-                         .cast("double"), 4).alias("total_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+                 .cast("double").alias("total_value"))
             .orderBy("event_type"))
 
 
@@ -482,7 +482,7 @@ ORACLE = {
             UNION ALL SELECT event_type, value FROM late
         )
         SELECT event_type, COUNT(1) AS n_events,
-               ROUND(CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE), 4)
+               CAST(ROUND(SUM(value::DECIMAL(18,4)), 4) AS DOUBLE)
                    AS total_value
         FROM unioned
         GROUP BY event_type
