@@ -651,6 +651,35 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("label"))
 
 
+
+def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate matrix: for each ordered source pair, how
+    many leading-prefix template keys they share — the signal for "these
+    two scrapes crawl the same sites / reuse the same chrome" that drives
+    source-level dedup priority.  (Keyed on the 5-token template prefix,
+    same key as corpus_template_detection: whole-document fingerprints
+    rarely cross sources, shared boilerplate heads constantly do.)
+
+    Keys collapse per (prefix, source) first (shuffle carries the prefix
+    vocabulary), then the self-join runs only over keys seen in >1 source
+    — the overlap set, tiny relative to the corpus.  Output is bounded by
+    the source-pair count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_K), " ")
+    per_src = (docs.select(fp.alias("fp"), "source").distinct())
+    multi = (per_src.groupBy("fp").agg(F.count(F.lit(1)).alias("n_src"))
+             .where(F.col("n_src") > 1).select("fp"))
+    hits = per_src.join(multi, "fp")
+    a = hits.select("fp", F.col("source").alias("src_a"))
+    b = hits.select("fp", F.col("source").alias("src_b"))
+    return (a.join(b, "fp")
+            .where(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+            .orderBy(F.col("n_shared_fingerprints").desc(), "src_a", "src_b"))
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
@@ -662,6 +691,7 @@ QUERIES = {
     "corpus_template_detection": corpus_template_detection,
     "corpus_mixture_temperature_sampling": corpus_mixture_temperature_sampling,
     "corpus_bpe_pair_stats": corpus_bpe_pair_stats,
+    "corpus_source_overlap_matrix": corpus_source_overlap_matrix,
     "embedding_quantize_error": embedding_quantize_error,
     "embedding_norm_outliers": embedding_norm_outliers,
     "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
@@ -774,6 +804,24 @@ ORACLE = {
                                   AND split = 'train') AS n_train
         FROM staged
     """.format(b=_BUCKET_64K_SQL.format(c="text")),
+    "corpus_source_overlap_matrix": """
+        WITH per_src AS (
+            SELECT DISTINCT
+                   array_to_string(str_split(text, ' ')[1:5], ' ') AS fp,
+                   source
+            FROM documents
+        ), multi AS (
+            SELECT fp FROM per_src GROUP BY fp HAVING COUNT(1) > 1
+        ), hits AS (
+            SELECT p.fp, p.source FROM per_src p JOIN multi USING (fp)
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(1) AS n_shared_fingerprints
+        FROM hits a JOIN hits b
+          ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY n_shared_fingerprints DESC, src_a, src_b
+    """,
     "corpus_bpe_pair_stats": """
         WITH words AS (
             SELECT w, COUNT(1) AS wf
