@@ -416,9 +416,50 @@ def agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase value per
+    first-touch-day cohort as days elapse — the LTV complement of the
+    retention matrix (how much each acquisition vintage has earned by
+    day N, per member).
+
+    First-touch is one broadcastable row per user; the cumulative axis is
+    a running window over the tiny (cohort x day-offset) aggregate, never
+    over events.  Per-member normalization divides by fixed cohort size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day")))
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_users"))
+    purchases = ev.where(F.col("event_type") == "purchase")
+    offset = F.datediff(F.to_date("ts"), F.to_date("cohort_day"))
+    daily = (purchases.join(F.broadcast(first), "user_id")
+             .select("cohort_day", offset.alias("days_since"),
+                     F.col("value").cast("decimal(18,4)").alias("v"))
+             .groupBy("cohort_day", "days_since")
+             .agg(F.sum("v").alias("day_value")))
+    w = (W.partitionBy("cohort_day").orderBy("days_since")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum("day_value").over(w)  # decimal running sum: exact
+    # per-user value via integer floor division of basis points: the
+    # exact quotient ties on .xxxx5 whenever the cohort size divides the
+    # cumulative sum — floor arithmetic is engine-identical, ROUND is not
+    per_user = (F.expr("cast(_cum_bp as bigint) div cohort_users") / 10000)
+    return (daily.join(F.broadcast(sizes), "cohort_day")
+            .select("cohort_day", "days_since", "cohort_users",
+                    F.round(cum, 4).cast("double").alias("cum_value"),
+                    (cum * 10000).cast("long").alias("_cum_bp"))
+            .select("cohort_day", "days_since", "cohort_users",
+                    "cum_value",
+                    per_user.alias("cum_value_per_user"))
+            .orderBy("cohort_day", "days_since"))
+
+
 QUERIES = {
     "events_user_lifecycle": events_user_lifecycle,
     "events_ab_test_lift": events_ab_test_lift,
+    "events_cohort_ltv": events_cohort_ltv,
     "agg_entropy_per_group": agg_entropy_per_group,
     "events_inactivity_gaps": events_inactivity_gaps,
     "events_conversion_latency": events_conversion_latency,
@@ -436,6 +477,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_cohort_ltv": """
+        WITH first AS (
+            SELECT user_id,
+                   date_trunc('day', MIN(ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_users
+            FROM first GROUP BY cohort_day
+        ), daily AS (
+            SELECT f.cohort_day,
+                   date_diff('day', CAST(f.cohort_day AS DATE),
+                             CAST(e.ts AS DATE)) AS days_since,
+                   SUM(e.value::DECIMAL(18,4)) AS day_value
+            FROM events e JOIN first f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort_day, days_since,
+                   SUM(day_value) OVER (PARTITION BY cohort_day
+                                        ORDER BY days_since
+                                        ROWS UNBOUNDED PRECEDING) AS c
+            FROM daily
+        )
+        SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(days_since AS INT) AS days_since,
+               CAST(cohort_users AS BIGINT) AS cohort_users,
+               CAST(ROUND(c, 4) AS DOUBLE) AS cum_value,
+               (CAST(c * 10000 AS BIGINT) // cohort_users) / 10000.0
+                   AS cum_value_per_user
+        FROM cum JOIN sizes USING (cohort_day)
+        ORDER BY cohort_day, days_since
+    """,
     "events_ab_test_lift": """
         WITH p AS (
             SELECT CASE WHEN
