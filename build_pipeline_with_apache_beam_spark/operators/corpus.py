@@ -680,6 +680,44 @@ def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n_shared_fingerprints").desc(), "src_a", "src_b"))
 
 
+
+def corpus_boilerplate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the action behind corpus_template_detection's
+    detection: documents whose leading k-token prefix is a shared template
+    (seen in >1 doc) get that prefix stripped; report per source how many
+    docs were trimmed and the byte volume reclaimed.
+
+    The template set is an aggregate over prefixes (vocabulary-sized,
+    broadcast); the trim itself is a scan-projection conditional — at
+    100 TB this is one broadcast hash join inside the scan stage plus the
+    same groupBy(source) report every curation pass emits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_K), " ")
+    templates = (docs.select(prefix.alias("tp"))
+                 .groupBy("tp").agg(F.count(F.lit(1)).alias("n"))
+                 .where(F.col("n") > 1).select("tp"))
+    tagged = (docs.select("doc_id", "source", "text", prefix.alias("tp"))
+              .join(F.broadcast(templates.withColumn("is_tpl", F.lit(True))),
+                    "tp", "left"))
+    trimmed_text = F.when(
+        F.col("is_tpl"),
+        F.array_join(F.slice(F.split("text", " "), TEMPLATE_PREFIX_K + 1,
+                             2_000_000), " ")).otherwise(F.col("text"))
+    return (tagged.select(
+        "source",
+        F.col("is_tpl").isNotNull().alias("trimmed"),
+        F.length("text").alias("len_before"),
+        F.length(trimmed_text).alias("len_after"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.count_if(F.col("trimmed")).alias("n_trimmed"),
+             F.sum(F.col("len_before") - F.col("len_after"))
+             .alias("chars_reclaimed"))
+        .orderBy("source"))
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
@@ -692,6 +730,7 @@ QUERIES = {
     "corpus_mixture_temperature_sampling": corpus_mixture_temperature_sampling,
     "corpus_bpe_pair_stats": corpus_bpe_pair_stats,
     "corpus_source_overlap_matrix": corpus_source_overlap_matrix,
+    "corpus_boilerplate_trim": corpus_boilerplate_trim,
     "embedding_quantize_error": embedding_quantize_error,
     "embedding_norm_outliers": embedding_norm_outliers,
     "corpus_quality_weighted_mix": corpus_quality_weighted_mix,
@@ -804,6 +843,27 @@ ORACLE = {
                                   AND split = 'train') AS n_train
         FROM staged
     """.format(b=_BUCKET_64K_SQL.format(c="text")),
+    "corpus_boilerplate_trim": """
+        WITH p AS (
+            SELECT doc_id, source, text,
+                   array_to_string(str_split(text, ' ')[1:5], ' ') AS tp
+            FROM documents
+        ), templates AS (
+            SELECT tp FROM p GROUP BY tp HAVING COUNT(1) > 1
+        ), tagged AS (
+            SELECT p.*, t.tp IS NOT NULL AS trimmed,
+                   CASE WHEN t.tp IS NOT NULL
+                        THEN array_to_string(str_split(p.text, ' ')[6:], ' ')
+                        ELSE p.text END AS text_after
+            FROM p LEFT JOIN templates t USING (tp)
+        )
+        SELECT source, COUNT(1) AS n_docs,
+               COUNT(1) FILTER (WHERE trimmed) AS n_trimmed,
+               SUM(LENGTH(text) - LENGTH(text_after)) AS chars_reclaimed
+        FROM tagged
+        GROUP BY source
+        ORDER BY source
+    """,
     "corpus_source_overlap_matrix": """
         WITH per_src AS (
             SELECT DISTINCT
