@@ -1,0 +1,250 @@
+"""Graph analytics over relationship structure hidden in the fact tables:
+degree distributions, thresholded triangle counting, and PageRank on an
+aggregated trade graph.
+
+The reference has no graph story at all (its pipeline is scan→normalize→
+write, retrieval.py / normalization.py); these ops cover the
+entity-relationship analyses a corpus/warehouse team runs on the same data:
+"how concentrated is the supplier base", "which co-supply cliques exist",
+"which trade partners dominate flow".
+
+Scale shape (the 100-TB question): every op follows the same two-stage
+pattern — ONE distributed pass over the fact table collapses it to an
+edge list keyed on entities (shuffle on the edge key, two-phase count),
+and all graph math after that runs on the edge list, whose size is bounded
+by entity cardinality, not fact rows.  Iteration (PageRank) stays in
+DataFrame land — no ``collect()``; the driver only composes plans, exactly
+like ``dedup_connected_groups``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+
+def _part_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part→supplier bipartite edges from lineitem.  The DISTINCT
+    is a two-phase hash aggregate on the composite key — partial dedup
+    happens map-side, so the shuffle carries edges, not fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part side of the part–supplier bipartite
+    graph: how many parts have exactly d distinct suppliers.
+
+    Two chained aggregations, both two-phase; output cardinality is the
+    number of distinct degrees (tiny at any scale)."""
+    edges = _part_supplier_edges(spark, sf_dir)
+    deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .orderBy("degree"))
+
+
+def _co_supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-supply edges (u < v orientation) weighted by the
+    number of distinct parts both suppliers serve.
+
+    The self-join is per-part: cost is sum over parts of C(k_p, 2) where
+    k_p is suppliers-per-part — bounded by the catalog's fan-out (TPC-H
+    keeps it ~4), so it scales with |part|, never |lineitem|²."""
+    e = _part_supplier_edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                   & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+            .groupBy(F.col("a.l_suppkey").alias("u"),
+                     F.col("b.l_suppkey").alias("v"))
+            .agg(F.count(F.lit(1)).alias("co_parts")))
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the strong co-supply graph: keep only pairs whose
+    co-part weight is at or above the exact 95th percentile (the "strong
+    ties"), then count nodes, edges, wedges (length-2 paths), triangles,
+    and the global clustering coefficient.
+
+    The percentile threshold (not a global rank) keeps this scale-safe:
+    ``percentile`` is a distributed aggregate, so no single-reducer sort of
+    the full pair list.  Triangles use the classic oriented edge-join
+    (u<v<w counted exactly once); wedges are sum over nodes of C(deg, 2).
+    Both engines apply the identical interpolated-percentile cutoff, so
+    the edge set — and therefore every count — is deterministic."""
+    pairs = _co_supply_pairs(spark, sf_dir)
+    cut = pairs.agg(
+        F.expr("percentile(co_parts, 0.95)").alias("cut"))
+    strong = (pairs.crossJoin(F.broadcast(cut))
+              .where(F.col("co_parts") >= F.col("cut"))
+              .select("u", "v"))
+    deg = (strong.select(F.col("u").alias("node"))
+           .unionAll(strong.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) / 2")).cast("bigint").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"))
+    e1, e2, e3 = strong.alias("e1"), strong.alias("e2"), strong.alias("e3")
+    tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+           .join(e3, (F.col("e1.u") == F.col("e3.u"))
+                 & (F.col("e2.v") == F.col("e3.v")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    edges_cnt = strong.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (wedges.crossJoin(edges_cnt).crossJoin(tri)
+            .select(
+                "n_nodes", "n_edges", "n_wedges", "n_triangles",
+                F.round(F.when(F.col("n_wedges") > 0,
+                               3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                        .otherwise(F.lit(0.0)), 4).alias("clustering")))
+
+
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 power iterations) over the nation-level
+    trade graph: edge cust_nation → supp_nation weighted by lineitem count,
+    derived from the full fact join.
+
+    The expensive stage is the ONE distributed fact-table join+aggregate
+    that collapses ~100 TB of lineitem into a |nation|² edge list; the
+    power iteration then runs on that tiny edge list as five composed
+    DataFrame join-aggregates — the driver never materializes ranks
+    (no collect), it only builds the plan, so the same code works when the
+    graph is a million nodes.  Dangling-node mass is deliberately NOT
+    redistributed (pure  r' = 0.15/N + 0.85·Σ_in p·r ) so the formula is
+    bit-identical to the SQL oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("dst"))
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(cust, orders.o_custkey == cust.c_custkey)
+             .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+             .join(supp, li.l_suppkey == supp.s_suppkey)
+             .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    trans = (edges.join(outw, "src")
+             .select("src", "dst",
+                     (F.col("w").cast("double") / F.col("tot")).alias("p")))
+    nodes = (edges.select(F.col("src").alias("n"))
+             .union(edges.select(F.col("dst").alias("n"))).distinct())
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "n", (F.lit(1.0) / F.col("cnt")).alias("r"))
+    for _ in range(5):
+        inflow = (trans.join(r, trans.src == r.n)
+                  .groupBy("dst")
+                  .agg(F.sum(F.col("p") * F.col("r")).alias("inflow")))
+        r = (nodes.join(inflow, nodes.n == inflow.dst, "left")
+             .crossJoin(F.broadcast(nn))
+             .select(F.col("n"),
+                     (F.lit(0.15) / F.col("cnt")
+                      + F.lit(0.85) * F.coalesce(F.col("inflow"),
+                                                 F.lit(0.0))).alias("r")))
+    return (r.select(F.col("n").alias("nation"),
+                     F.round("r", 4).alias("pagerank"))
+            .orderBy("nation"))
+
+
+QUERIES = {
+    "graph_degree_distribution": graph_degree_distribution,
+    "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank_trade": graph_pagerank_trade,
+}
+
+_PR_EDGES = """
+edges AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(w) AS tot FROM edges GROUP BY 1),
+trans AS (
+    SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.tot AS p
+    FROM edges e JOIN outw o ON e.src = o.src
+),
+nodes AS (
+    SELECT DISTINCT src AS n FROM edges
+    UNION
+    SELECT DISTINCT dst AS n FROM edges
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes)
+"""
+
+_PR_STEP = """
+r{next} AS (
+    SELECT nd.n, 0.15 / nn.cnt + 0.85 * COALESCE(i.inflow, 0) AS r
+    FROM nodes nd CROSS JOIN nn
+    LEFT JOIN (
+        SELECT t.dst, SUM(t.p * pr.r) AS inflow
+        FROM trans t JOIN r{cur} pr ON t.src = pr.n
+        GROUP BY t.dst
+    ) i ON nd.n = i.dst
+)
+"""
+
+_PR_SQL = ("WITH " + _PR_EDGES + ",\n"
+           + "r0 AS (SELECT n, 1.0 / cnt AS r FROM nodes CROSS JOIN nn),\n"
+           + ",\n".join(_PR_STEP.format(cur=i, next=i + 1) for i in range(5))
+           + """
+SELECT n AS nation, ROUND(r, 4) AS pagerank
+FROM r5 ORDER BY nation
+""")
+
+ORACLE = {
+    "graph_degree_distribution": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        d AS (SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1)
+        SELECT degree, COUNT(*) AS n_parts
+        FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "graph_triangle_count": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM strong
+                UNION ALL
+                SELECT v AS node FROM strong
+            ) GROUP BY 1
+        ),
+        wd AS (
+            SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+                   COUNT(*) AS n_nodes
+            FROM deg
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM strong e1
+            JOIN strong e2 ON e1.v = e2.u
+            JOIN strong e3 ON e1.u = e3.u AND e2.v = e3.v
+        ),
+        ec AS (SELECT COUNT(*) AS n_edges FROM strong)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               ROUND(CASE WHEN n_wedges > 0
+                     THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4)
+                   AS clustering
+        FROM wd CROSS JOIN ec CROSS JOIN tri
+    """,
+    "graph_pagerank_trade": _PR_SQL,
+}

@@ -18,6 +18,7 @@ def _modules():
         behavioral,
         corpus,
         dedup,
+        graph,
         multimodal,
         normalize,
         relational,
@@ -34,7 +35,7 @@ def _modules():
     from build_pipeline_with_apache_beam_spark.streaming import runner, stateful, windows
 
     return [scans, relational, tpch, tpch2, subqueries, arrays, corpus, behavioral, scalars,
-            normalize, text, dedup, similarity, multimodal, udfs, windows,
+            normalize, text, dedup, graph, similarity, multimodal, udfs, windows,
             stateful, sinks, docstore, runner, txtable]
 
 
