@@ -456,7 +456,113 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cohort_day", "days_since"))
 
 
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events, scored 1-5 on each axis with 5 = best.
+
+    Scores come from exact-percentile breakpoints (20/40/60/80), NOT a
+    global ntile: ntile needs a single-reducer sort of every user, while
+    the four breakpoints are one distributed percentile aggregate whose
+    1-row result broadcasts back — the shape that survives a billion
+    users.  Recency is whole days before the latest purchase anywhere,
+    computed in integer microseconds (floor division) so both engines
+    agree bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.where(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.max("ts").alias("last_ts"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.round(F.sum("value"), 4).alias("monetary")))
+    ref = per_user.agg(F.max("last_ts").alias("ref_ts"))
+    rec = (per_user.crossJoin(F.broadcast(ref))
+           .withColumn("recency_days",
+                       F.expr("(unix_micros(ref_ts) - unix_micros(last_ts))"
+                              " div 86400000000")))
+    breaks = rec.agg(*[
+        F.expr(f"percentile({col}, {q})").alias(f"{col[0]}q{int(q*100)}")
+        for col in ("recency_days", "frequency", "monetary")
+        for q in (0.2, 0.4, 0.6, 0.8)])
+
+    def _ups(col: str, pfx: str):
+        return sum(F.when(F.col(col) > F.col(f"{pfx}q{p}"), 1).otherwise(0)
+                   for p in (20, 40, 60, 80))
+
+    return (rec.crossJoin(F.broadcast(breaks))
+            .select("user_id", "recency_days", "frequency", "monetary",
+                    (5 - _ups("recency_days", "r")).alias("r_score"),
+                    (1 + _ups("frequency", "f")).alias("f_score"),
+                    (1 + _ups("monetary", "m")).alias("m_score"))
+            .withColumn("rfm", F.col("r_score") * 100
+                        + F.col("f_score") * 10 + F.col("m_score")))
+
+
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase value — how concentrated
+    revenue is across the user base (0 = uniform, →1 = one whale).
+
+    Uses the grouped-value form of the rank formula: per-user totals are
+    grouped by (rounded) total first, so the ordering window runs over
+    DISTINCT totals, not users — at warehouse scale that collapses a
+    billion users to at most the value-domain cardinality before any
+    global ordering happens.  Tie blocks contribute
+    v·(c·C_prev + c(c+1)/2) to Σ rank·x, which is exactly the per-user
+    formula under any tie order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.where(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.round(F.sum("value"), 4).alias("tot")))
+    grp = per_user.groupBy("tot").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("tot").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.select(
+        "tot", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("c_prev"))
+    agg = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("tot") * F.col("c")).alias("s"),
+        F.sum(F.col("tot") * (F.col("c") * F.col("c_prev")
+                              + F.col("c") * (F.col("c") + 1) / 2))
+         .alias("rx"))
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round("s", 2).alias("total_value"),
+        F.round(2 * F.col("rx") / (F.col("n") * F.col("s"))
+                - (F.col("n") + 1) / F.col("n"), 4).alias("gini"))
+
+
+def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths inside 30-minute-gap
+    sessions — the navigation-mining query behind "what do users do next".
+
+    Reuses the single-shuffle sessionization (both window passes and the
+    lead() chain share the user_id hash partitioning), then counts path
+    strings with a two-phase aggregate; only the 10 survivors are sorted.
+    Ties break lexicographically so top-10 is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    starts = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select("user_id", "ts", "event_id", "event_type",
+                     F.sum(starts).over(run).alias("session_seq"))
+    sw = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    paths = sess.select(
+        F.concat_ws(">", "event_type",
+                    F.lead("event_type", 1).over(sw),
+                    F.lead("event_type", 2).over(sw)).alias("path"),
+        F.lead("event_type", 2).over(sw).alias("_third"))
+    return (paths.where(F.col("_third").isNotNull())
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+            .orderBy(F.col("n_paths").desc(), "path")
+            .limit(10))
+
+
 QUERIES = {
+    "events_rfm_segmentation": events_rfm_segmentation,
+    "events_gini_concentration": events_gini_concentration,
+    "events_session_path_topk": events_session_path_topk,
     "events_user_lifecycle": events_user_lifecycle,
     "events_ab_test_lift": events_ab_test_lift,
     "events_cohort_ltv": events_cohort_ltv,
@@ -477,6 +583,101 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_rfm_segmentation": """
+        WITH per_user AS (
+            SELECT user_id, MAX(ts) AS last_ts,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(value), 4) AS monetary
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), ref AS (SELECT MAX(last_ts) AS ref_ts FROM per_user),
+        rec AS (
+            SELECT user_id, frequency, monetary,
+                   (epoch_us(ref_ts) - epoch_us(last_ts)) // 86400000000
+                       AS recency_days
+            FROM per_user CROSS JOIN ref
+        ), brk AS (
+            SELECT QUANTILE_CONT(recency_days, 0.2) AS rq20,
+                   QUANTILE_CONT(recency_days, 0.4) AS rq40,
+                   QUANTILE_CONT(recency_days, 0.6) AS rq60,
+                   QUANTILE_CONT(recency_days, 0.8) AS rq80,
+                   QUANTILE_CONT(frequency, 0.2) AS fq20,
+                   QUANTILE_CONT(frequency, 0.4) AS fq40,
+                   QUANTILE_CONT(frequency, 0.6) AS fq60,
+                   QUANTILE_CONT(frequency, 0.8) AS fq80,
+                   QUANTILE_CONT(monetary, 0.2) AS mq20,
+                   QUANTILE_CONT(monetary, 0.4) AS mq40,
+                   QUANTILE_CONT(monetary, 0.6) AS mq60,
+                   QUANTILE_CONT(monetary, 0.8) AS mq80
+            FROM rec
+        ), scored AS (
+            SELECT user_id, recency_days, frequency, monetary,
+                   5 - ((recency_days > rq20)::INT + (recency_days > rq40)::INT
+                      + (recency_days > rq60)::INT + (recency_days > rq80)::INT)
+                       AS r_score,
+                   1 + ((frequency > fq20)::INT + (frequency > fq40)::INT
+                      + (frequency > fq60)::INT + (frequency > fq80)::INT)
+                       AS f_score,
+                   1 + ((monetary > mq20)::INT + (monetary > mq40)::INT
+                      + (monetary > mq60)::INT + (monetary > mq80)::INT)
+                       AS m_score
+            FROM rec CROSS JOIN brk
+        )
+        SELECT user_id, recency_days,
+               frequency, monetary,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+        FROM scored
+    """,
+    "events_gini_concentration": """
+        WITH per_user AS (
+            SELECT user_id, ROUND(SUM(value), 4) AS tot
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), grp AS (
+            SELECT tot, COUNT(*) AS c FROM per_user GROUP BY tot
+        ), ranked AS (
+            SELECT tot, c,
+                   COALESCE(SUM(c) OVER (ORDER BY tot
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS c_prev
+            FROM grp
+        ), agg AS (
+            SELECT SUM(c) AS n, SUM(tot * c) AS s,
+                   SUM(tot * (c * c_prev + c * (c + 1) / 2)) AS rx
+            FROM ranked
+        )
+        SELECT n AS n_users, ROUND(s, 2) AS total_value,
+               ROUND(2 * rx / (n * s) - (n + 1) / CAST(n AS DOUBLE), 4)
+                   AS gini
+        FROM agg
+    """,
+    "events_session_path_topk": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ), paths AS (
+            SELECT event_type || '>' || LEAD(event_type, 1) OVER sw
+                   || '>' || LEAD(event_type, 2) OVER sw AS path,
+                   LEAD(event_type, 2) OVER sw AS third
+            FROM sess
+            WINDOW sw AS (PARTITION BY user_id, session_seq
+                          ORDER BY ts, event_id)
+        )
+        SELECT path, COUNT(*) AS n_paths
+        FROM paths WHERE third IS NOT NULL
+        GROUP BY path ORDER BY n_paths DESC, path LIMIT 10
+    """,
     "events_cohort_ltv": """
         WITH first AS (
             SELECT user_id,

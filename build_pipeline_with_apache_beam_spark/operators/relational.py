@@ -1502,7 +1502,86 @@ def agg_count_if_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem measures,
+    unpivoted to (var_x, var_y, corr) rows.
+
+    All six correlations are algebraic co-moment aggregates computed in a
+    SINGLE scan + two-phase agg (one 1-row result), then unpivoted with
+    stack() — at 100 TB this is one pass over the fact table regardless of
+    how many pairs are requested, vs. one job per pair in the naive
+    df.stat.corr loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    one = li.agg(*[F.round(F.corr(a, b), 4).alias(f"c_{i}")
+                   for i, (a, b) in enumerate(pairs)])
+    stack_args = ", ".join(f"'{a}', '{b}', c_{i}"
+                           for i, (a, b) in enumerate(pairs))
+    return (one.select(F.expr(
+        f"stack({len(pairs)}, {stack_args}) as (var_x, var_y, corr)"))
+        .orderBy("var_x", "var_y"))
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per return flag: the smallest
+    quantity whose cumulative extended-price weight reaches half the
+    flag's total.
+
+    Weights are summed as DECIMAL(18,4) so cumulative sums are exact and
+    the half-total comparison (2·cum ≥ total, kept in integer-exact
+    decimal space) can never flip on float summation order.  The window
+    runs over DISTINCT (flag, quantity) groups — the fact table collapses
+    first, so the sort is over the value domain, not the rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (li.groupBy("l_returnflag", "l_quantity")
+         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+              .alias("w")))
+    wq = (W.partitionBy("l_returnflag").orderBy("l_quantity")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wt = W.partitionBy("l_returnflag")
+    cand = g.select(
+        "l_returnflag", "l_quantity",
+        (F.sum("w").over(wq) * 2 >= F.sum("w").over(wt)).alias("reached"))
+    return (cand.where("reached")
+            .groupBy("l_returnflag")
+            .agg(F.min("l_quantity").alias("weighted_median_qty"))
+            .orderBy("l_returnflag"))
+
+
+def timeseries_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily-revenue series: flag days
+    whose revenue deviates from the series median by more than 3 robust
+    z-units (1.4826·MAD).
+
+    The fact table collapses to one exact DECIMAL row per day first; the
+    median/MAD pass then runs over the tiny daily series (bounded by
+    calendar days, not data volume), broadcast back as a 1-row aggregate.
+    Daily sums are rounded before the double cast so both engines score
+    identical series."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4)
+                  .cast("double").alias("revenue")))
+    med = daily.agg(F.expr("percentile(revenue, 0.5)").alias("med"))
+    dev = (daily.crossJoin(F.broadcast(med))
+           .select("day", "revenue", "med",
+                   F.abs(F.col("revenue") - F.col("med")).alias("adev")))
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (dev.crossJoin(F.broadcast(mad))
+            .select("day", "revenue",
+                    F.round((F.col("revenue") - F.col("med"))
+                            / (F.lit(1.4826) * F.col("mad")), 2)
+                    .alias("robust_z"))
+            .where(F.abs("robust_z") > 3)
+            .orderBy("day"))
+
+
 QUERIES = {
+    "agg_corr_matrix": agg_corr_matrix,
+    "agg_weighted_median": agg_weighted_median,
+    "timeseries_mad_anomaly": timeseries_mad_anomaly,
     "agg_groupby_multi": agg_groupby_multi,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_count_distinct": agg_approx_count_distinct,
@@ -1579,6 +1658,57 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_corr_matrix": """
+        WITH one AS (
+            SELECT ROUND(CORR(l_quantity, l_extendedprice), 4) AS c0,
+                   ROUND(CORR(l_quantity, l_discount), 4) AS c1,
+                   ROUND(CORR(l_quantity, l_tax), 4) AS c2,
+                   ROUND(CORR(l_extendedprice, l_discount), 4) AS c3,
+                   ROUND(CORR(l_extendedprice, l_tax), 4) AS c4,
+                   ROUND(CORR(l_discount, l_tax), 4) AS c5
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS var_x, 'l_extendedprice' AS var_y, c0 AS corr FROM one
+        UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM one
+        UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM one
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM one
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM one
+        UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM one
+        ORDER BY var_x, var_y
+    """,
+    "agg_weighted_median": """
+        WITH g AS (
+            SELECT l_returnflag, l_quantity,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), cand AS (
+            SELECT l_returnflag, l_quantity,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                ROWS UNBOUNDED PRECEDING) * 2
+                   >= SUM(w) OVER (PARTITION BY l_returnflag) AS reached
+            FROM g
+        )
+        SELECT l_returnflag, MIN(l_quantity) AS weighted_median_qty
+        FROM cand WHERE reached
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "timeseries_mad_anomaly": """
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
+        ), med AS (SELECT QUANTILE_CONT(revenue, 0.5) AS med FROM daily),
+        dev AS (
+            SELECT day, revenue, med, ABS(revenue - med) AS adev
+            FROM daily CROSS JOIN med
+        ), mad AS (SELECT QUANTILE_CONT(adev, 0.5) AS mad FROM dev)
+        SELECT day, revenue,
+               ROUND((revenue - med) / (1.4826 * mad), 2) AS robust_z
+        FROM dev CROSS JOIN mad
+        WHERE ABS(ROUND((revenue - med) / (1.4826 * mad), 2)) > 3
+        ORDER BY day
+    """,
     "agg_groupby_multi": """
         WITH d AS (
             SELECT l_returnflag, l_linestatus,

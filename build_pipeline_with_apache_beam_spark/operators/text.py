@@ -596,7 +596,56 @@ def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts — words
+    (whitespace runs), sentences (non-empty [.!?]-delimited spans), and
+    syllables (vowel groups, the standard cheap approximation).
+
+    206.835 − 1.015·(W/S) − 84.6·(Syl/W), the classic corpus-quality
+    readability gate.  Everything is regexp_count in the scan projection:
+    JVM-side, zero shuffle, scan-speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    sents = F.regexp_count(F.col("text"), F.lit(r"[^.!?]*[A-Za-z][^.!?]*"))
+    syll = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+    return docs.select(
+        "doc_id", words.alias("n_words"), sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(206.835
+                - 1.015 * words / F.greatest(sents, F.lit(1))
+                - 84.6 * syll / F.greatest(words, F.lit(1)), 2)
+         .alias("flesch"))
+
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per source: vocabulary size, number of
+    words seen exactly once, and the hapax ratio — the classic vocabulary
+    -richness / crawl-noise signal (boilerplate-heavy sources have low
+    ratios, OCR-noise sources spike them).
+
+    Two chained two-phase aggregates: the corpus collapses to distinct
+    (source, word) counts first (shuffle carries the vocabulary, not
+    corpus positions), then one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select("source",
+                         F.explode(F.split(F.lower("text"), " "))
+                          .alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("source", "w").agg(F.count(F.lit(1)).alias("wf")))
+    return (words.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("vocab_size"),
+                 F.sum(F.when(F.col("wf") == 1, 1).otherwise(0))
+                  .alias("n_hapax"),
+                 F.sum("wf").alias("n_tokens"))
+            .select("source", "vocab_size", "n_hapax", "n_tokens",
+                    F.round(F.col("n_hapax") / F.col("vocab_size"), 4)
+                     .alias("hapax_ratio"))
+            .orderBy("source"))
+
+
 QUERIES = {
+    "text_readability_flesch": text_readability_flesch,
+    "text_hapax_ratio": text_hapax_ratio,
     "corpus_vocab_growth": corpus_vocab_growth,
     "text_token_length_percentiles": text_token_length_percentiles,
     "text_char_ngrams": text_char_ngrams,
@@ -631,6 +680,43 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_readability_flesch": """
+        WITH c AS (
+            SELECT doc_id,
+                   LEN(regexp_extract_all(text, '\\S+')) AS n_words,
+                   LEN(regexp_extract_all(text,
+                       '[^.!?]*[A-Za-z][^.!?]*')) AS n_sentences,
+                   LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               CAST(n_sentences AS INT) AS n_sentences,
+               CAST(n_syllables AS INT) AS n_syllables,
+               ROUND(206.835::DOUBLE
+                     - 1.015::DOUBLE * n_words / GREATEST(n_sentences, 1)
+                     - 84.6::DOUBLE * n_syllables / GREATEST(n_words, 1), 2)
+                   AS flesch
+        FROM c
+    """,
+    "text_hapax_ratio": """
+        WITH words AS (
+            SELECT source, w, COUNT(*) AS wf
+            FROM (SELECT source, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY source, w
+        )
+        SELECT source,
+               COUNT(*) AS vocab_size,
+               SUM(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS n_hapax,
+               SUM(wf) AS n_tokens,
+               ROUND(SUM(CASE WHEN wf = 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_ratio
+        FROM words
+        GROUP BY source ORDER BY source
+    """,
     "corpus_vocab_growth": """
         WITH toks AS (
             SELECT CAST(FLOOR(doc_id / 10) AS INT) AS batch,
