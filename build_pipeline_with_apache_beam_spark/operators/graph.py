@@ -74,12 +74,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u<v<w counted exactly once); wedges are sum over nodes of C(deg, 2).
     Both engines apply the identical interpolated-percentile cutoff, so
     the edge set — and therefore every count — is deterministic."""
-    pairs = _co_supply_pairs(spark, sf_dir)
+    # the fact table collapses to the pair list ONCE; everything below
+    # re-reads the materialized pair/edge lists instead of re-running the
+    # lineitem scan per plan branch (cut, degrees, and the 3-way join all
+    # reference them)
+    pairs = _co_supply_pairs(spark, sf_dir).persist()
     cut = pairs.agg(
         F.expr("percentile(co_parts, 0.95)").alias("cut"))
     strong = (pairs.crossJoin(F.broadcast(cut))
               .where(F.col("co_parts") >= F.col("cut"))
-              .select("u", "v"))
+              .select("u", "v")).persist()
     deg = (strong.select(F.col("u").alias("node"))
            .unionAll(strong.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -127,7 +131,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
              .join(supp, li.l_suppkey == supp.s_suppkey)
              .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
-             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             # collapse the fact table ONCE: the iteration below branches
+             # off this tiny edge list 7+ times; without materialization
+             # every branch would re-run the full lineitem join.  The
+             # edge list is bounded by |nation|² — one partition, so the
+             # five iteration stages don't schedule 64 empty tasks each
+             .coalesce(1)
+             .persist())
     outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
     trans = (edges.join(outw, "src")
              .select("src", "dst",
@@ -137,11 +148,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "n", (F.lit(1.0) / F.col("cnt")).alias("r"))
+    # ranks are |nodes| rows — broadcast them into each iteration so the
+    # persisted transition list never reshuffles; the groupBy output is
+    # again |nodes| rows, broadcast back for the rebind join
     for _ in range(5):
-        inflow = (trans.join(r, trans.src == r.n)
+        inflow = (trans.join(F.broadcast(r), trans.src == r.n)
                   .groupBy("dst")
                   .agg(F.sum(F.col("p") * F.col("r")).alias("inflow")))
-        r = (nodes.join(inflow, nodes.n == inflow.dst, "left")
+        r = (nodes.join(F.broadcast(inflow), nodes.n == inflow.dst, "left")
              .crossJoin(F.broadcast(nn))
              .select(F.col("n"),
                      (F.lit(0.15) / F.col("cnt")

@@ -1578,7 +1578,74 @@ def timeseries_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on the daily error-rate series:
+    S_i = max(0, S_{i-1} + (rate_i − mean − slack)), alarm when S_i > h.
+
+    The recursive max(0,·) has no direct window form, but the identity
+    S_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of deviations)
+    turns it into two prefix windows — so the whole detector is windows
+    over the DAILY series, which is bounded by the calendar, not data
+    volume; the fact table collapses to one row per day first (two-phase
+    counts, integer-exact rates)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).alias("n_err"),
+                  F.count(F.lit(1)).alias("n")))
+    rated = daily.select(
+        "day", (F.col("n_err") / F.col("n")).alias("rate"))
+    mean = rated.agg(F.avg("rate").alias("mu"))
+    slack = 0.005
+    dev = (rated.crossJoin(F.broadcast(mean))
+           .select("day", "rate",
+                   (F.col("rate") - F.col("mu") - slack).alias("d")))
+    wp = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    staged = dev.select("day", "rate", F.sum("d").over(wp).alias("p"))
+    s = F.col("p") - F.least(F.lit(0.0), F.min("p").over(wp))
+    h = 0.02
+    return (staged.select("day", F.round("rate", 4).alias("rate"),
+                          F.round(s, 4).alias("cusum"),
+                          (s > h).alias("alarm"))
+            .orderBy("day"))
+
+
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog (update / delete / no-op) to a snapshot —
+    the third MERGE flavor next to merge_upsert (insert-or-replace) and
+    merge_scd2_history (versioning): latest change per key wins, deletes
+    actually remove rows.
+
+    The changelog is derived from events (latest event per user: purchase
+    ⇒ balance update, error ⇒ delete); it collapses to ONE row per key
+    before touching the snapshot, so the merge is a single left join on
+    the (usually broadcastable) change set, never a row-at-a-time replay.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    latest = (ev.where(F.col("event_type").isin("purchase", "error"))
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select((F.col("user_id") + 1).alias("key"),
+                      F.col("event_type").alias("op"),
+                      F.round("value", 2).alias("new_bal")))
+    merged = cust.join(F.broadcast(latest),
+                       cust.c_custkey == latest.key, "left")
+    return (merged.where(F.col("op").isNull() | (F.col("op") != "error"))
+            .select("c_custkey", "c_name", "c_mktsegment",
+                    F.round(F.when(F.col("op") == "purchase",
+                                   F.col("new_bal"))
+                            .otherwise(F.col("c_acctbal")), 2)
+                    .alias("acctbal"),
+                    F.coalesce(F.col("op"), F.lit("unchanged"))
+                    .alias("last_op")))
+
+
 QUERIES = {
+    "merge_cdc_apply": merge_cdc_apply,
+    "timeseries_cusum_changepoint": timeseries_cusum_changepoint,
     "agg_corr_matrix": agg_corr_matrix,
     "agg_weighted_median": agg_weighted_median,
     "timeseries_mad_anomaly": timeseries_mad_anomaly,
@@ -1658,6 +1725,53 @@ QUERIES = {
 }
 
 ORACLE = {
+    "merge_cdc_apply": """
+        WITH latest AS (
+            SELECT user_id + 1 AS key, event_type AS op,
+                   ROUND(value, 2) AS new_bal
+            FROM (
+                SELECT user_id, event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE event_type IN ('purchase', 'error')
+            ) WHERE rn = 1
+        )
+        SELECT c_custkey, c_name, c_mktsegment,
+               ROUND(CASE WHEN op = 'purchase' THEN new_bal
+                          ELSE c_acctbal END, 2) AS acctbal,
+               COALESCE(op, 'unchanged') AS last_op
+        FROM customer c LEFT JOIN latest ON c.c_custkey = latest.key
+        WHERE op IS NULL OR op <> 'error'
+    """,
+    "timeseries_cusum_changepoint": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_err,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        ), rated AS (
+            SELECT day, CAST(n_err AS DOUBLE) / n AS rate FROM daily
+        ), mean AS (SELECT AVG(rate) AS mu FROM rated),
+        dev AS (
+            SELECT day, rate, rate - mu - 0.005::DOUBLE AS d
+            FROM rated CROSS JOIN mean
+        ), staged AS (
+            SELECT day, rate,
+                   SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p
+            FROM dev
+        )
+        SELECT day, ROUND(rate, 4) AS rate,
+               ROUND(p - LEAST(0.0::DOUBLE,
+                     MIN(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 4)
+                   AS cusum,
+               p - LEAST(0.0::DOUBLE,
+                   MIN(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                   > 0.02::DOUBLE AS alarm
+        FROM staged
+        ORDER BY day
+    """,
     "agg_corr_matrix": """
         WITH one AS (
             SELECT ROUND(CORR(l_quantity, l_extendedprice), 4) AS c0,

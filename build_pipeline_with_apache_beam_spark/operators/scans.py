@@ -399,7 +399,32 @@ def _write_bin_files(root: str, rows) -> None:
             fh.write(bytes(r["payload"]))
 
 
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source format: write orders as ORC (distributed), read it
+    back, filter + project.
+
+    Unlike CSV, ORC is a columnar format with stripe-level min/max
+    statistics — the shipped filter DOES push down to the ORC reader
+    (PushedFilters in the scan node), and column pruning reads only the
+    three projected streams.  Covers the second columnar lake format a
+    migrating warehouse user brings alongside parquet."""
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"orc_orders_{sf_tag}")
+    if not os.path.exists(path):
+        (load_table(spark, sf_dir, "orders")
+         .write.mode("overwrite").orc(path))
+    return (spark.read.orc(path)
+            .where(F.col("o_totalprice") > 50000.0)
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 4).alias("o_totalprice")))
+
+
 QUERIES = {
+    "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_json_multiline": scan_json_multiline,
     "scan_observe_metrics": scan_observe_metrics,
     "scan_corrupt_capture": scan_corrupt_capture,
@@ -481,6 +506,11 @@ ORACLE = {
     """,
     "scan_json_lines": """
         SELECT event_id, CAST(props->>'$.k' AS INT) AS prop_k FROM events
+    """,
+    "scan_orc_roundtrip": """
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders WHERE o_totalprice > 50000.0
     """,
     "scan_csv_roundtrip": """
         SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal,

@@ -643,9 +643,34 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def text_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/extraction-noise scoring per document: symbol density, digit
+    density, hyphenated line-break artifacts ("word- continuation"), and
+    stray single-letter tokens — the cheap signals that catch bad PDF/OCR
+    extractions before they poison a training mix.
+
+    Four regexp_count projections + one weighted combination, all inside
+    the scan projection (JVM regex, no shuffle, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    sym = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    dig = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    hyph = F.regexp_count(F.col("text"), F.lit(r"\w- \w"))
+    stray = F.regexp_count(F.col("text"), F.lit(r"(^| )[A-Za-z]( |$)"))
+    return docs.select(
+        "doc_id",
+        F.round(sym / n_chars, 4).alias("symbol_ratio"),
+        F.round(dig / n_chars, 4).alias("digit_ratio"),
+        hyph.alias("n_hyphen_breaks"),
+        stray.alias("n_stray_letters"),
+        F.round(2.0 * sym / n_chars + dig / n_chars
+                + 0.05 * hyph + 0.02 * stray, 4).alias("ocr_noise_score"))
+
+
 QUERIES = {
     "text_readability_flesch": text_readability_flesch,
     "text_hapax_ratio": text_hapax_ratio,
+    "text_ocr_artifact_score": text_ocr_artifact_score,
     "corpus_vocab_growth": corpus_vocab_growth,
     "text_token_length_percentiles": text_token_length_percentiles,
     "text_char_ngrams": text_char_ngrams,
@@ -698,6 +723,28 @@ ORACLE = {
                      - 1.015::DOUBLE * n_words / GREATEST(n_sentences, 1)
                      - 84.6::DOUBLE * n_syllables / GREATEST(n_words, 1), 2)
                    AS flesch
+        FROM c
+    """,
+    "text_ocr_artifact_score": """
+        WITH c AS (
+            SELECT doc_id,
+                   GREATEST(LENGTH(text), 1) AS n_chars,
+                   LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS sym,
+                   LEN(regexp_extract_all(text, '[0-9]')) AS dig,
+                   LEN(regexp_extract_all(text, '\\w- \\w')) AS hyph,
+                   LEN(regexp_extract_all(text, '(^| )[A-Za-z]( |$)'))
+                       AS stray
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(CAST(sym AS DOUBLE) / n_chars, 4) AS symbol_ratio,
+               ROUND(CAST(dig AS DOUBLE) / n_chars, 4) AS digit_ratio,
+               CAST(hyph AS INT) AS n_hyphen_breaks,
+               CAST(stray AS INT) AS n_stray_letters,
+               ROUND(2.0::DOUBLE * sym / n_chars
+                     + CAST(dig AS DOUBLE) / n_chars
+                     + 0.05::DOUBLE * hyph + 0.02::DOUBLE * stray, 4)
+                   AS ocr_noise_score
         FROM c
     """,
     "text_hapax_ratio": """
