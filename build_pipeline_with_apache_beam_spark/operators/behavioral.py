@@ -559,7 +559,38 @@ def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU(28-day) stickiness per day — the engagement headline
+    metric.
+
+    The naive form is a 28-day sliding COUNT DISTINCT per day (a range
+    self-join over the event log).  This uses the scalable contribution
+    trick instead: the log collapses to distinct (user, active_day) rows
+    first, each of which is exploded into the ≤28 window days it
+    contributes to — a bounded 28× expansion of USER-DAYS (not events),
+    then one two-phase distinct count per day.  Window days past the
+    observed calendar are joined away."""
+    ev = load_table(spark, sf_dir, "events")
+    active = (ev.select("user_id", F.to_date("ts").alias("day"))
+              .distinct())
+    days = active.select("day").distinct()
+    dau = active.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau"))
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 27)))
+         .alias("wday"))
+    mau = (contrib.join(days.withColumnRenamed("day", "wday"), "wday")
+           .groupBy("wday").agg(F.countDistinct("user_id").alias("mau")))
+    return (dau.join(mau, dau.day == mau.wday)
+            .select("day", "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau"), 4)
+                     .alias("stickiness"))
+            .orderBy("day"))
+
+
 QUERIES = {
+    "events_dau_mau_stickiness": events_dau_mau_stickiness,
     "events_rfm_segmentation": events_rfm_segmentation,
     "events_gini_concentration": events_gini_concentration,
     "events_session_path_topk": events_session_path_topk,
@@ -583,6 +614,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_dau_mau_stickiness": """
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), days AS (SELECT DISTINCT day FROM active),
+        dau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS dau
+            FROM active GROUP BY day
+        ), mau AS (
+            SELECT d.day, COUNT(DISTINCT a.user_id) AS mau
+            FROM days d JOIN active a
+              ON a.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+            GROUP BY d.day
+        )
+        SELECT dau.day, dau, mau,
+               ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+        FROM dau JOIN mau ON dau.day = mau.day
+        ORDER BY dau.day
+    """,
     "events_rfm_segmentation": """
         WITH per_user AS (
             SELECT user_id, MAX(ts) AS last_ts,

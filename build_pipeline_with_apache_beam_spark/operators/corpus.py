@@ -718,7 +718,42 @@ def corpus_boilerplate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source"))
 
 
+def corpus_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a fixed 1M-token training budget across sources
+    proportionally to their available whitespace tokens, using the
+    largest-remainder (Hamilton) method so the integer allocations sum to
+    EXACTLY the budget — the arithmetic a data-mix planner needs before
+    sampling.
+
+    All quota math is exact bigint: floor_i = (B·t_i) div T and the
+    remainder ranking uses (B·t_i) mod T, so no float ever decides who
+    gets the +1 seats; the ranking window runs over #sources rows.
+    (At extreme corpus sizes B·t_i needs DECIMAL(38) headroom — same
+    algorithm, wider type.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 1_000_000
+    per_src = (docs.select("source", F.size(F.split("text", " "))
+                           .alias("toks"))
+               .groupBy("source").agg(F.sum("toks").alias("tokens_avail")))
+    tot = per_src.agg(F.sum("tokens_avail").alias("t"),
+                      F.count(F.lit(1)).alias("n_src"))
+    q = (per_src.crossJoin(F.broadcast(tot))
+         .select("source", "tokens_avail",
+                 F.expr(f"({budget} * tokens_avail) div t").alias("floor_alloc"),
+                 F.expr(f"({budget} * tokens_avail) % t").alias("rem")))
+    leftover = q.agg((F.lit(budget) - F.sum("floor_alloc")).alias("extra"))
+    w = W.orderBy(F.col("rem").desc(), "source")
+    return (q.crossJoin(F.broadcast(leftover))
+            .withColumn("rk", F.row_number().over(w))
+            .select("source", "tokens_avail",
+                    (F.col("floor_alloc")
+                     + F.when(F.col("rk") <= F.col("extra"), 1)
+                        .otherwise(0)).alias("token_alloc"))
+            .orderBy("source"))
+
+
 QUERIES = {
+    "corpus_token_budget_apportion": corpus_token_budget_apportion,
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
     "corpus_interleave_sources": corpus_interleave_sources,
@@ -747,6 +782,31 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_token_budget_apportion": """
+        WITH per_src AS (
+            SELECT source,
+                   SUM(LEN(STR_SPLIT(text, ' '))) AS tokens_avail
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(tokens_avail) AS t, COUNT(*) AS n_src FROM per_src
+        ), q AS (
+            SELECT source, tokens_avail,
+                   (1000000 * tokens_avail) // t AS floor_alloc,
+                   (1000000 * tokens_avail) % t AS rem
+            FROM per_src CROSS JOIN tot
+        ), leftover AS (
+            SELECT 1000000 - SUM(floor_alloc) AS extra FROM q
+        ), ranked AS (
+            SELECT source, tokens_avail, floor_alloc,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM q
+        )
+        SELECT source, tokens_avail,
+               floor_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                   AS token_alloc
+        FROM ranked CROSS JOIN leftover
+        ORDER BY source
+    """,
     "corpus_pack_sequences": """
         WITH packed AS (
             SELECT doc_id, lang, text,

@@ -1643,7 +1643,45 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("last_op")))
 
 
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-20 co-purchased part pairs
+    by lift, at minimum support 3 — the recommender/affinity primitive.
+
+    Baskets are the distinct (order, part) rows; the pair self-join is
+    per-order, so its cost is Σ C(k_o, 2) over orders — bounded by basket
+    size (~4 lines in TPC-H shape), linear in orders at any scale.  Lift
+    is computed from exact integer counts, so both engines order the
+    same doubles; ties break on the part ids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item"))
+    n_orders = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("part_x"),
+                     F.col("b.l_partkey").alias("part_y"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= 3))
+    ix = item.select(F.col("l_partkey").alias("part_x"),
+                     F.col("n_item").alias("n_x"))
+    iy = item.select(F.col("l_partkey").alias("part_y"),
+                     F.col("n_item").alias("n_y"))
+    lift = (F.col("support").cast("double") * F.col("n_orders")
+            / (F.col("n_x") * F.col("n_y")))
+    return (pair.join(F.broadcast(ix), "part_x")
+            .join(F.broadcast(iy), "part_y")
+            .crossJoin(F.broadcast(n_orders))
+            .orderBy(lift.desc(), "part_x", "part_y")
+            .limit(20)
+            .select("part_x", "part_y", "support", "n_x", "n_y",
+                    F.round(lift, 4).alias("lift")))
+
+
 QUERIES = {
+    "agg_market_basket_lift": agg_market_basket_lift,
     "merge_cdc_apply": merge_cdc_apply,
     "timeseries_cusum_changepoint": timeseries_cusum_changepoint,
     "agg_corr_matrix": agg_corr_matrix,
@@ -1725,6 +1763,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_market_basket_lift": """
+        WITH basket AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), item AS (
+            SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY 1
+        ), no AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket
+        ), pair AS (
+            SELECT a.l_partkey AS part_x, b.l_partkey AS part_y,
+                   COUNT(*) AS support
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT part_x, part_y, support,
+               ix.n_item AS n_x, iy.n_item AS n_y,
+               ROUND(CAST(support AS DOUBLE) * n_orders
+                     / (ix.n_item * iy.n_item), 4) AS lift
+        FROM pair
+        JOIN item ix ON pair.part_x = ix.l_partkey
+        JOIN item iy ON pair.part_y = iy.l_partkey
+        CROSS JOIN no
+        ORDER BY CAST(support AS DOUBLE) * n_orders
+                 / (ix.n_item * iy.n_item) DESC, part_x, part_y
+        LIMIT 20
+    """,
     "merge_cdc_apply": """
         WITH latest AS (
             SELECT user_id + 1 AS key, event_type AS op,
