@@ -192,16 +192,28 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(vec, lambda x: x / norm)
-    quant = F.transform(unit, lambda x: F.round(x * 127).cast("int"))
-    return emb.select(
+    # norm/unit/quant are each referenced 2-3 times downstream — stage
+    # them behind projections so Catalyst evaluates each HOF chain once
+    # per row instead of re-inlining it per reference
+    s1 = emb.select("vec_id", vec.alias("v"))
+    s2 = s1.select(
+        "vec_id", "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+         .alias("norm"))
+    s3 = s2.select(
+        "vec_id", "norm",
+        F.transform("v", lambda x: x / F.col("norm")).alias("unit"))
+    s4 = s3.select(
+        "vec_id", "norm", "unit",
+        F.transform("unit", lambda x: F.round(x * 127).cast("int"))
+         .alias("quant"))
+    return s4.select(
         "vec_id",
-        F.round(norm, 4).alias("l2_norm"),
-        F.round(F.element_at(unit, 1), 4).alias("unit_first"),
-        F.array_max(quant).alias("q_max"),
-        F.array_min(quant).alias("q_min"),
-        F.size(F.filter(quant, lambda x: x == 0)).alias("n_zero"),
+        F.round("norm", 4).alias("l2_norm"),
+        F.round(F.element_at("unit", 1), 4).alias("unit_first"),
+        F.array_max("quant").alias("q_max"),
+        F.array_min("quant").alias("q_min"),
+        F.size(F.filter("quant", lambda x: x == 0)).alias("n_zero"),
     )
 
 
@@ -631,18 +643,29 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(vec, lambda x: x / norm)
-    # quantize to int8, dequantize, element-wise |error|
-    err = F.zip_with(
-        unit,
-        F.transform(unit, lambda x: F.round(x * 127) / 127),
-        lambda a, b: F.abs(a - b))
-    return (emb.select("label",
-                       F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
-                       .alias("sum_err"),
-                       F.array_max(err).alias("max_err"),
-                       F.size(err).alias("dim"))
+    # stage each intermediate behind its own projection: `norm`, `unit`
+    # and `err` are all referenced more than once downstream, and inlining
+    # them (the single-select form) makes Catalyst re-evaluate the whole
+    # HOF chain per reference — 3-4x the per-row work for free
+    s1 = emb.select("label", vec.alias("v"))
+    s2 = s1.select(
+        "label", "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+         .alias("norm"))
+    s3 = s2.select(
+        "label",
+        F.transform("v", lambda x: x / F.col("norm")).alias("unit"))
+    s4 = s3.select(
+        "label",
+        F.zip_with(
+            "unit",
+            F.transform("unit", lambda x: F.round(x * 127) / 127),
+            lambda a, b: F.abs(a - b)).alias("err"))
+    return (s4.select("label",
+                      F.aggregate("err", F.lit(0.0), lambda a, x: a + x)
+                      .alias("sum_err"),
+                      F.array_max("err").alias("max_err"),
+                      F.size("err").alias("dim"))
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.sum("sum_err") / F.sum("dim"), 6)
