@@ -589,7 +589,40 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cart abandonment per day: sessions that showed
+    intent (click or view) but closed without a purchase, as a share of
+    intent sessions — the conversion-leak metric next to the funnel.
+
+    One sessionization shuffle (user_id partitioning shared by both
+    window passes), then sessions collapse to boolean flags and a tiny
+    per-day aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    starts = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select("user_id", "ts", "event_type",
+                     F.sum(starts).over(run).alias("session_seq"))
+    flags = (sess.groupBy("user_id", "session_seq")
+             .agg(F.to_date(F.min("ts")).alias("day"),
+                  F.max(F.col("event_type").isin("click", "view")
+                        .cast("int")).alias("intent"),
+                  F.max((F.col("event_type") == "purchase").cast("int"))
+                   .alias("bought")))
+    return (flags.where(F.col("intent") == 1)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_intent_sessions"),
+                 F.sum(1 - F.col("bought")).alias("n_abandoned"))
+            .select("day", "n_intent_sessions", "n_abandoned",
+                    F.round(F.col("n_abandoned")
+                            / F.col("n_intent_sessions"), 4)
+                    .alias("abandonment_rate"))
+            .orderBy("day"))
+
+
 QUERIES = {
+    "events_cart_abandonment": events_cart_abandonment,
     "events_dau_mau_stickiness": events_dau_mau_stickiness,
     "events_rfm_segmentation": events_rfm_segmentation,
     "events_gini_concentration": events_gini_concentration,
@@ -614,6 +647,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_cart_abandonment": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_type,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+            FROM flagged
+        ), flags AS (
+            SELECT user_id, session_seq,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   MAX(CASE WHEN event_type IN ('click', 'view')
+                            THEN 1 ELSE 0 END) AS intent,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS bought
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT day,
+               COUNT(*) AS n_intent_sessions,
+               SUM(1 - bought) AS n_abandoned,
+               ROUND(SUM(1 - bought) / CAST(COUNT(*) AS DOUBLE), 4)
+                   AS abandonment_rate
+        FROM flags WHERE intent = 1
+        GROUP BY day ORDER BY day
+    """,
     "events_dau_mau_stickiness": """
         WITH active AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

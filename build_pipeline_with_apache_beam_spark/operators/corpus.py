@@ -775,8 +775,33 @@ def corpus_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("source"))
 
 
+def corpus_importance_weights_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of importance weights per source:
+    ESS = (Σw)² / Σw² with w = document length (the stand-in for a
+    quality-proportional sampling weight), plus the ESS/n ratio.
+
+    The Kish diagnostic a mixture designer checks before importance
+    sampling a source: ratio near 1 → weights are flat and safe, near 0 →
+    a few documents dominate and the source resamples badly.  One
+    algebraic aggregate — both moments ride the same two-phase pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("double")).alias("sw"),
+                 F.sum(F.expr("cast(n_chars as double)"
+                              " * cast(n_chars as double)")).alias("sw2"))
+            .select("source", "n_docs",
+                    F.round(F.col("sw") * F.col("sw") / F.col("sw2"), 2)
+                     .alias("ess"),
+                    F.round(F.col("sw") * F.col("sw")
+                            / (F.col("sw2") * F.col("n_docs")), 4)
+                     .alias("ess_ratio"))
+            .orderBy("source"))
+
+
 QUERIES = {
     "corpus_token_budget_apportion": corpus_token_budget_apportion,
+    "corpus_importance_weights_ess": corpus_importance_weights_ess,
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_bootstrap_metric_ci": corpus_bootstrap_metric_ci,
     "corpus_interleave_sources": corpus_interleave_sources,
@@ -805,6 +830,20 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_importance_weights_ess": """
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(SUM(CAST(n_chars AS DOUBLE))
+                     * SUM(CAST(n_chars AS DOUBLE))
+                     / SUM(CAST(n_chars AS DOUBLE)
+                           * CAST(n_chars AS DOUBLE)), 2) AS ess,
+               ROUND(SUM(CAST(n_chars AS DOUBLE))
+                     * SUM(CAST(n_chars AS DOUBLE))
+                     / (SUM(CAST(n_chars AS DOUBLE)
+                            * CAST(n_chars AS DOUBLE)) * COUNT(*)), 4)
+                   AS ess_ratio
+        FROM documents
+        GROUP BY source ORDER BY source
+    """,
     "corpus_token_budget_apportion": """
         WITH per_src AS (
             SELECT source,

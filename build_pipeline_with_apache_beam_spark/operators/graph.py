@@ -62,6 +62,20 @@ def _co_supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("co_parts")))
 
 
+def _strong_co_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-tie co-supply edges: pairs at or above the exact 95th
+    percentile of co-part weight, persisted — the fact table collapses to
+    the pair list ONCE and every downstream branch (threshold, degrees,
+    joins) re-reads the materialized lists instead of re-running the
+    lineitem scan."""
+    pairs = _co_supply_pairs(spark, sf_dir).persist()
+    cut = pairs.agg(
+        F.expr("percentile(co_parts, 0.95)").alias("cut"))
+    return (pairs.crossJoin(F.broadcast(cut))
+            .where(F.col("co_parts") >= F.col("cut"))
+            .select("u", "v")).persist()
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the strong co-supply graph: keep only pairs whose
     co-part weight is at or above the exact 95th percentile (the "strong
@@ -74,16 +88,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u<v<w counted exactly once); wedges are sum over nodes of C(deg, 2).
     Both engines apply the identical interpolated-percentile cutoff, so
     the edge set — and therefore every count — is deterministic."""
-    # the fact table collapses to the pair list ONCE; everything below
-    # re-reads the materialized pair/edge lists instead of re-running the
-    # lineitem scan per plan branch (cut, degrees, and the 3-way join all
-    # reference them)
-    pairs = _co_supply_pairs(spark, sf_dir).persist()
-    cut = pairs.agg(
-        F.expr("percentile(co_parts, 0.95)").alias("cut"))
-    strong = (pairs.crossJoin(F.broadcast(cut))
-              .where(F.col("co_parts") >= F.col("cut"))
-              .select("u", "v")).persist()
+    strong = _strong_co_supply(spark, sf_dir)
     deg = (strong.select(F.col("u").alias("node"))
            .unionAll(strong.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -166,7 +171,39 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("nation"))
 
 
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first k-hop reachability (k ≤ 3) from the lowest-id node of
+    the strong co-supply graph: every reachable supplier with its minimum
+    hop distance — the blast-radius query ("if this supplier fails, who
+    is 1, 2, 3 tiers away").
+
+    Frontier expansion is iterative DataFrame joins against the persisted
+    symmetric edge list (the same shape dedup_connected_groups uses); the
+    driver composes k plans, never holds vertices.  Each hop's frontier
+    joins edges once — cost is O(frontier × avg-degree) per hop, the BFS
+    optimum."""
+    strong = _strong_co_supply(spark, sf_dir)
+    sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(strong.select(F.col("v").alias("src"),
+                                   F.col("u").alias("dst")))).persist()
+    seed = sym.agg(F.min("src").alias("node"))
+    reached = seed.select("node", F.lit(0).alias("hops"))
+    frontier = reached
+    for k in (1, 2, 3):
+        step = (sym.join(F.broadcast(frontier),
+                         sym.src == frontier.node)
+                .select(F.col("dst").alias("node"),
+                        F.lit(k).alias("hops"))
+                .distinct())
+        reached = reached.unionAll(step)
+        frontier = step
+    return (reached.groupBy("node").agg(F.min("hops").alias("min_hops"))
+            .where(F.col("min_hops") > 0)
+            .orderBy("node"))
+
+
 QUERIES = {
+    "graph_khop_reachability": graph_khop_reachability,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank_trade": graph_pagerank_trade,
@@ -222,6 +259,41 @@ ORACLE = {
         d AS (SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1)
         SELECT degree, COUNT(*) AS n_parts
         FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "graph_khop_reachability": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM strong
+            UNION ALL
+            SELECT v AS src, u AS dst FROM strong
+        ),
+        seed AS (SELECT MIN(src) AS node FROM sym),
+        h1 AS (SELECT DISTINCT dst AS node
+               FROM sym JOIN seed ON sym.src = seed.node),
+        h2 AS (SELECT DISTINCT dst AS node
+               FROM sym JOIN h1 ON sym.src = h1.node),
+        h3 AS (SELECT DISTINCT dst AS node
+               FROM sym JOIN h2 ON sym.src = h2.node),
+        all_h AS (
+            SELECT node, 0 AS hops FROM seed
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
+            UNION ALL SELECT node, 3 FROM h3
+        )
+        SELECT node, MIN(hops) AS min_hops
+        FROM all_h GROUP BY node
+        HAVING MIN(hops) > 0
+        ORDER BY node
     """,
     "graph_triangle_count": """
         WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -1680,7 +1680,34 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(lift, 4).alias("lift")))
 
 
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 — the
+    seasonality probe run before choosing a forecasting model.
+
+    The fact table collapses to the exact daily series once; each lag is
+    then a Pearson correlation between the series and its lag-shifted
+    self over the tiny calendar-bounded frame (lag + corr are both
+    algebraic, one aggregate per lag over ≤ |days| rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4)
+                  .cast("double").alias("x")))
+    w = W.orderBy("day")
+    shifted = daily.select(
+        "day", "x",
+        *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(1, 8)])
+    acfs = shifted.agg(
+        *[F.round(F.corr("x", f"x_{k}"), 3).alias(f"acf_{k}")
+          for k in range(1, 8)])
+    stack_args = ", ".join(f"{k}, acf_{k}" for k in range(1, 8))
+    return (acfs.select(F.expr(
+        f"stack(7, {stack_args}) as (lag, acf)"))
+        .orderBy("lag"))
+
+
 QUERIES = {
+    "timeseries_autocorrelation": timeseries_autocorrelation,
     "agg_market_basket_lift": agg_market_basket_lift,
     "merge_cdc_apply": merge_cdc_apply,
     "timeseries_cusum_changepoint": timeseries_cusum_changepoint,
@@ -1763,6 +1790,41 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_autocorrelation": """
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) AS x
+            FROM lineitem GROUP BY 1
+        ), shifted AS (
+            SELECT x,
+                   LAG(x, 1) OVER (ORDER BY day) AS x_1,
+                   LAG(x, 2) OVER (ORDER BY day) AS x_2,
+                   LAG(x, 3) OVER (ORDER BY day) AS x_3,
+                   LAG(x, 4) OVER (ORDER BY day) AS x_4,
+                   LAG(x, 5) OVER (ORDER BY day) AS x_5,
+                   LAG(x, 6) OVER (ORDER BY day) AS x_6,
+                   LAG(x, 7) OVER (ORDER BY day) AS x_7
+            FROM daily
+        ), acfs AS (
+            SELECT ROUND(CORR(x, x_1), 3) AS a1,
+                   ROUND(CORR(x, x_2), 3) AS a2,
+                   ROUND(CORR(x, x_3), 3) AS a3,
+                   ROUND(CORR(x, x_4), 3) AS a4,
+                   ROUND(CORR(x, x_5), 3) AS a5,
+                   ROUND(CORR(x, x_6), 3) AS a6,
+                   ROUND(CORR(x, x_7), 3) AS a7
+            FROM shifted
+        )
+        SELECT 1 AS lag, a1 AS acf FROM acfs
+        UNION ALL SELECT 2, a2 FROM acfs
+        UNION ALL SELECT 3, a3 FROM acfs
+        UNION ALL SELECT 4, a4 FROM acfs
+        UNION ALL SELECT 5, a5 FROM acfs
+        UNION ALL SELECT 6, a6 FROM acfs
+        UNION ALL SELECT 7, a7 FROM acfs
+        ORDER BY lag
+    """,
     "agg_market_basket_lift": """
         WITH basket AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
