@@ -621,7 +621,34 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+def reshape_session_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each session to its ordered event-type array — the nested
+    "journey" representation that path mining, Markov fitting, and
+    sequence-model training all start from.
+
+    collect_list gives no ordering guarantee under parallel merge, so the
+    array is built ORDER-DETERMINISTICALLY: collect structs keyed by
+    (ts, event_id), array_sort on the struct key, then project the type —
+    same single user_id shuffle as sessionization, nested output, no
+    second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    starts = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select("user_id", "ts", "event_id", "event_type",
+                     F.sum(starts).over(run).alias("session_seq"))
+    arr = F.array_sort(F.collect_list(
+        F.struct("ts", "event_id", "event_type")))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.transform(arr, lambda s: s["event_type"])
+                  .alias("event_path"))
+            .orderBy("user_id", "session_seq"))
+
+
 QUERIES = {
+    "reshape_session_event_arrays": reshape_session_event_arrays,
     "events_cart_abandonment": events_cart_abandonment,
     "events_dau_mau_stickiness": events_dau_mau_stickiness,
     "events_rfm_segmentation": events_rfm_segmentation,
@@ -647,6 +674,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "reshape_session_event_arrays": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               LIST(event_type ORDER BY ts, event_id) AS event_path
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
     "events_cart_abandonment": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, event_type,

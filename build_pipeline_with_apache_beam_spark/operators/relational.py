@@ -1706,7 +1706,74 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lag"))
 
 
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of document-length distributions:
+    src0 (the "expected" population) vs every other source, over fixed
+    length buckets — the drift gate an ML platform runs before letting a
+    new data drop into training.
+
+    PSI = Σ (a_i − e_i)·ln(a_i / e_i) over bucket shares (ε-floored so
+    empty buckets stay finite).  Fixed bucket edges make both engines
+    bucket identically; the whole op is two tiny grouped aggregates
+    joined broadcast — one corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.when(F.col("n_chars") < 200, 0)
+              .when(F.col("n_chars") < 400, 1)
+              .when(F.col("n_chars") < 600, 2)
+              .when(F.col("n_chars") < 800, 3)
+              .otherwise(4))
+    counts = (docs.select("source", bucket.alias("bucket"))
+              .groupBy("source", "bucket")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("n_tot"))
+    shares = (counts.join(tot, "source")
+              .select("source", "bucket",
+                      (F.col("n") / F.col("n_tot")).alias("share")))
+    expected = (shares.where(F.col("source") == "src0")
+                .select("bucket", F.col("share").alias("e")))
+    eps = 1e-6
+    actual = shares.where(F.col("source") != "src0")
+    a = F.greatest(F.col("share"), F.lit(eps))
+    e = F.greatest(F.coalesce(F.col("e"), F.lit(0.0)), F.lit(eps))
+    return (actual.join(F.broadcast(expected), "bucket", "left")
+            .groupBy("source")
+            .agg(F.round(F.sum((a - e) * F.log(a / e)), 4).alias("psi"))
+            .orderBy("source"))
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the orders table in ONE pass: null count,
+    distinct count, and fill rate per column, unpivoted to a row per
+    column — the first thing a data platform materializes about every
+    table it ingests.
+
+    All per-column aggregates ride a single two-phase pass (no
+    per-column jobs); stack() unpivots the 1-row result."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__total"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct")]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__total, {c}__nulls, {c}__distinct" for c in cols)
+    return (one.select(F.expr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_total, n_nulls, n_distinct)"))
+        .select("column_name", "n_total", "n_nulls", "n_distinct",
+                F.round(1.0 - F.col("n_nulls") / F.col("n_total"), 4)
+                .alias("fill_rate"))
+        .orderBy("column_name"))
+
+
 QUERIES = {
+    "dq_distribution_drift_psi": dq_distribution_drift_psi,
+    "dq_null_profile": dq_null_profile,
     "timeseries_autocorrelation": timeseries_autocorrelation,
     "agg_market_basket_lift": agg_market_basket_lift,
     "merge_cdc_apply": merge_cdc_apply,
@@ -1790,6 +1857,65 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_distribution_drift_psi": """
+        WITH counts AS (
+            SELECT source,
+                   CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 400 THEN 1
+                        WHEN n_chars < 600 THEN 2
+                        WHEN n_chars < 800 THEN 3
+                        ELSE 4 END AS bucket,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT source, SUM(n) AS n_tot FROM counts GROUP BY source
+        ), shares AS (
+            SELECT c.source, c.bucket,
+                   CAST(c.n AS DOUBLE) / t.n_tot AS share
+            FROM counts c JOIN tot t ON c.source = t.source
+        ), expected AS (
+            SELECT bucket, share AS e FROM shares WHERE source = 'src0'
+        )
+        SELECT a.source,
+               ROUND(SUM((GREATEST(a.share, 1e-6)
+                          - GREATEST(COALESCE(x.e, 0.0), 1e-6))
+                     * LN(GREATEST(a.share, 1e-6)
+                          / GREATEST(COALESCE(x.e, 0.0), 1e-6))), 4)
+                   AS psi
+        FROM shares a LEFT JOIN expected x ON a.bucket = x.bucket
+        WHERE a.source <> 'src0'
+        GROUP BY a.source ORDER BY a.source
+    """,
+    "dq_null_profile": """
+        WITH one AS (
+            SELECT COUNT(*) AS total,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n1,
+                   COUNT(DISTINCT o_orderkey) AS d1,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n2,
+                   COUNT(DISTINCT o_custkey) AS d2,
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n3,
+                   COUNT(DISTINCT o_orderstatus) AS d3,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n4,
+                   COUNT(DISTINCT o_totalprice) AS d4,
+                   SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n5,
+                   COUNT(DISTINCT o_orderdate) AS d5,
+                   SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                       AS n6,
+                   COUNT(DISTINCT o_orderpriority) AS d6
+            FROM orders
+        ), rows_out AS (
+            SELECT 'o_orderkey' AS column_name, total, n1 AS n_nulls,
+                   d1 AS n_distinct FROM one
+            UNION ALL SELECT 'o_custkey', total, n2, d2 FROM one
+            UNION ALL SELECT 'o_orderstatus', total, n3, d3 FROM one
+            UNION ALL SELECT 'o_totalprice', total, n4, d4 FROM one
+            UNION ALL SELECT 'o_orderdate', total, n5, d5 FROM one
+            UNION ALL SELECT 'o_orderpriority', total, n6, d6 FROM one
+        )
+        SELECT column_name, total AS n_total, n_nulls, n_distinct,
+               ROUND(1.0 - CAST(n_nulls AS DOUBLE) / total, 4) AS fill_rate
+        FROM rows_out ORDER BY column_name
+    """,
     "timeseries_autocorrelation": """
         WITH daily AS (
             SELECT CAST(l_shipdate AS DATE) AS day,

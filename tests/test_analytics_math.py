@@ -1,0 +1,128 @@
+"""Independent-formula checks for the analytics math added this round.
+
+The DuckDB oracles in the op modules intentionally mirror each operator's
+formula so value comparison is exact; these tests close the remaining gap
+by recomputing the same quantities with a DIFFERENT (brute-force Python)
+formulation, so a shared algebraic mistake in op+oracle can't hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _duck_rows(duck, sql):
+    return duck.execute(sql).fetchall()
+
+
+def test_hamilton_apportionment_invariants(spark, sf_dir):
+    """Largest-remainder allocations sum EXACTLY to the budget and stay
+    within quota (floor ≤ alloc ≤ floor+1) — the two defining properties
+    of Hamilton apportionment."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_token_budget_apportion,
+    )
+
+    rows = corpus_token_budget_apportion(spark, sf_dir).collect()
+    budget = 1_000_000
+    total_tokens = sum(r["tokens_avail"] for r in rows)
+    assert sum(r["token_alloc"] for r in rows) == budget
+    for r in rows:
+        fl = (budget * r["tokens_avail"]) // total_tokens
+        assert fl <= r["token_alloc"] <= fl + 1, r
+
+
+def test_gini_matches_bruteforce_rank_formula(spark, sf_dir, duck):
+    """The grouped-value Gini must equal the classic per-user sorted-rank
+    formula computed in plain Python."""
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_gini_concentration,
+    )
+
+    got = events_gini_concentration(spark, sf_dir).first()
+    totals = sorted(round(v, 4) for (v,) in _duck_rows(duck, """
+        SELECT SUM(value) FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id"""))
+    n, s = len(totals), sum(totals)
+    rx = sum(i * x for i, x in enumerate(totals, start=1))
+    expect = 2 * rx / (n * s) - (n + 1) / n
+    assert got["n_users"] == n
+    assert abs(got["gini"] - expect) < 5e-4
+
+
+def test_cusum_matches_recursive_definition(spark, sf_dir, duck):
+    """The prefix-min window identity must reproduce the literal recursion
+    S_i = max(0, S_{i-1} + d_i)."""
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        timeseries_cusum_changepoint,
+    )
+
+    got = {r["day"]: r["cusum"]
+           for r in timeseries_cusum_changepoint(spark, sf_dir).collect()}
+    series = _duck_rows(duck, """
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE) AS rate
+        FROM events GROUP BY 1 ORDER BY 1""")
+    mu = sum(r for _, r in series) / len(series)
+    s = 0.0
+    for day, rate in series:
+        s = max(0.0, s + (rate - mu - 0.005))
+        assert abs(got[day] - s) < 5e-4, (day, got[day], s)
+
+
+def test_rfm_scores_are_bounded_and_monotone(spark, sf_dir):
+    """Every score lands in 1..5 and the monetary score never decreases
+    as monetary value increases (percentile-break scoring is monotone)."""
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_rfm_segmentation,
+    )
+
+    rows = events_rfm_segmentation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5, r
+    by_m = sorted(rows, key=lambda r: r["monetary"])
+    for a, b in zip(by_m, by_m[1:]):
+        assert a["m_score"] <= b["m_score"]
+
+
+def test_psi_zero_against_self(spark, sf_dir, duck):
+    """PSI of a distribution against itself is 0 — verified by feeding the
+    expected population through the same bucket/share pipeline in Python
+    and recomputing each reported PSI from raw bucket counts."""
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        dq_distribution_drift_psi,
+    )
+
+    got = {r["source"]: r["psi"]
+           for r in dq_distribution_drift_psi(spark, sf_dir).collect()}
+    raw = _duck_rows(duck, """
+        SELECT source,
+               CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                    WHEN n_chars < 600 THEN 2 WHEN n_chars < 800 THEN 3
+                    ELSE 4 END AS bucket, COUNT(*)
+        FROM documents GROUP BY 1, 2""")
+    shares: dict[str, dict[int, float]] = {}
+    tots: dict[str, int] = {}
+    for src, b, n in raw:
+        tots[src] = tots.get(src, 0) + n
+    for src, b, n in raw:
+        shares.setdefault(src, {})[b] = n / tots[src]
+    eps = 1e-6
+    exp = shares["src0"]
+    for src, dist in shares.items():
+        if src == "src0":
+            continue
+        psi = 0.0
+        for b, a_share in dist.items():
+            a = max(a_share, eps)
+            e = max(exp.get(b, 0.0), eps)
+            psi += (a - e) * math.log(a / e)
+        assert abs(got[src] - psi) < 5e-4, (src, got[src], psi)
+    # and the self-PSI identity
+    self_psi = sum((max(s, eps) - max(s, eps))
+                   * math.log(max(s, eps) / max(s, eps))
+                   for s in exp.values())
+    assert self_psi == 0.0
