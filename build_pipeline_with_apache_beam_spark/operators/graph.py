@@ -202,8 +202,32 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("node"))
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong co-supply graph: the Pearson
+    correlation of endpoint degrees over symmetrized edges — do
+    well-connected suppliers tie to other hubs (r > 0) or to the
+    periphery (r < 0)?
+
+    Degrees come from one aggregate over the persisted edge list; the
+    correlation is one algebraic aggregate over edges joined to the
+    (broadcastable, |nodes|-sized) degree table twice."""
+    strong = _strong_co_supply(spark, sf_dir)
+    sym = (strong.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionAll(strong.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b"))))
+    deg = (sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+           .withColumnRenamed("a", "node"))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (sym.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+            .agg(F.count(F.lit(1)).alias("n_directed_edges"),
+                 F.round(F.corr("deg_a", "deg_b"), 4)
+                  .alias("assortativity")))
+
+
 QUERIES = {
     "graph_khop_reachability": graph_khop_reachability,
+    "graph_assortativity": graph_assortativity,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank_trade": graph_pagerank_trade,
@@ -259,6 +283,30 @@ ORACLE = {
         d AS (SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1)
         SELECT degree, COUNT(*) AS n_parts
         FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "graph_assortativity": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ),
+        sym AS (
+            SELECT u AS a, v AS b FROM strong
+            UNION ALL
+            SELECT v AS a, u AS b FROM strong
+        ),
+        deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a)
+        SELECT COUNT(*) AS n_directed_edges,
+               ROUND(CORR(da.deg, db.deg), 4) AS assortativity
+        FROM sym
+        JOIN deg da ON sym.a = da.node
+        JOIN deg db ON sym.b = db.node
     """,
     "graph_khop_reachability": """
         WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

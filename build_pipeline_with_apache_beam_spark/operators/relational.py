@@ -1771,7 +1771,68 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("column_name"))
 
 
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-
+    digit distribution vs the Benford expectation, with each digit's
+    chi-square contribution — the forensic screen for fabricated or
+    systematically generated monetary data.
+
+    The first digit is taken from the decimal string rendering (strip
+    sign/zero/point, keep the lead digit), NOT via log10 — float log at
+    exact powers of ten can land a hair below the integer and misbucket
+    10^k by a full digit class.  One two-phase count per digit."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"),
+                         r"[^1-9]", ""), 1, 1).cast("int")
+    obs = (orders.where(F.col("o_totalprice") > 0)
+           .select(first_digit.alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = obs.agg(F.sum("n").alias("n_tot"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("n_tot"), 4)
+                     .alias("observed_share"),
+                    F.round(benford, 4).alias("benford_share"),
+                    F.round(F.pow(F.col("n") / F.col("n_tot") - benford, 2)
+                            / benford * F.col("n_tot"), 2)
+                     .alias("chi2_term"))
+            .orderBy("digit"))
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day median of daily revenue — the robust trend
+    line a dashboard draws through spiky series.
+
+    Spark has no percentile-over-window, so the frame is collected as a
+    window array (≤7 elements), sorted with array_sort, and the
+    interpolated median is read out with element_at — all JVM HOFs over
+    a bounded frame, zero Python, no self-join.  The daily collapse is
+    exact DECIMAL so both engines see identical series."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4)
+                  .cast("double").alias("revenue")))
+    w = (W.orderBy("day").rowsBetween(-6, W.currentRow))
+    staged = daily.select(
+        "day", "revenue",
+        F.array_sort(F.collect_list("revenue").over(w)).alias("fr"))
+    n = F.size("fr")
+    mid_hi = (n / 2 + 1).cast("int")          # n even: upper middle
+    mid_odd = ((n + 1) / 2).cast("int")       # n odd: exact middle
+    med = F.when(n % 2 == 1, F.element_at("fr", mid_odd)) \
+           .otherwise((F.element_at("fr", (n / 2).cast("int"))
+                       + F.element_at("fr", mid_hi)) / 2.0)
+    return (staged.select("day", "revenue",
+                          F.round(med, 4).alias("median7"))
+            .orderBy("day"))
+
+
 QUERIES = {
+    "agg_benford_deviation": agg_benford_deviation,
+    "window_rolling_median": window_rolling_median,
     "dq_distribution_drift_psi": dq_distribution_drift_psi,
     "dq_null_profile": dq_null_profile,
     "timeseries_autocorrelation": timeseries_autocorrelation,
@@ -1857,6 +1918,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_benford_deviation": """
+        WITH obs AS (
+            SELECT CAST(SUBSTRING(REGEXP_REPLACE(
+                       CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'),
+                       1, 1) AS INT) AS digit,
+                   COUNT(*) AS n
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1
+        ), tot AS (SELECT SUM(n) AS n_tot FROM obs)
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE) / n_tot, 4) AS observed_share,
+               ROUND(LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit), 4)
+                   AS benford_share,
+               ROUND(POW(CAST(n AS DOUBLE) / n_tot
+                         - LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit), 2)
+                     / LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit) * n_tot, 2)
+                   AS chi2_term
+        FROM obs CROSS JOIN tot
+        ORDER BY digit
+    """,
+    "window_rolling_median": """
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
+        )
+        SELECT day, revenue,
+               ROUND(QUANTILE_CONT(revenue, 0.5) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                   AS median7
+        FROM daily ORDER BY day
+    """,
     "dq_distribution_drift_psi": """
         WITH counts AS (
             SELECT source,

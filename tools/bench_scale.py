@@ -43,6 +43,21 @@ SCALE_OPS = [
     "text_gopher_filter", "text_tfidf_keywords", "text_fingerprint",
     "stream_window_append_watermark", "stream_docstore_tail",
     "stream_watermark_dedup",
+    # round-3-window additions: graph analytics, basket mining, the
+    # behavioral/DQ/timeseries batch, and the staged-HOF embedding ops
+    "graph_degree_distribution", "graph_triangle_count",
+    "graph_pagerank_trade", "graph_khop_reachability",
+    "agg_market_basket_lift", "events_dau_mau_stickiness",
+    "events_rfm_segmentation", "events_session_path_topk",
+    "events_gini_concentration", "events_cart_abandonment",
+    "reshape_session_event_arrays", "dq_distribution_drift_psi",
+    "dq_null_profile", "agg_corr_matrix", "agg_weighted_median",
+    "timeseries_mad_anomaly", "timeseries_cusum_changepoint",
+    "timeseries_autocorrelation", "merge_cdc_apply",
+    "corpus_token_budget_apportion", "corpus_importance_weights_ess",
+    "text_readability_flesch", "text_hapax_ratio",
+    "text_ocr_artifact_score", "scan_orc_roundtrip",
+    "embedding_quantize_error", "embedding_normalize_quantize",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
