@@ -647,7 +647,35 @@ def reshape_session_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "session_seq"))
 
 
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per day: share of sessions that contain exactly one
+    event — the engagement-floor metric reported beside stickiness and
+    abandonment.
+
+    Same single sessionize shuffle; sessions collapse to event counts and
+    a tiny per-day aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    starts = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select("user_id", "ts",
+                     F.sum(starts).over(run).alias("session_seq"))
+    per_sess = (sess.groupBy("user_id", "session_seq")
+                .agg(F.to_date(F.min("ts")).alias("day"),
+                     F.count(F.lit(1)).alias("n_events")))
+    return (per_sess.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                  .alias("n_bounces"))
+            .select("day", "n_sessions", "n_bounces",
+                    F.round(F.col("n_bounces") / F.col("n_sessions"), 4)
+                    .alias("bounce_rate"))
+            .orderBy("day"))
+
+
 QUERIES = {
+    "events_bounce_rate": events_bounce_rate,
     "reshape_session_event_arrays": reshape_session_event_arrays,
     "events_cart_abandonment": events_cart_abandonment,
     "events_dau_mau_stickiness": events_dau_mau_stickiness,
@@ -674,6 +702,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_bounce_rate": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+            FROM flagged
+        ), per_sess AS (
+            SELECT user_id, session_seq,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT day, COUNT(*) AS n_sessions,
+               SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+               ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
+        FROM per_sess GROUP BY day ORDER BY day
+    """,
     "reshape_session_event_arrays": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, event_type,

@@ -219,10 +219,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumnRenamed("a", "node"))
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # corr via try_divide on the covariance form: a regular (e.g. complete)
+    # graph has constant degrees → zero variance, where ANSI corr raises
+    # DIVIDE_BY_ZERO but the statistic is properly undefined (NULL, as
+    # DuckDB's CORR returns)
+    corr = F.expr("try_divide(covar_samp(deg_a, deg_b),"
+                  " stddev_samp(deg_a) * stddev_samp(deg_b))")
     return (sym.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
             .agg(F.count(F.lit(1)).alias("n_directed_edges"),
-                 F.round(F.corr("deg_a", "deg_b"), 4)
-                  .alias("assortativity")))
+                 F.round(corr, 4).alias("assortativity")))
 
 
 QUERIES = {

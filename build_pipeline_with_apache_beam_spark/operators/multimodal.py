@@ -251,7 +251,91 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash64(decoded: bytes) -> int:
+    """64-bit difference hash (dHash) over decoded media bytes: sample the
+    byte stream onto a 9×8 grid at fixed strides, emit one bit per
+    horizontal neighbor comparison.  Deterministic, alignment-robust (the
+    grid is relative to content length), and cheap enough to run at
+    ingest for every asset."""
+    n = len(decoded)
+    if n == 0:
+        return 0
+    grid = [[decoded[min((r * 9 + c) * n // 72, n - 1)]
+             for c in range(9)] for r in range(8)]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | (1 if grid[r][c] > grid[r][c + 1] else 0)
+    return bits
+
+
+def phash_neardup_pipeline(media: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate detection for media assets: decode →
+    64-bit dHash → 4×16-bit band blocking → exact Hamming distance ≤ 6
+    inside blocks — the image-dedup analog of SimHash banding, sharing
+    its scale shape: candidate pairs come from band-bucket equi-joins
+    (never an all-pairs scan), and the Hamming rerank touches only
+    bucket-mates.
+
+    The decode+hash stage is an Arrow-batched mapInPandas (image types
+    hit the real decoder); everything after the hash column exists is
+    JVM-side joins and bit arithmetic.  Works on any media table with
+    (doc_id, payload, meta.content_type); tests/test_llm_ops.py drives it
+    with genuine near-identical PNG payloads through the real decoder."""
+    codec = CODEC
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"],
+                                             pdf["meta"]):
+                decoded = _decode(bytes(payload), meta["content_type"], codec)
+                h = phash64(decoded)
+                # reinterpret the unsigned 64-bit hash as signed so it
+                # fits Spark's BIGINT; band/xor/bit_count are bit-pattern
+                # operations, indifferent to the sign reinterpretation
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append((int(doc_id), h))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    hashed = media.mapInPandas(hash_batch, "doc_id BIGINT, phash BIGINT")
+    bands = hashed.select(
+        "doc_id", "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("phash", b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for b in range(4)])).alias("bk"))
+    a = bands.select(F.col("bk.band").alias("band"),
+                     F.col("bk.key").alias("key"),
+                     F.col("doc_id").alias("id_a"),
+                     F.col("phash").alias("ph_a"))
+    b = bands.select(F.col("bk.band").alias("band"),
+                     F.col("bk.key").alias("key"),
+                     F.col("doc_id").alias("id_b"),
+                     F.col("phash").alias("ph_b"))
+    cand = (a.join(b, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ph_a", "ph_b").distinct())
+    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= 6)
+            .orderBy("id_a", "id_b"))
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`phash_neardup_pipeline` over the synthetic
+    media table.  The synthetic text-byte payloads are deliberately NOT
+    near-duplicates at the pixel level (token insertions shift every
+    sampled grid position), so an empty result here is the correct
+    answer; the positive path — near-identical real PNGs colliding at
+    Hamming ≤ 6 — is exercised in tests/test_llm_ops.py."""
+    return phash_neardup_pipeline(_media_table(spark, sf_dir))
+
+
 QUERIES = {
+    "multimodal_phash_neardup": multimodal_phash_neardup,
     "multimodal_resize": multimodal_resize,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,

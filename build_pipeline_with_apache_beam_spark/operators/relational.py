@@ -1830,7 +1830,75 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration per
+    nation (0–10000 scale) with an antitrust-style band label — the
+    market-structure complement to the Gini op.
+
+    Two-level aggregate: the fact table collapses to exact DECIMAL
+    revenue per (nation, supplier) first, then shares and the
+    sum-of-squares ride a per-nation aggregate over the supplier-sized
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (li.join(supp, li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(nation),
+                 supp.s_nationkey == nation.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .alias("rev")))
+    tot = rev.groupBy("nation").agg(F.sum("rev").alias("rev_tot"))
+    share = (rev.join(tot, "nation")
+             .select("nation",
+                     (F.col("rev").cast("double")
+                      / F.col("rev_tot").cast("double")).alias("s")))
+    hhi = F.sum(F.col("s") * F.col("s")) * 10000
+    return (share.groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.round(hhi, 2).alias("hhi"),
+                 F.when(hhi < 1500, "competitive")
+                  .when(hhi < 2500, "moderate")
+                  .otherwise("concentrated").alias("band"))
+            .orderBy("nation"))
+
+
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue:
+    trend (centered 7-day mean) + day-of-week seasonal + residual — the
+    STL-lite every ops dashboard runs on its KPI series.
+
+    The fact table collapses to the exact DECIMAL daily series once;
+    trend is a centered window mean, the seasonal profile is one tiny
+    per-weekday aggregate of detrended values broadcast back, and the
+    residual is a projection.  Weekday numbering is normalized to
+    0=Sunday on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4)
+                  .cast("double").alias("revenue")))
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day", "revenue",
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.avg("revenue").over(w).alias("trend"))
+    seasonal = (trended.groupBy("dow")
+                .agg(F.avg(F.col("revenue") - F.col("trend"))
+                     .alias("seasonal")))
+    return (trended.join(F.broadcast(seasonal), "dow")
+            .select("day",
+                    F.round("revenue", 2).alias("revenue"),
+                    F.round("trend", 2).alias("trend"),
+                    F.round("seasonal", 2).alias("seasonal"),
+                    F.round(F.col("revenue") - F.col("trend")
+                            - F.col("seasonal"), 2).alias("residual"))
+            .orderBy("day"))
+
+
 QUERIES = {
+    "agg_hhi_concentration": agg_hhi_concentration,
+    "timeseries_seasonal_decompose": timeseries_seasonal_decompose,
     "agg_benford_deviation": agg_benford_deviation,
     "window_rolling_median": window_rolling_median,
     "dq_distribution_drift_psi": dq_distribution_drift_psi,
@@ -1918,6 +1986,52 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_hhi_concentration": """
+        WITH rev AS (
+            SELECT n.n_name AS nation, s.s_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT nation, SUM(rev) AS rev_tot FROM rev GROUP BY 1
+        ), share AS (
+            SELECT r.nation,
+                   CAST(r.rev AS DOUBLE) / CAST(t.rev_tot AS DOUBLE) AS s
+            FROM rev r JOIN tot t ON r.nation = t.nation
+        )
+        SELECT nation, COUNT(*) AS n_suppliers,
+               ROUND(SUM(s * s) * 10000, 2) AS hhi,
+               CASE WHEN SUM(s * s) * 10000 < 1500 THEN 'competitive'
+                    WHEN SUM(s * s) * 10000 < 2500 THEN 'moderate'
+                    ELSE 'concentrated' END AS band
+        FROM share GROUP BY nation ORDER BY nation
+    """,
+    "timeseries_seasonal_decompose": """
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
+        ), trended AS (
+            SELECT day, revenue,
+                   dayofweek(day) AS dow,
+                   AVG(revenue) OVER (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+            FROM daily
+        ), seasonal AS (
+            SELECT dow, AVG(revenue - trend) AS seasonal
+            FROM trended GROUP BY dow
+        )
+        SELECT day,
+               ROUND(revenue, 2) AS revenue,
+               ROUND(trend, 2) AS trend,
+               ROUND(s.seasonal, 2) AS seasonal,
+               ROUND(revenue - trend - s.seasonal, 2) AS residual
+        FROM trended t JOIN seasonal s ON t.dow = s.dow
+        ORDER BY day
+    """,
     "agg_benford_deviation": """
         WITH obs AS (
             SELECT CAST(SUBSTRING(REGEXP_REPLACE(

@@ -133,7 +133,54 @@ def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def subquery_all_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`> ALL (subquery)` emulated with a scalar MAX subquery — Spark SQL
+    has no ALL/ANY quantified comparisons, but x > ALL(S) ≡ x > MAX(S)
+    (on a non-empty, non-null S), which Catalyst turns into one scalar
+    aggregate broadcast into the filter.  The DuckDB oracle runs the
+    genuine `> ALL` syntax, so the rewrite is verified against real
+    quantified-comparison semantics, not against itself.
+
+    Finds orders strictly larger than EVERY order of the low-key customer cohort — the
+    "beats the whole cohort" filter."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders
+                              WHERE o_custkey < 20)
+        ORDER BY o_orderkey
+    """)
+
+
+def sql_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One WITH clause referenced TWICE (per-nation revenue joined against
+    its own average) — exercises Catalyst's CTE handling: the reused
+    subtree either inlines into both consumers (and the scan runs twice,
+    cheap here) or materializes once under ReusedExchange; either way the
+    semantics must match DuckDB's single-evaluation CTE exactly."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH nation_rev AS (
+            SELECT s.s_nationkey AS nationkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS rev
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey
+        )
+        SELECT n.n_name AS nation,
+               CAST(ROUND(r.rev, 4) AS DOUBLE) AS revenue,
+               CAST(ROUND(r.rev - (SELECT AVG(rev) FROM nation_rev), 4)
+                    AS DOUBLE) AS vs_avg
+        FROM nation_rev r JOIN nation n ON r.nationkey = n.n_nationkey
+        WHERE r.rev > (SELECT AVG(rev) FROM nation_rev)
+        ORDER BY nation
+    """)
+
+
 QUERIES = {
+    "subquery_all_comparison": subquery_all_comparison,
+    "sql_cte_reuse": sql_cte_reuse,
     "subquery_in": subquery_in,
     "subquery_not_in_null_aware": subquery_not_in_null_aware,
     "subquery_scalar_correlated": subquery_scalar_correlated,
@@ -143,6 +190,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_cte_reuse": """
+        WITH nation_rev AS (
+            SELECT s.s_nationkey AS nationkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS rev
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey
+        )
+        SELECT n.n_name AS nation,
+               CAST(ROUND(r.rev, 4) AS DOUBLE) AS revenue,
+               CAST(ROUND(r.rev - (SELECT AVG(rev) FROM nation_rev), 4)
+                    AS DOUBLE) AS vs_avg
+        FROM nation_rev r JOIN nation n ON r.nationkey = n.n_nationkey
+        WHERE r.rev > (SELECT AVG(rev) FROM nation_rev)
+        ORDER BY nation
+    """,
+    "subquery_all_comparison": """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders
+                                  WHERE o_custkey < 20)
+        ORDER BY o_orderkey
+    """,
     "subquery_in": """
         SELECT o_orderstatus,
                COUNT(1) AS n_orders,

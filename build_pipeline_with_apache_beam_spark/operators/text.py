@@ -667,7 +667,54 @@ def text_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.05 * hyph + 0.02 * stray, 4).alias("ocr_noise_score"))
 
 
+def text_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus labels and the marker-heuristic
+    language predictions — the chance-corrected agreement statistic an
+    annotation pipeline reports instead of raw accuracy.
+
+    The confusion matrix collapses the corpus to (label, prediction)
+    cells first; marginals and the kappa arithmetic run on that tiny
+    matrix (all-integer until the final divisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best <= 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    conf = (docs.select(F.col("lang").alias("labeled"),
+                        pred.alias("predicted"))
+            .groupBy("labeled", "predicted")
+            .agg(F.count(F.lit(1)).alias("n")))
+    tot = conf.agg(F.sum("n").alias("n_docs"))
+    agree = (conf.where(F.col("labeled") == F.col("predicted"))
+             .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_agree")))
+    rowm = conf.groupBy("labeled").agg(F.sum("n").alias("rn"))
+    colm = conf.groupBy("predicted").agg(F.sum("n").alias("cn"))
+    cls = (rowm.select(F.col("labeled").alias("cls"), "rn")
+           .join(colm.select(F.col("predicted").alias("cls"), "cn"),
+                 "cls", "full")
+           .select(F.coalesce("rn", F.lit(0)).alias("rn"),
+                   F.coalesce("cn", F.lit(0)).alias("cn")))
+    chance = cls.agg(F.sum(F.col("rn") * F.col("cn")).alias("rc"))
+    po = F.col("n_agree") / F.col("n_docs")
+    pe = F.col("rc") / (F.col("n_docs") * F.col("n_docs"))
+    return (tot.crossJoin(F.broadcast(agree)).crossJoin(F.broadcast(chance))
+            .select("n_docs",
+                    F.round(po, 4).alias("p_observed"),
+                    F.round(pe, 4).alias("p_expected"),
+                    F.round((po - pe) / (1 - pe), 4).alias("kappa")))
+
+
 QUERIES = {
+    "text_label_agreement_kappa": text_label_agreement_kappa,
     "text_readability_flesch": text_readability_flesch,
     "text_hapax_ratio": text_hapax_ratio,
     "text_ocr_artifact_score": text_ocr_artifact_score,
@@ -816,6 +863,49 @@ ORACLE = {
                SUBSTRING(text, 1, 3) AS first_char3
         FROM g
         ORDER BY doc_id
+    """,
+    "text_label_agreement_kappa": f"""
+        WITH t AS (
+            SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents
+        ), s AS (
+            SELECT lang,
+                   len(list_intersect(toks, {_markers_sql('en')})) AS score_en,
+                   len(list_intersect(toks, {_markers_sql('es')})) AS score_es,
+                   len(list_intersect(toks, {_markers_sql('de')})) AS score_de
+            FROM t
+        ), preds AS (
+            SELECT lang AS labeled,
+                   CASE WHEN GREATEST(score_en, score_es, score_de) <= 0
+                            THEN 'unknown'
+                        WHEN score_en = GREATEST(score_en, score_es, score_de)
+                            THEN 'en'
+                        WHEN score_es = GREATEST(score_en, score_es, score_de)
+                            THEN 'es'
+                        ELSE 'de' END AS predicted
+            FROM s
+        ), conf AS (
+            SELECT labeled, predicted, COUNT(*) AS n
+            FROM preds GROUP BY 1, 2
+        ), tot AS (SELECT SUM(n) AS n_docs FROM conf),
+        agree AS (
+            SELECT COALESCE(SUM(n), 0) AS n_agree
+            FROM conf WHERE labeled = predicted
+        ), rowm AS (SELECT labeled AS cls, SUM(n) AS rn FROM conf GROUP BY 1),
+        colm AS (SELECT predicted AS cls, SUM(n) AS cn FROM conf GROUP BY 1),
+        chance AS (
+            SELECT SUM(COALESCE(rn, 0) * COALESCE(cn, 0)) AS rc
+            FROM rowm FULL OUTER JOIN colm USING (cls)
+        )
+        SELECT n_docs,
+               ROUND(CAST(n_agree AS DOUBLE) / n_docs, 4) AS p_observed,
+               ROUND(CAST(rc AS DOUBLE) / (n_docs * n_docs), 4)
+                   AS p_expected,
+               ROUND((CAST(n_agree AS DOUBLE) / n_docs
+                      - CAST(rc AS DOUBLE) / (n_docs * n_docs))
+                     / (1 - CAST(rc AS DOUBLE) / (n_docs * n_docs)), 4)
+                   AS kappa
+        FROM tot CROSS JOIN agree CROSS JOIN chance
     """,
     "text_lang_confusion": f"""
         WITH t AS (

@@ -126,3 +126,24 @@ def test_psi_zero_against_self(spark, sf_dir, duck):
                    * math.log(max(s, eps) / max(s, eps))
                    for s in exp.values())
     assert self_psi == 0.0
+
+
+def test_phash64_properties():
+    """dHash invariants: deterministic, 64-bit bounded, identical inputs
+    collide at Hamming 0, and a tiny local edit moves few bits while an
+    unrelated payload moves the hash."""
+    from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+        phash64,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 8).encode()
+    h1, h2 = phash64(base), phash64(base)
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 64)
+    near = bytearray(base)
+    near[5] = near[5] ^ 1
+    hn = phash64(bytes(near))
+    assert bin(h1 ^ hn).count("1") <= 6
+    other = ("completely different content with other bytes " * 8).encode()
+    assert phash64(other) != h1
+    assert phash64(b"") == 0

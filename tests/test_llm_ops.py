@@ -302,3 +302,36 @@ def test_embedding_dedup_hot_bucket_split_bounds_blocks(spark, sf_dir):
     assert max(r["count"] for r in per_block) <= 2 * MAX_BLOCK
     # at this sf every bucket is under the cap → no recall loss
     assert {r["sub"] for r in per_block} == {0}
+
+
+def test_multimodal_phash_finds_real_png_neardups(spark):
+    """The perceptual-hash near-dup pipeline must catch genuinely
+    near-identical images through the REAL decode path: a gradient image,
+    the same image with a few perturbed pixels (near-dup), and an
+    unrelated image.  Only the near-dup pair may surface at Hamming ≤ 6."""
+    from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+        phash_neardup_pipeline,
+    )
+
+    width, height = 24, 24
+    base = bytes((x * 11 + y * 3) % 256
+                 for y in range(height) for x in range(width))
+    near = bytearray(base)
+    for i in (5, 99, 300):
+        near[i] = (near[i] + 4) % 256
+    other = bytes((x * x * 7 + y * 13) % 256
+                  for y in range(height) for x in range(width))
+    rows = [
+        (1, bytearray(_encode_png_gray(base, width, height))),
+        (2, bytearray(_encode_png_gray(bytes(near), width, height))),
+        (3, bytearray(_encode_png_gray(other, width, height))),
+    ]
+    media = spark.createDataFrame(
+        [(i, p, ("image/png", len(p), "testsrc")) for i, p in rows],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<content_type: STRING, n_bytes: LONG, source: STRING>")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_neardup_pipeline(media).collect()}
+    assert (1, 2) in got, got
+    assert got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got
