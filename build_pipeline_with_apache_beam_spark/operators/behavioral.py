@@ -674,7 +674,49 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+def events_survival_curve_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-survival curve: S(t) = Π_{u≤t} (1 − d_u/n_u)
+    over purchase lifetimes in days (first → last purchase),
+    right-censoring users whose last purchase falls in the final 3
+    observed days.
+
+    The event log collapses to one (lifetime, churned) row per user; the
+    at-risk counts come from a reverse cumulative sum over the tiny
+    lifetime-indexed table, and the survival product is a cumulative
+    exp∘Σln window — the identical formulation on both engines, so the
+    float path is deterministic.  Everything after the per-user collapse
+    is bounded by distinct lifetimes, not users."""
+    ev = load_table(spark, sf_dir, "events")
+    span = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.to_date(F.min("ts")).alias("first_day"),
+                 F.to_date(F.max("ts")).alias("last_day")))
+    horizon = span.agg(F.max("last_day").alias("max_day"))
+    users = (span.crossJoin(F.broadcast(horizon))
+             .select("user_id",
+                     F.datediff("last_day", "first_day").alias("lifetime"),
+                     (F.datediff("max_day", "last_day") > 3)
+                     .cast("int").alias("churned")))
+    lt = (users.groupBy("lifetime")
+          .agg(F.count(F.lit(1)).alias("n_ending"),
+               F.sum("churned").alias("d")))
+    w_risk = (W.orderBy(F.col("lifetime").desc())
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    at_risk = lt.select(
+        "lifetime", "d",
+        F.sum("n_ending").over(w_risk).alias("n_risk"))
+    w_surv = (W.orderBy("lifetime")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    surv = F.exp(F.sum(
+        F.log(1.0 - F.col("d") / F.col("n_risk"))).over(w_surv))
+    return (at_risk.where(F.col("d") > 0)
+            .select("lifetime", "n_risk", "d",
+                    F.round(surv, 4).alias("survival"))
+            .orderBy("lifetime"))
+
+
 QUERIES = {
+    "events_survival_curve_km": events_survival_curve_km,
     "events_bounce_rate": events_bounce_rate,
     "reshape_session_event_arrays": reshape_session_event_arrays,
     "events_cart_abandonment": events_cart_abandonment,
@@ -702,6 +744,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_survival_curve_km": """
+        WITH span AS (
+            SELECT user_id,
+                   CAST(MIN(ts) AS DATE) AS first_day,
+                   CAST(MAX(ts) AS DATE) AS last_day
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ), horizon AS (SELECT MAX(last_day) AS max_day FROM span),
+        users AS (
+            SELECT user_id,
+                   date_diff('day', first_day, last_day) AS lifetime,
+                   CASE WHEN date_diff('day', last_day, max_day) > 3
+                        THEN 1 ELSE 0 END AS churned
+            FROM span CROSS JOIN horizon
+        ), lt AS (
+            SELECT lifetime, COUNT(*) AS n_ending, SUM(churned) AS d
+            FROM users GROUP BY lifetime
+        ), at_risk AS (
+            SELECT lifetime, d,
+                   SUM(n_ending) OVER (ORDER BY lifetime DESC
+                       ROWS UNBOUNDED PRECEDING) AS n_risk
+            FROM lt
+        ), surv AS (
+            SELECT lifetime, d, n_risk,
+                   EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                       OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING))
+                       AS s
+            FROM at_risk
+        )
+        SELECT lifetime, n_risk, d, ROUND(s, 4) AS survival
+        FROM surv WHERE d > 0
+        ORDER BY lifetime
+    """,
     "events_bounce_rate": """
         WITH flagged AS (
             SELECT user_id, ts, event_id,

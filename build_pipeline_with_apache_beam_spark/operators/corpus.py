@@ -799,7 +799,35 @@ def corpus_importance_weights_ess(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("source"))
 
 
+def corpus_chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: every document fans out to 64-token
+    windows advancing by 48 tokens (16-token overlap), each chunk carrying
+    its ordinal, start offset, and length — the retrieval-index feed shape.
+
+    posexplode over a stride sequence + slice keeps the whole fan-out in
+    the scan projection (JVM, no Python, no shuffle); output size is
+    ~n_tokens/stride rows per doc, the chunk index a vector store ingests
+    directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    size, stride = 64, 48
+    toks = F.split(F.col("text"), " ")
+    staged = docs.select("doc_id", toks.alias("toks"),
+                         F.size(toks).alias("n_toks"))
+    starts = F.sequence(F.lit(1), F.greatest("n_toks", F.lit(1)),
+                        F.lit(stride))
+    exploded = staged.select(
+        "doc_id", "n_toks", "toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"))
+    chunk = F.slice("toks", F.col("start_tok"), size)
+    return (exploded.select(
+        "doc_id", "chunk_idx", "start_tok",
+        F.size(chunk).alias("n_chunk_toks"),
+        F.element_at(chunk, 1).alias("first_tok"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
 QUERIES = {
+    "corpus_chunk_overlap_windows": corpus_chunk_overlap_windows,
     "corpus_token_budget_apportion": corpus_token_budget_apportion,
     "corpus_importance_weights_ess": corpus_importance_weights_ess,
     "corpus_curation_funnel": corpus_curation_funnel,
@@ -843,6 +871,26 @@ ORACLE = {
                    AS ess_ratio
         FROM documents
         GROUP BY source ORDER BY source
+    """,
+    "corpus_chunk_overlap_windows": """
+        WITH staged AS (
+            SELECT doc_id, STR_SPLIT(text, ' ') AS toks,
+                   LEN(STR_SPLIT(text, ' ')) AS n_toks
+            FROM documents
+        ), exploded AS (
+            SELECT doc_id, n_toks, toks,
+                   UNNEST(range(1, GREATEST(n_toks, 1) + 1, 48)) AS start_tok
+            FROM staged
+        )
+        SELECT doc_id,
+               CAST((start_tok - 1) // 48 AS INT) AS chunk_idx,
+               CAST(start_tok AS INT) AS start_tok,
+               CAST(LEN(list_slice(toks, start_tok,
+                                   LEAST(start_tok + 63, n_toks))) AS INT)
+                   AS n_chunk_toks,
+               toks[start_tok] AS first_tok
+        FROM exploded
+        ORDER BY doc_id, chunk_idx
     """,
     "corpus_token_budget_apportion": """
         WITH per_src AS (
