@@ -46,6 +46,22 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Arrow-optimized Python UDF (``useArrow=True``): the same
+    row-level Python function as ``udf_python_scalar``, but batched over
+    Arrow instead of pickled row-at-a-time — the one-flag migration path
+    for legacy Python UDFs that can't be rewritten as pandas UDFs.  The
+    plan shows ArrowEvalPython instead of BatchEvalPython; the oracle is
+    identical SQL, so the flag is proven semantics-preserving."""
+    tag = F.udf(lambda name, key: f"{name}#{key % 7}", T.StringType(),
+                useArrow=True)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        tag(F.col("c_name"), F.col("c_custkey")).alias("name_tag"),
+    )
+
+
 @pandas_udf(T.DoubleType())
 def _sigmoid_scaled(v: pd.Series) -> pd.Series:
     """Vectorized scalar: Arrow batches in, numpy math, Arrow out."""
@@ -254,6 +270,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "udf_arrow_optimized_scalar": udf_arrow_optimized_scalar,
     "udf_map_in_arrow": udf_map_in_arrow,
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_scalar": udf_pandas_scalar,
@@ -266,6 +283,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "udf_arrow_optimized_scalar": """
+        SELECT c_custkey,
+               c_name || '#' || CAST(c_custkey % 7 AS VARCHAR) AS name_tag
+        FROM customer
+    """,
     "udf_map_in_arrow": """
         SELECT event_id,
                ROUND(value * 1.1, 4) AS value_adj,

@@ -402,3 +402,11 @@ def test_sf1_pushdown_and_topk_survive(spark, registry):
 def test_sf1_dpp_still_fires(spark, registry):
     plan = plan_of(registry["join_dynamic_partition_pruning"](spark, _SF1_DIR))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_arrow_optimized_udf_is_arrow_eval(spark, sf_dir, registry):
+    """useArrow=True must compile to ArrowEvalPython (batched Arrow
+    transfer), never the pickled row-at-a-time BatchEvalPython."""
+    plan = plan_of(registry["udf_arrow_optimized_scalar"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
