@@ -1896,7 +1896,33 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("day"))
 
 
+def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t−7}) on daily
+    revenue: MAE, MAPE and mean bias per weekday — the accuracy floor any
+    real forecasting model must beat, measured the way a forecast platform
+    measures it (holdout = every day with a lag-7 ancestor).
+
+    One exact DECIMAL daily collapse, one lag window over the calendar-
+    bounded series, one tiny per-weekday aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4)
+                  .cast("double").alias("y")))
+    w = W.orderBy("day")
+    t = daily.select("day", "y", F.lag("y", 7).over(w).alias("yhat"))
+    scored = t.where(F.col("yhat").isNotNull())
+    err = F.col("y") - F.col("yhat")
+    return (scored.groupBy((F.dayofweek("day") - 1).alias("dow"))
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.round(F.avg(F.abs(err)), 2).alias("mae"),
+                 F.round(F.avg(F.abs(err) / F.col("y")), 4).alias("mape"),
+                 F.round(F.avg(err), 2).alias("bias"))
+            .orderBy("dow"))
+
+
 QUERIES = {
+    "timeseries_forecast_backtest": timeseries_forecast_backtest,
     "agg_hhi_concentration": agg_hhi_concentration,
     "timeseries_seasonal_decompose": timeseries_seasonal_decompose,
     "agg_benford_deviation": agg_benford_deviation,
@@ -1986,6 +2012,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_forecast_backtest": """
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) AS y
+            FROM lineitem GROUP BY 1
+        ), t AS (
+            SELECT day, y, LAG(y, 7) OVER (ORDER BY day) AS yhat
+            FROM daily
+        )
+        SELECT dayofweek(day) AS dow,
+               COUNT(*) AS n_days,
+               ROUND(AVG(ABS(y - yhat)), 2) AS mae,
+               ROUND(AVG(ABS(y - yhat) / y), 4) AS mape,
+               ROUND(AVG(y - yhat), 2) AS bias
+        FROM t WHERE yhat IS NOT NULL
+        GROUP BY 1 ORDER BY dow
+    """,
     "agg_hhi_concentration": """
         WITH rev AS (
             SELECT n.n_name AS nation, s.s_suppkey,

@@ -13,7 +13,7 @@ the final aggregations), so throughput is scan-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
@@ -713,7 +713,41 @@ def text_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((po - pe) / (1 - pe), 4).alias("kappa")))
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of top-k vocabularies (k = 100, 1000): what share of
+    ALL corpus tokens the k most frequent words explain — the
+    tokenizer-budget curve read before fixing a vocab size.
+
+    The corpus collapses to word counts first (shuffle carries the
+    vocabulary, not positions); the ranking window runs over the
+    vocabulary table, bounded by the word domain, and both k-points come
+    from one conditional aggregate over it."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wf")))
+    wrank = W.orderBy(F.col("wf").desc(), "w")
+    ranked = words.select("wf", F.row_number().over(wrank).alias("rk"))
+    rows = []
+    for k in (100, 1000):
+        rows.append(
+            ranked.agg(
+                F.count(F.lit(1)).alias("vocab_size"),
+                F.sum(F.when(F.col("rk") <= k, F.col("wf")).otherwise(0))
+                 .alias("covered_tokens"),
+                F.sum("wf").alias("total_tokens"))
+            .select(F.lit(k).alias("k"), "vocab_size",
+                    "covered_tokens", "total_tokens"))
+    out = rows[0].unionAll(rows[1])
+    return out.select(
+        "k", "vocab_size", "covered_tokens", "total_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 4)
+         .alias("coverage"))
+
+
 QUERIES = {
+    "text_vocab_coverage": text_vocab_coverage,
     "text_label_agreement_kappa": text_label_agreement_kappa,
     "text_readability_flesch": text_readability_flesch,
     "text_hapax_ratio": text_hapax_ratio,
@@ -863,6 +897,27 @@ ORACLE = {
                SUBSTRING(text, 1, 3) AS first_char3
         FROM g
         ORDER BY doc_id
+    """,
+    "text_vocab_coverage": """
+        WITH words AS (
+            SELECT w, COUNT(*) AS wf FROM (
+                SELECT UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), ranked AS (
+            SELECT wf, ROW_NUMBER() OVER (ORDER BY wf DESC, w) AS rk
+            FROM words
+        ), pts AS (SELECT UNNEST([100, 1000]) AS k)
+        SELECT k,
+               (SELECT COUNT(*) FROM ranked) AS vocab_size,
+               (SELECT SUM(CASE WHEN rk <= k THEN wf ELSE 0 END)
+                FROM ranked) AS covered_tokens,
+               (SELECT SUM(wf) FROM ranked) AS total_tokens,
+               ROUND((SELECT SUM(CASE WHEN rk <= k THEN wf ELSE 0 END)
+                      FROM ranked)
+                     / CAST((SELECT SUM(wf) FROM ranked) AS DOUBLE), 4)
+                   AS coverage
+        FROM pts
     """,
     "text_label_agreement_kappa": f"""
         WITH t AS (
