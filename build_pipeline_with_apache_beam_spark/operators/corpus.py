@@ -826,7 +826,32 @@ def corpus_chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "chunk_idx"))
 
 
+def corpus_instruction_pack_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format documents into instruction-tuning JSONL records: the first
+    32 tokens become the prompt, the remainder the completion, plus
+    source/lang metadata — the exact record shape an SFT dataloader
+    consumes.
+
+    to_json(struct(...)) renders each record JVM-side in one projection
+    (field order fixed by the struct, so the byte output is deterministic
+    and matches DuckDB's json_object rendering); docs too short to split
+    are filtered in the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    rec = F.struct(
+        F.concat_ws(" ", F.slice(toks, 1, 32)).alias("prompt"),
+        F.concat_ws(" ", F.expr(
+            "slice(split(text, ' '), 33, greatest(size(split(text, ' ')) - 32, 1))"
+        )).alias("completion"),
+        F.col("source").alias("source"),
+        F.col("lang").alias("lang"))
+    return (docs.where(F.size(toks) > 32)
+            .select("doc_id", F.to_json(rec).alias("record"))
+            .orderBy("doc_id"))
+
+
 QUERIES = {
+    "corpus_instruction_pack_jsonl": corpus_instruction_pack_jsonl,
     "corpus_chunk_overlap_windows": corpus_chunk_overlap_windows,
     "corpus_token_budget_apportion": corpus_token_budget_apportion,
     "corpus_importance_weights_ess": corpus_importance_weights_ess,
@@ -871,6 +896,23 @@ ORACLE = {
                    AS ess_ratio
         FROM documents
         GROUP BY source ORDER BY source
+    """,
+    "corpus_instruction_pack_jsonl": """
+        WITH t AS (
+            SELECT doc_id, source, lang,
+                   STR_SPLIT(text, ' ') AS toks,
+                   LEN(STR_SPLIT(text, ' ')) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               json_object(
+                   'prompt', ARRAY_TO_STRING(list_slice(toks, 1, 32), ' '),
+                   'completion',
+                   ARRAY_TO_STRING(list_slice(toks, 33, n), ' '),
+                   'source', source,
+                   'lang', lang)::VARCHAR AS record
+        FROM t WHERE n > 32
+        ORDER BY doc_id
     """,
     "corpus_chunk_overlap_windows": """
         WITH staged AS (

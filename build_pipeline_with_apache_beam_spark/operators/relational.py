@@ -1921,7 +1921,41 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dow"))
 
 
+def agg_pareto_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 question answered exactly: how many top customers (and
+    what share of the base) generate 80% of revenue.
+
+    Customer totals collapse to exact DECIMAL first; the cumulative-share
+    window then runs over per-customer rows ORDERED BY total — bounded by
+    the customer dimension, not fact rows — and one conditional aggregate
+    reads off the threshold.  The 2·cum ≥ … comparison style keeps the
+    threshold in exact decimal space (no float cliff at the boundary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_custkey")
+                .agg(F.sum(F.col("l_extendedprice")
+                           .cast("decimal(18,4)")).alias("rev")))
+    w = (W.orderBy(F.col("rev").desc(), "o_custkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = W.partitionBy()
+    flagged = per_cust.select(
+        "rev",
+        # exact-decimal threshold test: 5·cum ≥ 4·total  ⇔  cum ≥ 80%
+        (F.sum("rev").over(w) * 5 >= F.sum("rev").over(tot) * 4)
+        .alias("reached"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # rank of the FIRST row where the running share reaches 80%
+        (F.count(F.lit(1)) - F.sum(F.col("reached").cast("long")) + 1)
+         .alias("top_customers_for_80pct"),
+        F.round((F.count(F.lit(1))
+                 - F.sum(F.col("reached").cast("long")) + 1)
+                / F.count(F.lit(1)), 4).alias("share_of_customers"))
+
+
 QUERIES = {
+    "agg_pareto_threshold": agg_pareto_threshold,
     "timeseries_forecast_backtest": timeseries_forecast_backtest,
     "agg_hhi_concentration": agg_hhi_concentration,
     "timeseries_seasonal_decompose": timeseries_seasonal_decompose,
@@ -2012,6 +2046,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_pareto_threshold": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_custkey
+        ), flagged AS (
+            SELECT SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING) * 5
+                   >= SUM(rev) OVER () * 4 AS reached
+            FROM per_cust
+        )
+        SELECT COUNT(*) AS n_customers,
+               COUNT(*) - SUM(CASE WHEN reached THEN 1 ELSE 0 END) + 1
+                   AS top_customers_for_80pct,
+               ROUND((COUNT(*) - SUM(CASE WHEN reached THEN 1 ELSE 0 END)
+                      + 1) / CAST(COUNT(*) AS DOUBLE), 4)
+                   AS share_of_customers
+        FROM flagged
+    """,
     "timeseries_forecast_backtest": """
         WITH daily AS (
             SELECT CAST(l_shipdate AS DATE) AS day,
