@@ -147,3 +147,61 @@ def test_phash64_properties():
     other = ("completely different content with other bytes " * 8).encode()
     assert phash64(other) != h1
     assert phash64(b"") == 0
+
+
+def test_survival_curve_is_monotone_nonincreasing(spark, sf_dir):
+    """Kaplan-Meier S(t) must be non-increasing in t, within (0, 1], and
+    at-risk counts must shrink as lifetime grows."""
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_survival_curve_km,
+    )
+
+    rows = events_survival_curve_km(spark, sf_dir).collect()
+    if not rows:  # fixture too small to churn anyone — nothing to assert
+        return
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 < s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risks = [r["n_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir, duck):
+    """Every token position of every document must fall inside at least
+    one emitted chunk (stride 48 < size 64 guarantees overlap, and the
+    final partial chunk reaches the end)."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_chunk_overlap_windows,
+    )
+
+    chunks = {}
+    for r in corpus_chunk_overlap_windows(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["start_tok"] + r["n_chunk_toks"] - 1))
+    n_toks = dict(duck.execute(
+        "SELECT doc_id, LEN(STR_SPLIT(text, ' ')) FROM documents").fetchall())
+    assert chunks.keys() == n_toks.keys()
+    for doc_id, spans in chunks.items():
+        spans.sort()
+        assert spans[0][0] == 1
+        covered_to = 0
+        for lo, hi in spans:
+            assert lo <= covered_to + 1, (doc_id, spans)
+            covered_to = max(covered_to, hi)
+        assert covered_to == n_toks[doc_id], (doc_id, covered_to)
+
+
+def test_market_basket_lift_consistency(spark, sf_dir, duck):
+    """Every reported pair's lift must recompute exactly from its own
+    support/marginal counts, and supports must satisfy
+    support ≤ min(n_x, n_y)."""
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        agg_market_basket_lift,
+    )
+
+    n_orders = duck.execute(
+        "SELECT COUNT(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    for r in agg_market_basket_lift(spark, sf_dir).collect():
+        assert r["support"] <= min(r["n_x"], r["n_y"])
+        expect = r["support"] * n_orders / (r["n_x"] * r["n_y"])
+        assert abs(r["lift"] - expect) < 5e-4, r
