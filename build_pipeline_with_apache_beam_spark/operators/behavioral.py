@@ -715,7 +715,62 @@ def events_survival_curve_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lifetime"))
 
 
+def window_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's distinct active days into
+    runs of CONSECUTIVE days and report streak structure (islands, longest
+    streak, total active days).  The classic trick — day minus
+    row_number() is constant within a consecutive run — turns run
+    detection into a plain groupBy, no self-join or recursion.
+
+    Scale shape: distinct(user, day) is a two-phase hash aggregate; the
+    window and both rollups all partition on user_id, so Catalyst plans
+    one Exchange for the whole chain and per-user state is bounded by the
+    calendar, not the event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    runs = days.select(
+        "user_id", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"))
+    islands = (runs.groupBy("user_id", "anchor")
+               .agg(F.count(F.lit(1)).alias("streak_len")))
+    return (islands.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.max("streak_len").alias("longest_streak"),
+                 F.sum("streak_len").alias("active_days"))
+            .orderBy("user_id"))
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the most recent
+    PRIOR non-purchase event type in the same user's stream, then report
+    conversions and credited revenue per touch type.
+
+    ``last(..., ignorenulls)`` over the user-ordered frame carries the
+    latest touch forward without a self-join; purchases with no prior
+    touch fall into the '(none)' bucket rather than being dropped.  One
+    shuffle on user_id for the window, one tiny aggregate on touch type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow - 1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True).over(w)
+    purchases = (ev.select("user_id", "ts", "event_id", "value",
+                           "event_type", touch.alias("touch"))
+                 .where(F.col("event_type") == "purchase"))
+    return (purchases.groupBy(
+        F.coalesce("touch", F.lit("(none)")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.round(F.sum("value"), 4).alias("credited_value"))
+        .orderBy("touch_type"))
+
+
 QUERIES = {
+    "window_gaps_and_islands": window_gaps_and_islands,
+    "events_attribution_last_touch": events_attribution_last_touch,
     "events_survival_curve_km": events_survival_curve_km,
     "events_bounce_rate": events_bounce_rate,
     "reshape_session_event_arrays": reshape_session_event_arrays,
@@ -744,6 +799,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_gaps_and_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), runs AS (
+            SELECT user_id, day,
+                   day - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER)
+                       AS anchor
+            FROM days
+        ), islands AS (
+            SELECT user_id, anchor, COUNT(*) AS streak_len
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT user_id, COUNT(*) AS n_islands,
+               MAX(streak_len) AS longest_streak,
+               CAST(SUM(streak_len) AS BIGINT) AS active_days
+        FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+    "events_attribution_last_touch": """
+        WITH touched AS (
+            SELECT user_id, ts, event_id, value, event_type,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch
+            FROM events
+        )
+        SELECT COALESCE(touch, '(none)') AS touch_type,
+               COUNT(*) AS n_conversions,
+               ROUND(SUM(value), 4) AS credited_value
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+    """,
     "events_survival_curve_km": """
         WITH span AS (
             SELECT user_id,

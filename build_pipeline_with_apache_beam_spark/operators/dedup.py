@@ -449,7 +449,56 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+SPAN_TOKENS = 10        # C4/Dolma-style span width for span-level dedup
+
+
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (C4/Dolma-style) duplication profile: cut every document
+    into non-overlapping ``SPAN_TOKENS``-token spans and measure, per doc,
+    the fraction of spans that also occur verbatim in at least one OTHER
+    document.  This is the chunk-granularity middle ground between exact
+    whole-doc dedup and MinHash — the operator production pipelines use to
+    strip boilerplate spans repeated across a crawl.
+
+    Scale shape: one projection builds the span array per doc (JVM
+    higher-order functions, no Python), posexplode shuffles spans once on
+    the span text (the same key the frequency aggregate needs), and the
+    doc-level rollup shuffles one row per span back on doc_id.  Cost is
+    O(total tokens); no self-join, no pairwise comparison — at 100 TB the
+    hot key is a boilerplate span shared by millions of docs, which AQE
+    skew-split handles because the per-span payload is just (doc_id, nd).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    # guard the 1..n_spans index range: empty/whitespace-only docs yield a
+    # descending sequence(1,0) otherwise (the ADVICE.md corpus_curation_funnel
+    # hazard), so build spans only when at least one token exists
+    spans_expr = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * SPAN_TOKENS + 1, SPAN_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (docs.select("doc_id", spans_expr.alias("spans"))
+             .select("doc_id", F.explode("spans").alias("span")))
+    freq = (spans.groupBy("span")
+            .agg(F.count_distinct("doc_id").alias("nd")))
+    return (spans.join(freq, "span")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                 .alias("n_dup_spans"))
+            .select("doc_id", "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+                    .alias("dup_span_frac"))
+            .orderBy("doc_id"))
+
+
 QUERIES = {
+    "dedup_span_chunks": dedup_span_chunks,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -460,6 +509,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_span_chunks": """
+        WITH t AS (
+            SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        ), spans AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(toks, (i - 1) * 10 + 1, i * 10), ' ')
+                       AS span
+            FROM t, UNNEST(range(1, CAST(GREATEST(
+                     CEIL(len(toks) / 10.0), 1) AS BIGINT) + 1)) AS u(i)
+            WHERE len(toks) >= 1
+        ), freq AS (
+            SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1
+        )
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+               ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS dup_span_frac
+        FROM spans JOIN freq USING (span)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "dedup_containment": """
         WITH t AS (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks

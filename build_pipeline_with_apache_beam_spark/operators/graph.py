@@ -230,7 +230,67 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(corr, 4).alias("assortativity")))
 
 
+def graph_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size distribution of the strong co-supply
+    graph: how many components of each size exist — the shape question
+    behind "is the supplier network one giant cluster or many cliques".
+
+    Same iterative min-label propagation as ``dedup_connected_groups``
+    (hash-join connected components, executor-side state, driver checks
+    only the converged flag), but over supplier ties instead of near-dup
+    pairs, rolled up twice: labels → component sizes → size histogram.
+    The strong-tie edge list is bounded by |supplier|, so every iteration
+    is a small-join — at 100 TB of facts the component math never touches
+    the fact table again."""
+    strong = _strong_co_supply(spark, sf_dir)
+    # the strong graph is |supplier|-bounded — collapse it to ONE partition
+    # so each iteration schedules one task, not 32 mostly-empty ones (the
+    # same small-graph discipline graph_pagerank_trade uses)
+    sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(strong.select(F.col("v").alias("src"),
+                                   F.col("u").alias("dst")))
+           .coalesce(1).persist())
+    nodes = (sym.select(F.col("src").alias("node")).distinct())
+    # localCheckpoint (not persist) each round: the label state is
+    # self-referential, so without lineage truncation the logical plan
+    # doubles every iteration and Catalyst re-analysis — not the data —
+    # dominates the runtime.  At cluster scale this becomes a reliable
+    # checkpoint to cut both lineage and recovery cost.
+    labels = (nodes.withColumn("group_id", F.col("node"))
+              .coalesce(1).localCheckpoint())
+    # propagate + POINTER-JUMP each round: adopting the neighbor minimum
+    # alone needs diameter iterations (a path graph would need |V|); the
+    # extra self-join label := label(label) halves the remaining distance
+    # every pass, so convergence is O(log diameter)
+    for _ in range(12):
+        nmin = (sym.join(labels, sym.dst == labels.node)
+                .groupBy("src").agg(F.min("group_id").alias("nmin")))
+        stepped = (labels.join(nmin, labels.node == nmin.src, "left")
+                   .select("node",
+                           F.least("group_id", "nmin").alias("group_id"),
+                           (F.col("nmin") < F.col("group_id")).alias("chg")))
+        parent = stepped.select(F.col("node").alias("p_node"),
+                                F.col("group_id").alias("p_label"))
+        new_labels = (stepped.join(parent,
+                                   stepped.group_id == parent.p_node, "left")
+                      .select("node",
+                              F.least("group_id",
+                                      F.coalesce("p_label", "group_id"))
+                              .alias("group_id"), "chg")
+                      .coalesce(1).localCheckpoint())
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("component_size"))
+    return (sizes.groupBy("component_size")
+            .agg(F.count(F.lit(1)).alias("n_components"))
+            .orderBy("component_size"))
+
+
 QUERIES = {
+    "graph_component_size_dist": graph_component_size_dist,
     "graph_khop_reachability": graph_khop_reachability,
     "graph_assortativity": graph_assortativity,
     "graph_degree_distribution": graph_degree_distribution,
@@ -283,6 +343,36 @@ FROM r5 ORDER BY nation
 """)
 
 ORACLE = {
+    "graph_component_size_dist": """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ), sym AS (
+            SELECT u AS src, v AS dst FROM strong
+            UNION ALL
+            SELECT v AS src, u AS dst FROM strong
+        ), nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT reach.node, sym.dst AS r
+            FROM reach JOIN sym ON reach.r = sym.src
+        ), labels AS (
+            SELECT node, MIN(r) AS group_id FROM reach GROUP BY node
+        ), sizes AS (
+            SELECT group_id, COUNT(*) AS component_size
+            FROM labels GROUP BY 1
+        )
+        SELECT component_size, COUNT(*) AS n_components
+        FROM sizes GROUP BY 1 ORDER BY 1
+    """,
     "graph_degree_distribution": """
         WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         d AS (SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1)

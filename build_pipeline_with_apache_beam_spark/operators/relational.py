@@ -1954,7 +1954,94 @@ def agg_pareto_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)), 4).alias("share_of_customers"))
 
 
+def timeseries_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval count by sweep-line: how many orders are
+    "in flight" (between order date and their last line's ship date) on
+    each day.  The naive formulation is an interval-stabbing theta join
+    (days × orders — quadratic); the scalable shape is event differencing:
+    +1 at each interval open, -1 the day after it closes, then ONE running
+    sum over the per-day net deltas.
+
+    Scale shape: the heavy work is two linear aggregations (per-order max
+    ship date: shuffle on l_orderkey; per-day net delta: shuffle on day).
+    The running sum's unpartitioned window rides the per-day axis, whose
+    cardinality is bounded by the calendar (a few thousand rows at ANY
+    data scale), so the single-partition sort is safe by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    closed = (li.groupBy("l_orderkey")
+              .agg(F.max(F.to_date("l_shipdate")).alias("last_ship")))
+    # clamp: the synthetic data contains orders whose last ship date
+    # precedes the order date; an inverted interval would make the sweep
+    # dip below the true stabbing count, so an order is active at least
+    # on its own order day
+    spans = (orders.join(closed, orders.o_orderkey == closed.l_orderkey)
+             .select(F.to_date("o_orderdate").alias("open_day"),
+                     F.greatest("last_ship", F.to_date("o_orderdate"))
+                     .alias("close_day")))
+    deltas = (spans.select(F.col("open_day").alias("day"),
+                           F.lit(1).alias("delta"))
+              .unionAll(spans.select(
+                  F.date_add("close_day", 1).alias("day"),
+                  F.lit(-1).alias("delta"))))
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (per_day.select(
+        "day", F.sum("net").over(w).cast("long").alias("n_active"))
+        .orderBy("day"))
+
+
+CMS_WIDTH = 256         # counters per hash row (2 hex digits of md5)
+CMS_DEPTH = 4           # independent hash rows
+CMS_TOPK = 20           # heavy hitters to read back out of the sketch
+
+
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built AS a DataFrame aggregation, then read back
+    for the top-K heaviest users: depth×width counter matrix where row
+    ``s`` buckets each key by two hex digits of ``md5(s:key)``, and a
+    key's estimate is the MIN over rows of its bucket counter.  The sketch
+    guarantees estimate ≥ true count; collisions only ever overcount.
+
+    Unlike HLL/approx_percentile, every step is a deterministic function
+    of the data, so a portable oracle exists (DuckDB md5 = Spark md5) and
+    the gate checks exact equality of the estimates — a sketch op that is
+    NOT rows-only.
+
+    Scale shape: building the sketch is one explode(depth) + groupBy
+    (depth×width = 1024 cells max, map-side partial combine does almost
+    all the work); reading it back broadcasts the 1024-cell sketch to the
+    heavy-hitter rows.  At 100 TB the sketch size is UNCHANGED — that is
+    the point of a sketch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seeds = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    cell = (ev.select(F.col("user_id"), F.explode(seeds).alias("s"))
+            .select("s", F.conv(F.substring(
+                F.md5(F.concat_ws(":", "s", "user_id")), 1, 2), 16, 10)
+                .cast("int").alias("bucket")))
+    sketch = cell.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+           .orderBy(F.col("exact_n").desc(), "user_id").limit(CMS_TOPK))
+    probe = top.select(
+        "user_id", "exact_n", F.explode(seeds).alias("s"),
+    ).select("user_id", "exact_n", "s",
+             F.conv(F.substring(
+                 F.md5(F.concat_ws(":", "s", "user_id")), 1, 2), 16, 10)
+             .cast("int").alias("bucket"))
+    return (probe.join(F.broadcast(sketch), ["s", "bucket"])
+            .groupBy("user_id", "exact_n")
+            .agg(F.min("c").alias("cms_estimate"))
+            .select("user_id", "exact_n", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("exact_n"))
+                    .alias("overcount"))
+            .orderBy(F.col("exact_n").desc(), "user_id"))
+
+
 QUERIES = {
+    "timeseries_active_intervals": timeseries_active_intervals,
+    "agg_count_min_sketch": agg_count_min_sketch,
     "agg_pareto_threshold": agg_pareto_threshold,
     "timeseries_forecast_backtest": timeseries_forecast_backtest,
     "agg_hhi_concentration": agg_hhi_concentration,
@@ -2046,6 +2133,55 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_active_intervals": """
+        WITH closed AS (
+            SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS last_ship
+            FROM lineitem GROUP BY 1
+        ), spans AS (
+            SELECT CAST(o_orderdate AS DATE) AS open_day,
+                   GREATEST(last_ship, CAST(o_orderdate AS DATE))
+                       AS close_day
+            FROM orders JOIN closed ON o_orderkey = l_orderkey
+        ), deltas AS (
+            SELECT open_day AS day, 1 AS delta FROM spans
+            UNION ALL
+            SELECT close_day + 1 AS day, -1 AS delta FROM spans
+        ), per_day AS (
+            SELECT day, SUM(delta) AS net FROM deltas GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_active
+        FROM per_day ORDER BY day
+    """,
+    "agg_count_min_sketch": """
+        WITH seeds AS (SELECT UNNEST(range(0, 4)) AS s),
+        cell AS (
+            SELECT s,
+                   16 * (strpos('0123456789abcdef',
+                         substr(md5(s || ':' || user_id), 1, 1)) - 1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(s || ':' || user_id), 2, 1)) - 1) AS bucket
+            FROM events CROSS JOIN seeds
+        ), sketch AS (
+            SELECT s, bucket, COUNT(*) AS c FROM cell GROUP BY 1, 2
+        ), top AS (
+            SELECT user_id, COUNT(*) AS exact_n FROM events
+            GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+        ), probe AS (
+            SELECT user_id, exact_n, s,
+                   16 * (strpos('0123456789abcdef',
+                         substr(md5(s || ':' || user_id), 1, 1)) - 1)
+                   + (strpos('0123456789abcdef',
+                      substr(md5(s || ':' || user_id), 2, 1)) - 1) AS bucket
+            FROM top CROSS JOIN seeds
+        )
+        SELECT user_id, exact_n, MIN(c) AS cms_estimate,
+               MIN(c) - exact_n AS overcount
+        FROM probe JOIN sketch USING (s, bucket)
+        GROUP BY user_id, exact_n
+        ORDER BY exact_n DESC, user_id
+    """,
     "agg_pareto_threshold": """
         WITH per_cust AS (
             SELECT o_custkey,

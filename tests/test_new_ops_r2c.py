@@ -1,0 +1,181 @@
+"""Invariant tests for the span-dedup / sweep-line / sketch / streak /
+attribution / component-size operators.
+
+The oracle gate checks value parity against DuckDB; these tests assert the
+DEFINING mathematical properties with independent brute-force formulations
+so a shared op+oracle mistake can't hide (same discipline as
+test_analytics_math.py).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+def test_span_chunks_fraction_bounds_and_counts(spark, sf_dir):
+    """Per-doc span counts must equal ceil(n_tokens/10), dup fraction in
+    [0,1], and a doc whose every span is unique corpus-wide must have
+    dup_span_frac == 0."""
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        dedup_span_chunks,
+    )
+
+    rows = dedup_span_chunks(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r for r in rows}
+    assert docs, "no documents"
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+    for d in load_table(spark, sf_dir, "documents").collect():
+        toks = d["text"].split(" ")
+        expect_spans = -(-len(toks) // 10)  # ceil
+        r = docs[d["doc_id"]]
+        assert r["n_spans"] == expect_spans, d["doc_id"]
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        assert 0.0 <= r["dup_span_frac"] <= 1.0
+
+
+def test_span_chunks_matches_bruteforce(spark, sf_dir):
+    """Duplicated-span counts recomputed with a plain-Python span index."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        dedup_span_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    span_docs: dict[str, set] = defaultdict(set)
+    per_doc: dict[int, list] = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        spans = [" ".join(toks[i:i + 10]) for i in range(0, len(toks), 10)]
+        per_doc[d["doc_id"]] = spans
+        for s in spans:
+            span_docs[s].add(d["doc_id"])
+    for r in dedup_span_chunks(spark, sf_dir).collect():
+        spans = per_doc[r["doc_id"]]
+        n_dup = sum(1 for s in spans if len(span_docs[s]) > 1)
+        assert r["n_dup_spans"] == n_dup, r["doc_id"]
+
+
+def test_active_intervals_sweep_line_invariants(spark, sf_dir):
+    """The active count can never be negative, must end at zero after the
+    last close, and must equal the brute-force per-day stabbing count."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        timeseries_active_intervals,
+    )
+    from pyspark.sql import functions as F
+
+    rows = timeseries_active_intervals(spark, sf_dir).collect()
+    assert rows and all(r["n_active"] >= 0 for r in rows)
+    assert rows[-1]["n_active"] == 0  # day after the last close
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    closed = {r["l_orderkey"]: r["close"] for r in
+              li.groupBy("l_orderkey")
+              .agg(F.max(F.to_date("l_shipdate")).alias("close")).collect()}
+    spans = [(r["o_orderdate"].date(),
+              max(closed[r["o_orderkey"]], r["o_orderdate"].date()))
+             for r in orders.collect() if r["o_orderkey"] in closed]
+    probe = sorted({r["day"] for r in rows})[len(rows) // 2]
+    brute = sum(1 for o, c in spans if o <= probe <= c)
+    got = next(r["n_active"] for r in rows if r["day"] == probe)
+    assert got == brute
+
+
+def test_count_min_sketch_never_undercounts(spark, sf_dir):
+    """CMS law: estimate ≥ exact count for every key, and with 1024 cells
+    over this corpus the heavy hitters should be exact or near-exact."""
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        agg_count_min_sketch,
+    )
+
+    rows = agg_count_min_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["overcount"] == r["cms_estimate"] - r["exact_n"]
+
+
+def test_gaps_and_islands_matches_bruteforce(spark, sf_dir):
+    """Streak structure recomputed with a plain-Python consecutive-day
+    scan over each user's distinct active days."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        window_gaps_and_islands,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    days = defaultdict(set)
+    for e in ev:
+        days[e["user_id"]].add(e["ts"].date())
+    for r in window_gaps_and_islands(spark, sf_dir).collect():
+        ds = sorted(days[r["user_id"]])
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert r["n_islands"] == len(streaks), r["user_id"]
+        assert r["longest_streak"] == max(streaks)
+        assert r["active_days"] == len(ds)
+
+
+def test_last_touch_attribution_conserves_purchases(spark, sf_dir):
+    """Every purchase is attributed exactly once (buckets partition the
+    purchase set), and the per-bucket counts match a brute-force replay
+    of each user's ordered stream."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_attribution_last_touch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    streams = defaultdict(list)
+    for e in ev:
+        streams[e["user_id"]].append(e)
+    brute = Counter()
+    n_purchases = 0
+    for es in streams.values():
+        es.sort(key=lambda e: (e["ts"], e["event_id"]))
+        touch = None
+        for e in es:
+            if e["event_type"] == "purchase":
+                brute[touch or "(none)"] += 1
+                n_purchases += 1
+            else:
+                touch = e["event_type"]
+    rows = events_attribution_last_touch(spark, sf_dir).collect()
+    assert sum(r["n_conversions"] for r in rows) == n_purchases
+    assert {r["touch_type"]: r["n_conversions"] for r in rows} == dict(brute)
+
+
+def test_component_sizes_partition_the_node_set(spark, sf_dir):
+    """Component sizes must sum to the node count of the strong graph and
+    match a brute-force union-find over the same edges."""
+    from build_pipeline_with_apache_beam_spark.operators.graph import (
+        _strong_co_supply,
+        graph_component_size_dist,
+    )
+
+    edges = [(r["u"], r["v"])
+             for r in _strong_co_supply(spark, sf_dir).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    sizes = Counter(find(x) for x in list(parent))
+    brute = Counter(sizes.values())
+    got = {r["component_size"]: r["n_components"]
+           for r in graph_component_size_dist(spark, sf_dir).collect()}
+    assert got == dict(brute)
