@@ -285,26 +285,39 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("doc_a").alias("doc_b")))
     vertices = (load_table(spark, sf_dir, "documents")
                 .where(F.col("doc_id") % 4 == 0).select("doc_id"))
-    # label state is persisted per pass and the previous pass is explicitly
-    # unpersisted, so the loop holds at most two label snapshots in memory
-    # regardless of iteration count (at scale: checkpoint to cut lineage too)
-    labels = vertices.withColumn("group_id", F.col("doc_id")).persist()
-    for _ in range(20):  # diameter bound; converges far earlier
+    # label state is localCheckpoint-ed per pass: the state is
+    # self-referential, so without lineage truncation Catalyst re-analyzes
+    # a plan that grows every iteration and planning — not data — comes to
+    # dominate.  At cluster scale this becomes a reliable checkpoint (cuts
+    # lineage AND bounds recovery).
+    labels = (vertices.withColumn("group_id", F.col("doc_id"))
+              .localCheckpoint())
+    # near-dup clusters are shallow, but convergence is made O(log diameter)
+    # anyway by POINTER-JUMPING after each neighbor-min step
+    # (label := label(label), the classic hash-join CC accelerator)
+    for _ in range(12):
         neighbor_min = (edges.join(labels,
                                    edges["doc_b"] == labels["doc_id"])
                         .groupBy("doc_a").agg(F.min("group_id").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["doc_id"] == neighbor_min["doc_a"],
-                                  "left")
+        stepped = (labels.join(neighbor_min,
+                               labels["doc_id"] == neighbor_min["doc_a"],
+                               "left")
+                   .select("doc_id",
+                           F.least("group_id", "nmin").alias("group_id"),
+                           (F.col("nmin") < F.col("group_id"))
+                           .alias("chg")))
+        parent = stepped.select(F.col("doc_id").alias("p_id"),
+                                F.col("group_id").alias("p_label"))
+        new_labels = (stepped.join(parent,
+                                   stepped.group_id == parent.p_id, "left")
                       .select("doc_id",
-                              F.least("group_id", "nmin").alias("group_id"),
-                              (F.col("nmin") < F.col("group_id"))
-                              .alias("chg"))
-                      .persist())
+                              F.least("group_id",
+                                      F.coalesce("p_label", "group_id"))
+                              .alias("group_id"), "chg")
+                      .localCheckpoint())
         # convergence flag rides along with the labels — one cheap scan of
-        # the cached result instead of a second old-vs-new join
+        # the materialized result instead of a second old-vs-new join
         changed = new_labels.where("chg").count()
-        labels.unpersist()
         labels = new_labels.drop("chg")
         if changed == 0:
             break

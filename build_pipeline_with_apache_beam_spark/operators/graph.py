@@ -185,16 +185,21 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = _strong_co_supply(spark, sf_dir)
     sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
            .unionAll(strong.select(F.col("v").alias("src"),
-                                   F.col("u").alias("dst")))).persist()
+                                   F.col("u").alias("dst")))
+           .coalesce(1).persist())
     seed = sym.agg(F.min("src").alias("node"))
-    reached = seed.select("node", F.lit(0).alias("hops"))
+    # each frontier is localCheckpoint-ed so hop k's plan joins a
+    # materialized node list instead of re-planning (and re-running) the
+    # whole BFS prefix — lineage stays O(1) per hop instead of O(k)
+    reached = seed.select("node", F.lit(0).alias("hops")).localCheckpoint()
     frontier = reached
     for k in (1, 2, 3):
         step = (sym.join(F.broadcast(frontier),
                          sym.src == frontier.node)
                 .select(F.col("dst").alias("node"),
                         F.lit(k).alias("hops"))
-                .distinct())
+                .distinct()
+                .localCheckpoint())
         reached = reached.unionAll(step)
         frontier = step
     return (reached.groupBy("node").agg(F.min("hops").alias("min_hops"))
