@@ -850,7 +850,55 @@ def corpus_instruction_pack_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("doc_id"))
 
 
+MASK_RATE_256 = 38      # ≈ 15% of 256 — T5-style corruption rate
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask statistics per document: mask each
+    token position where ``md5(doc_id:pos)`` (two hex digits, 0..255)
+    falls under the 38/256 ≈ 15% rate, then report masked-token count,
+    the number of contiguous masked SPANS (each span becomes one sentinel
+    in the denoising objective), and the realized mask rate.
+
+    Deterministic hash masking means both engines derive the identical
+    mask, so this is oracle-checked — and at scale it means the mask is
+    reproducible across runs/workers with no RNG state to ship.  Entirely
+    higher-order functions in the scan projection: zero shuffles, zero
+    Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mask = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda p: (F.conv(F.substring(
+                F.md5(F.concat_ws(":", "doc_id", p)), 1, 2), 16, 10)
+                .cast("int") < F.lit(MASK_RATE_256)).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    m = F.col("mask")
+    # span starts: masked position whose predecessor is unmasked (shift
+    # the mask right by prepending 0, then pairwise AND-NOT via zip_with)
+    starts = F.zip_with(
+        m, F.concat(F.array(F.lit(0)), F.slice(m, 1, F.greatest(
+            F.size(m) - 1, F.lit(0)))),
+        lambda cur, prev: ((cur == 1) & (prev == 0)).cast("int"))
+    return (docs.select("doc_id", n.alias("n_tokens"), mask.alias("mask"))
+            .select(
+                "doc_id", "n_tokens",
+                F.aggregate(m, F.lit(0), lambda a, x: a + x)
+                .cast("bigint").alias("n_masked"),
+                F.aggregate(starts, F.lit(0), lambda a, x: a + x)
+                .cast("bigint").alias("n_mask_spans"))
+            .withColumn("mask_rate",
+                        F.round(F.col("n_masked") / F.col("n_tokens"), 4))
+            .orderBy("doc_id"))
+
+
 QUERIES = {
+    "corpus_span_corruption": corpus_span_corruption,
     "corpus_instruction_pack_jsonl": corpus_instruction_pack_jsonl,
     "corpus_chunk_overlap_windows": corpus_chunk_overlap_windows,
     "corpus_token_budget_apportion": corpus_token_budget_apportion,
@@ -883,6 +931,32 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_span_corruption": """
+        WITH t AS (
+            SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents
+        ), pos AS (
+            SELECT doc_id, n, i,
+                   CASE WHEN
+                       16 * (strpos('0123456789abcdef',
+                             substr(md5(doc_id || ':' || i), 1, 1)) - 1)
+                       + (strpos('0123456789abcdef',
+                          substr(md5(doc_id || ':' || i), 2, 1)) - 1) < 38
+                   THEN 1 ELSE 0 END AS m
+            FROM t, UNNEST(range(1, n + 1)) AS u(i)
+            WHERE n >= 1
+        ), runs AS (
+            SELECT doc_id, n, m,
+                   CASE WHEN m = 1 AND COALESCE(LAG(m) OVER (
+                       PARTITION BY doc_id ORDER BY i), 0) = 0
+                   THEN 1 ELSE 0 END AS st
+            FROM pos
+        )
+        SELECT doc_id, ANY_VALUE(n) AS n_tokens,
+               CAST(SUM(m) AS BIGINT) AS n_masked,
+               CAST(SUM(st) AS BIGINT) AS n_mask_spans,
+               ROUND(SUM(m) * 1.0 / ANY_VALUE(n), 4) AS mask_rate
+        FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
     "corpus_importance_weights_ess": """
         SELECT source, COUNT(*) AS n_docs,
                ROUND(SUM(CAST(n_chars AS DOUBLE))

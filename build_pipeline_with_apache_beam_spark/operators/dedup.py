@@ -510,7 +510,71 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: precision/recall/F1 of the MinHash+LSH
+    pipeline against COMPLETE exact shingle-Jaccard ground truth — the
+    measure-don't-guess op that tells you whether 16 hashes / 4 bands is
+    enough before you spend a 100 TB pass on it.
+
+    Ground truth is exact but NOT all-pairs: an inverted shingle index
+    joins only documents that share at least one shingle (any pair with
+    Jaccard > 0 appears; pairs sharing nothing can't reach the threshold),
+    so the cost is Σ_shingle C(df, 2) — bounded by shingle document
+    frequency, not |docs|².  A production run caps df (drops stop-shingle
+    buckets hotter than N docs) exactly like the LSH band-cap.
+
+    Because the LSH pipeline exact-verifies its candidates, precision is
+    1.0 by construction; recall isolates banding misses (pairs whose
+    signatures agreed in no band).  Rows-only like the sketch itself
+    (seeded xxhash64 isn't portable SQL); the invariant test asserts the
+    precision law and that truth ⊇ predictions."""
+    shingled = _docs_with_shingles(spark, sf_dir)
+    hashed = _staged(spark, shingled.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        .alias("sh")), sf_dir, "mh_eval_sets")
+    sizes = hashed.select("doc_id", F.size("sh").alias("n"))
+    inv = hashed.select("doc_id", F.explode("sh").alias("h"))
+    common = (inv.alias("a")
+              .join(inv.alias("b"), (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    truth = (common
+             .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("n_a")), "doc_a")
+             .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n").alias("n_b")), "doc_b")
+             .where(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                    >= JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    pred = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # metric rollup stays IN the plan (no driver-side counts): stage the
+    # two pair sets, outer-join them, and fold to one metrics row
+    t = _staged(spark, truth, sf_dir, "mh_eval_truth")
+    p = _staged(spark, pred, sf_dir, "mh_eval_pred")
+    both = (t.withColumn("in_t", F.lit(1))
+            .join(p.withColumn("in_p", F.lit(1)),
+                  ["doc_a", "doc_b"], "full_outer"))
+    m = both.agg(
+        F.sum(F.coalesce("in_t", F.lit(0))).alias("n_truth_pairs"),
+        F.sum(F.coalesce("in_p", F.lit(0))).alias("n_predicted_pairs"),
+        F.sum(F.when(F.col("in_t").isNotNull()
+                     & F.col("in_p").isNotNull(), 1).otherwise(0))
+        .alias("n_hits"))
+    precision = F.round(F.try_divide("n_hits", "n_predicted_pairs"), 4)
+    recall = F.round(F.try_divide("n_hits", "n_truth_pairs"), 4)
+    return m.select(
+        "n_truth_pairs", "n_predicted_pairs", "n_hits",
+        precision.alias("precision"), recall.alias("recall"),
+        F.round(F.try_divide(2 * precision * recall, precision + recall), 4)
+        .alias("f1"))
+
+
 QUERIES = {
+    "dedup_minhash_recall_eval": dedup_minhash_recall_eval,
     "dedup_span_chunks": dedup_span_chunks,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental_minhash": dedup_incremental_minhash,

@@ -2039,7 +2039,61 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("exact_n").desc(), "user_id"))
 
 
+HH_K = 50               # heavy hitter = more than 1/K of all events
+
+
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with > 1/K of all corpus occurrences)
+    in two communication-efficient passes — the Misra-Gries shape that
+    finds exact frequent items over 100 TB without shuffling full
+    per-key counts:
+
+    pass 1 (mapInPandas, per partition): a Misra-Gries summary with 4·K
+    counters.  MG guarantees any key with LOCAL frequency > 1/(4K) of its
+    partition survives, so every GLOBAL > 1/K key survives in at least
+    one partition — candidates are a guaranteed superset, and only
+    O(partitions · K) candidate rows ever shuffle (with a real crawl's
+    million-token vocabulary, that is the entire point).
+
+    pass 2: exact recount of occurrences semi-joined to the (broadcast)
+    candidate set, filtered against the global total.  The final output
+    is therefore exact — identical to the full groupBy — which is what
+    the oracle checks.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    m = 4 * HH_K
+
+    def mg_candidates(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf["token"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+                if len(counters) > m:
+                    # MG decrement step, batched: subtract the (m+1)-th
+                    # largest count from everyone, drop the non-positive
+                    cut = sorted(counters.values(), reverse=True)[m]
+                    counters = {k: v - cut for k, v in counters.items()
+                                if v - cut > 0}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = (toks.mapInPandas(mg_candidates, "token string")
+             .distinct())
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (toks.join(F.broadcast(cands), "token", "left_semi")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("n_occurrences") * HH_K > F.col("n_total"))
+            .select("token", "n_occurrences",
+                    F.round(F.col("n_occurrences") / F.col("n_total"), 4)
+                    .alias("share"))
+            .orderBy(F.col("n_occurrences").desc(), "token"))
+
+
 QUERIES = {
+    "agg_heavy_hitters_exact": agg_heavy_hitters_exact,
     "timeseries_active_intervals": timeseries_active_intervals,
     "agg_count_min_sketch": agg_count_min_sketch,
     "agg_pareto_threshold": agg_pareto_threshold,
@@ -2133,6 +2187,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_heavy_hitters_exact": """
+        WITH toks AS (
+            SELECT UNNEST(str_split(text, ' ')) AS token FROM documents
+        ), tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT token, COUNT(*) AS n_occurrences,
+               ROUND(COUNT(*) * 1.0 / ANY_VALUE(t.n_total), 4) AS share
+        FROM toks CROSS JOIN tot t
+        GROUP BY token
+        HAVING COUNT(*) * 50 > ANY_VALUE(t.n_total)
+        ORDER BY n_occurrences DESC, token
+    """,
     "timeseries_active_intervals": """
         WITH closed AS (
             SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS last_ship

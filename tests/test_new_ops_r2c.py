@@ -179,3 +179,62 @@ def test_component_sizes_partition_the_node_set(spark, sf_dir):
     got = {r["component_size"]: r["n_components"]
            for r in graph_component_size_dist(spark, sf_dir).collect()}
     assert got == dict(brute)
+
+
+def test_minhash_eval_precision_law(spark, sf_dir):
+    """LSH predictions are exact-verified, so truth must contain every
+    prediction (precision 1.0 whenever predictions exist), and all three
+    counts must be consistent."""
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        dedup_minhash_recall_eval,
+    )
+
+    r = dedup_minhash_recall_eval(spark, sf_dir).collect()[0]
+    assert r["n_hits"] <= min(r["n_truth_pairs"], r["n_predicted_pairs"])
+    if r["n_predicted_pairs"]:
+        assert r["precision"] == 1.0     # predictions ⊆ truth by design
+    if r["n_truth_pairs"]:
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_span_corruption_matches_bruteforce_md5(spark, sf_dir):
+    """Mask statistics recomputed with Python hashlib over the same
+    deterministic md5(doc_id:pos) rule."""
+    import hashlib
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_span_corruption,
+    )
+
+    docs = {d["doc_id"]: d["text"]
+            for d in load_table(spark, sf_dir, "documents").collect()}
+    for r in corpus_span_corruption(spark, sf_dir).collect():
+        n = len(docs[r["doc_id"]].split(" "))
+        mask = [int(hashlib.md5(f"{r['doc_id']}:{p}".encode())
+                    .hexdigest()[:2], 16) < 38 for p in range(1, n + 1)]
+        n_spans = sum(1 for i, m in enumerate(mask)
+                      if m and (i == 0 or not mask[i - 1]))
+        assert r["n_tokens"] == n
+        assert r["n_masked"] == sum(mask)
+        assert r["n_mask_spans"] == n_spans
+
+
+def test_heavy_hitters_exact_equals_full_groupby(spark, sf_dir):
+    """The two-pass MG output must be IDENTICAL to the brute-force full
+    count — the exactness guarantee the op claims."""
+    from collections import Counter
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        agg_heavy_hitters_exact,
+    )
+
+    cnt = Counter()
+    for d in load_table(spark, sf_dir, "documents").collect():
+        cnt.update(d["text"].split(" "))
+    total = sum(cnt.values())
+    brute = {t: c for t, c in cnt.items() if c * 50 > total}
+    got = {r["token"]: r["n_occurrences"]
+           for r in agg_heavy_hitters_exact(spark, sf_dir).collect()}
+    assert got == brute
