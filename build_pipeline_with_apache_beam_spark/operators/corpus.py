@@ -850,6 +850,119 @@ def corpus_instruction_pack_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("doc_id"))
 
 
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION
+    expressed as DataFrame aggregates — PCA without ever materializing the
+    d×d covariance: each iteration computes C·v = E[x·(xᵀv)] − μ·(μᵀv)
+    as ONE distributed pass (zip_with dot product in the scan projection,
+    posexplode + per-dim partial-sum aggregate), so the shuffle carries d
+    partial sums, never vectors or outer products.
+
+    Driver state is the current d-vector only (bounded by embedding dim,
+    the same discipline as the IVF codebook) — at 100 TB the per-iteration
+    cost is one linear scan and the driver never holds data.  Output is
+    the per-iteration Rayleigh-quotient trace (monotone non-decreasing for
+    a PSD matrix — asserted in tests) plus the explained-variance share
+    against the total variance (trace of C).  Rows-only: no portable SQL
+    does eigen-iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.transform("embedding", lambda v: v.cast("double"))
+                   .alias("x")).persist()
+    dims = x.select(F.posexplode("x").alias("dim", "v"))
+    stats = {r["dim"]: (r["mu"], r["m2"]) for r in
+             dims.groupBy("dim").agg(F.avg("v").alias("mu"),
+                                     F.avg(F.col("v") * F.col("v"))
+                                     .alias("m2")).collect()}
+    d = len(stats)
+    mu = [stats[i][0] for i in range(d)]
+    total_var = sum(stats[i][1] - stats[i][0] ** 2 for i in range(d))
+    v = [1.0 / (d ** 0.5)] * d
+    trace = []
+    for it in range(1, 9):
+        v_lit = F.array(*[F.lit(c) for c in v])
+        score = F.aggregate(F.zip_with("x", v_lit, lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, t: acc + t)
+        # E[x·(xᵀv)] per dim — one posexplode + partial-sum aggregate
+        sums = (x.select(score.alias("s"), "x")
+                .select("s", F.posexplode("x").alias("dim", "xi"))
+                .groupBy("dim").agg(F.avg(F.col("xi") * F.col("s"))
+                                    .alias("cv")).collect())
+        ex = {r["dim"]: r["cv"] for r in sums}
+        mu_dot_v = sum(m * c for m, c in zip(mu, v))
+        cv = [ex[i] - mu[i] * mu_dot_v for i in range(d)]
+        rayleigh = sum(c * w for c, w in zip(cv, v))
+        norm = sum(c * c for c in cv) ** 0.5 or 1.0
+        v = [c / norm for c in cv]
+        trace.append((it, round(rayleigh, 6),
+                      round(rayleigh / total_var, 4) if total_var else None))
+    x.unpersist()
+    # literal trace via SQL VALUES (a Python-RDD createDataFrame build
+    # side can stall broadcasts — session-wide convention)
+    rows = ", ".join(
+        f"({it}, CAST({ev} AS DOUBLE), "
+        + ("CAST(NULL AS DOUBLE))" if share is None
+           else f"CAST({share} AS DOUBLE))")
+        for it, ev, share in trace)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(iteration, top_eigenvalue, explained_var)")
+
+
+LOGREG_ITERS = 15
+LOGREG_LR = 1.5
+LONG_DOC_CHARS = 300    # ~corpus median -> balanced labels to learn
+
+
+def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression document classifier by batch gradient
+    descent where EVERY gradient step is one distributed aggregate — the
+    fastText-style quality-classifier training loop a pretraining pipeline
+    runs over its corpus, without MLlib and without the driver ever
+    holding data.
+
+    Features ride the scan projection (bias, log token count, distinct-
+    token ratio, mean word length); the label is the deterministic
+    long-document rule (> ``LONG_DOC_CHARS`` chars).  Each iteration
+    aggregates Σ(σ(wᵀx) − y)·x (4 partial sums), log-loss and accuracy in
+    the same pass; driver state is the 4-float weight vector.  Output is
+    the training trace — loss must fall monotonically at this fixed
+    learning rate (asserted in tests).  Rows-only: SQL cannot loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        F.lit(1.0).alias("f0"),
+        (F.log(F.size(toks) + 1) / 10.0).alias("f1"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f2"),
+        (F.length("text") / F.size(toks) / 10.0).alias("f3"),
+        (F.col("n_chars") > LONG_DOC_CHARS).cast("double").alias("y"),
+    ).persist()
+    w = [0.0, 0.0, 0.0, 0.0]
+    trace = []
+    n_feat = len(w)
+    for it in range(1, LOGREG_ITERS + 1):
+        z = sum(F.col(f"f{i}") * F.lit(w[i]) for i in range(n_feat))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        row = feats.agg(
+            *[F.avg(err * F.col(f"f{i}")).alias(f"g{i}")
+              for i in range(n_feat)],
+            F.avg(-(F.col("y") * F.log(p + 1e-12)
+                    + (1 - F.col("y")) * F.log(1 - p + 1e-12)))
+            .alias("loss"),
+            F.avg(((p > 0.5).cast("double") == F.col("y")).cast("double"))
+            .alias("acc")).collect()[0]
+        trace.append((it, round(row["loss"], 6), round(row["acc"], 4)))
+        w = [w[i] - LOGREG_LR * row[f"g{i}"] for i in range(n_feat)]
+    feats.unpersist()
+    rows = ", ".join(
+        f"({it}, CAST({loss} AS DOUBLE), CAST({acc} AS DOUBLE))"
+        for it, loss, acc in trace)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(iteration, log_loss, accuracy)")
+
+
 MASK_RATE_256 = 38      # ≈ 15% of 256 — T5-style corruption rate
 
 
@@ -898,6 +1011,8 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "embedding_pca_power_iteration": embedding_pca_power_iteration,
+    "corpus_quality_logreg_train": corpus_quality_logreg_train,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_instruction_pack_jsonl": corpus_instruction_pack_jsonl,
     "corpus_chunk_overlap_windows": corpus_chunk_overlap_windows,

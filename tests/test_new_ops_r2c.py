@@ -238,3 +238,33 @@ def test_heavy_hitters_exact_equals_full_groupby(spark, sf_dir):
     got = {r["token"]: r["n_occurrences"]
            for r in agg_heavy_hitters_exact(spark, sf_dir).collect()}
     assert got == brute
+
+
+def test_pca_power_iteration_rayleigh_monotone(spark, sf_dir):
+    """For a PSD covariance, power-iteration Rayleigh quotients are
+    non-decreasing and can never exceed the total variance (trace)."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        embedding_pca_power_iteration,
+    )
+
+    rows = sorted(embedding_pca_power_iteration(spark, sf_dir).collect(),
+                  key=lambda r: r["iteration"])
+    assert len(rows) == 8
+    evs = [r["top_eigenvalue"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(evs, evs[1:]))
+    for r in rows:
+        assert 0.0 <= r["explained_var"] <= 1.0
+
+
+def test_logreg_training_loss_decreases(spark, sf_dir):
+    """Batch gradient descent at this fixed learning rate must reduce the
+    log-loss every iteration and end well above chance accuracy."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_quality_logreg_train,
+    )
+
+    rows = sorted(corpus_quality_logreg_train(spark, sf_dir).collect(),
+                  key=lambda r: r["iteration"])
+    losses = [r["log_loss"] for r in rows]
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    assert rows[-1]["accuracy"] > 0.8

@@ -58,6 +58,13 @@ SCALE_OPS = [
     "text_readability_flesch", "text_hapax_ratio",
     "text_ocr_artifact_score", "scan_orc_roundtrip",
     "embedding_quantize_error", "embedding_normalize_quantize",
+    # round-2-continuation additions: span dedup, sweep-line, sketches,
+    # streaks, attribution, components, MG heavy hitters, span corruption
+    "dedup_span_chunks", "timeseries_active_intervals",
+    "agg_count_min_sketch", "window_gaps_and_islands",
+    "events_attribution_last_touch", "graph_component_size_dist",
+    "dedup_minhash_recall_eval", "corpus_span_corruption",
+    "agg_heavy_hitters_exact",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
