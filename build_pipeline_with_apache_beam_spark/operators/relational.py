@@ -1030,6 +1030,49 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+TRADE_EDGE_MIN = 40     # min lineitem count for a nation→nation trade edge
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE``: BFS minimum-hop reachability over the
+    nation-level trade graph, written entirely in SQL — the iterative
+    query class (org charts, BOM explosions, graph reachability) that
+    previously required driver-side loops (``graph_khop_reachability``)
+    now runs as ONE declarative statement on both engines.
+
+    The recursion is depth-bounded (hops < 3) and the frontier is the
+    25-nation graph, so the unrolled plan stays small; the heavy lifting
+    — collapsing the fact table into the weighted edge list — happens
+    once in the anchor's CTE with the usual broadcast dim joins.
+    """
+    from build_pipeline_with_apache_beam_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE cn.n_name <> sn.n_name
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TRADE_EDGE_MIN}
+        ),
+        reach(nation, hops) AS (
+            SELECT CAST('NATION_0' AS STRING), 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.nation
+            WHERE r.hops < 3
+        )
+        SELECT nation, MIN(hops) AS min_hops
+        FROM reach GROUP BY nation ORDER BY nation
+    """)
+
+
 def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL (Spark 4 ``spark.sql(query, args=...)``): named
     parameters bind as literals in the analyzed plan — injection-safe and
@@ -2093,6 +2136,7 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sql_recursive_cte": sql_recursive_cte,
     "agg_heavy_hitters_exact": agg_heavy_hitters_exact,
     "timeseries_active_intervals": timeseries_active_intervals,
     "agg_count_min_sketch": agg_count_min_sketch,
@@ -2187,6 +2231,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_recursive_cte": """
+        WITH RECURSIVE edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE cn.n_name <> sn.n_name
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 40
+        ),
+        reach(nation, hops) AS (
+            SELECT 'NATION_0', 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.nation
+            WHERE r.hops < 3
+        )
+        SELECT nation, MIN(hops) AS min_hops
+        FROM reach GROUP BY nation ORDER BY nation
+    """,
     "agg_heavy_hitters_exact": """
         WITH toks AS (
             SELECT UNNEST(str_split(text, ' ')) AS token FROM documents

@@ -268,3 +268,50 @@ def test_logreg_training_loss_decreases(spark, sf_dir):
     losses = [r["log_loss"] for r in rows]
     assert all(b < a for a, b in zip(losses, losses[1:]))
     assert rows[-1]["accuracy"] > 0.8
+
+
+def test_recursive_cte_matches_driver_loop_bfs(spark, sf_dir):
+    """The declarative WITH RECURSIVE BFS must agree with a brute-force
+    Python BFS over the same thresholded edge list."""
+    from collections import deque
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        TRADE_EDGE_MIN,
+        sql_recursive_cte,
+    )
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("ck"),
+                       F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("sk"),
+                       F.col("n_name").alias("dst"))
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(cust, orders.o_custkey == cust.c_custkey)
+             .join(cn, cust.c_nationkey == F.col("ck"))
+             .join(supp, li.l_suppkey == supp.s_suppkey)
+             .join(sn, supp.s_nationkey == F.col("sk"))
+             .where(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             .where(F.col("w") >= TRADE_EDGE_MIN)).collect()
+    adj = defaultdict(list)
+    for e in edges:
+        adj[e["src"]].append(e["dst"])
+    dist = {"NATION_0": 0}
+    q = deque([("NATION_0", 0)])
+    while q:
+        node, h = q.popleft()
+        if h >= 3:
+            continue
+        for nxt in adj[node]:
+            if nxt not in dist:
+                dist[nxt] = h + 1
+                q.append((nxt, h + 1))
+    got = {r["nation"]: r["min_hops"]
+           for r in sql_recursive_cte(spark, sf_dir).collect()}
+    assert got == dist
