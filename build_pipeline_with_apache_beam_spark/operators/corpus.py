@@ -872,7 +872,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     stats = {r["dim"]: (r["mu"], r["m2"]) for r in
              dims.groupBy("dim").agg(F.avg("v").alias("mu"),
                                      F.avg(F.col("v") * F.col("v"))
-                                     .alias("m2")).collect()}
+                                     .alias("m2")).collect()}  # driver-bounded: d rows
     d = len(stats)
     mu = [stats[i][0] for i in range(d)]
     total_var = sum(stats[i][1] - stats[i][0] ** 2 for i in range(d))
@@ -886,7 +886,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         sums = (x.select(score.alias("s"), "x")
                 .select("s", F.posexplode("x").alias("dim", "xi"))
                 .groupBy("dim").agg(F.avg(F.col("xi") * F.col("s"))
-                                    .alias("cv")).collect())
+                                    .alias("cv")).collect())  # driver-bounded: d rows
         ex = {r["dim"]: r["cv"] for r in sums}
         mu_dot_v = sum(m * c for m, c in zip(mu, v))
         cv = [ex[i] - mu[i] * mu_dot_v for i in range(d)]
@@ -951,7 +951,7 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (1 - F.col("y")) * F.log(1 - p + 1e-12)))
             .alias("loss"),
             F.avg(((p > 0.5).cast("double") == F.col("y")).cast("double"))
-            .alias("acc")).collect()[0]
+            .alias("acc")).collect()[0]  # driver-bounded: 1 metrics row
         trace.append((it, round(row["loss"], 6), round(row["acc"], 4)))
         w = [w[i] - LOGREG_LR * row[f"g{i}"] for i in range(n_feat)]
     feats.unpersist()

@@ -410,3 +410,47 @@ def test_arrow_optimized_udf_is_arrow_eval(spark, sf_dir, registry):
     plan = plan_of(registry["udf_arrow_optimized_scalar"](spark, sf_dir))
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_span_dedup_stays_jvm_side(spark, sf_dir, registry):
+    """Span extraction + frequency join must be pure JVM (higher-order
+    functions), no Python evaluation anywhere in the plan."""
+    plan = plan_of(registry["dedup_span_chunks"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_is_broadcast_to_probe(spark, sf_dir, registry):
+    """The 1024-cell sketch must broadcast into the heavy-hitter probe —
+    never a shuffle of the probe side on sketch keys."""
+    plan = plan_of(registry["agg_count_min_sketch"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_heavy_hitter_candidates_broadcast_semi_join(spark, sf_dir, registry):
+    """Pass 2's recount must semi-join the token stream against BROADCAST
+    candidates (LeftSemi build side small), not shuffle the corpus."""
+    plan = plan_of(registry["agg_heavy_hitters_exact"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_active_intervals_single_partition_only_on_day_axis(
+        spark, sf_dir, registry):
+    """The only single-partition window must ride the per-day aggregate
+    (calendar-bounded), with the per-order and per-day aggregates two-phase
+    hash aggregates before it."""
+    plan = plan_of(registry["timeseries_active_intervals"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # two-phase agg: partial + final HashAggregate pairs present
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_gaps_and_islands_single_exchange_chain(spark, sf_dir, registry):
+    """distinct → window → two rollups all partition on user_id; the plan
+    must not re-exchange between the window and the island rollup."""
+    plan = plan_of(registry["window_gaps_and_islands"](spark, sf_dir))
+    # tree-section exchanges only (the details section repeats each node):
+    # (user_id, day) distinct → user_id window → final orderBy range
+    # exchange; both island rollups reuse the window's partitioning
+    n_exchange = plan.count("+- Exchange")
+    assert n_exchange <= 3, f"{n_exchange} exchanges\n{plan}"
