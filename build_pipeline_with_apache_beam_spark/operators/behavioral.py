@@ -768,7 +768,41 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("touch_type"))
 
 
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra between event types: for every ordered pair of
+    event types, the distinct-user intersection, union, and Jaccard — the
+    segmentation overlap matrix behind "do purchasers also click?".
+
+    One distinct(user, type) pass collapses the stream (two-phase hash
+    agg), then the pairwise overlap is a self-join ON user_id — shuffle
+    carries one row per (user, type), never raw events, and the output is
+    |types|² rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (a.join(b, "user_id")
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count_distinct("user_id").alias("n_both")))
+    sizes = ut.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n"))
+    return (both
+            .join(F.broadcast(sizes.withColumnRenamed("event_type", "type_a")
+                              .withColumnRenamed("n", "n_a")), "type_a")
+            .join(F.broadcast(sizes.withColumnRenamed("event_type", "type_b")
+                              .withColumnRenamed("n", "n_b")), "type_b")
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                    .alias("n_union"),
+                    F.round(F.col("n_both")
+                            / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                            4).alias("jaccard"))
+            .orderBy("type_a", "type_b"))
+
+
 QUERIES = {
+    "agg_audience_overlap": agg_audience_overlap,
     "window_gaps_and_islands": window_gaps_and_islands,
     "events_attribution_last_touch": events_attribution_last_touch,
     "events_survival_curve_km": events_survival_curve_km,
@@ -799,6 +833,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_audience_overlap": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        both_ AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(DISTINCT a.user_id) AS n_both
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS n FROM ut
+            GROUP BY 1
+        )
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+               sa.n + sb.n - n_both AS n_union,
+               ROUND(n_both * 1.0 / (sa.n + sb.n - n_both), 4) AS jaccard
+        FROM both_
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
     "window_gaps_and_islands": """
         WITH days AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

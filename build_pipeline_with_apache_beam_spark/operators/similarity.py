@@ -336,7 +336,75 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id", "cosine", "rank"))
 
 
+MMR_LAMBDA = 0.7
+MMR_POOL = 20           # relevance pool per query
+MMR_SELECT = 5          # diversified picks per query
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's top-20
+    cosine pool, greedily select 5 results balancing relevance against
+    similarity to what's already selected (λ = 0.7) — the diversified
+    retrieval stage RAG pipelines run after ANN.
+
+    The distributed shape: relevance pool per query via the usual
+    broadcast-query scan + windowed top-k, then ``applyInPandas`` PER
+    QUERY GROUP — MMR's greedy loop needs the pool's pairwise similarity
+    matrix, which is a 20×20 numpy product over state bounded by the pool
+    size, never by the corpus.  Rows-only (greedy selection isn't
+    portable SQL); the invariant test replays the greedy rule in plain
+    Python."""
+    import pandas as pd
+
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    q = (emb.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vec").alias("qvec")))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("vec").alias("cvec"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.col("relevance").desc(),
+                                          F.col("cand_id"))
+    pool = (c.crossJoin(F.broadcast(q))
+            .where(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", "cvec",
+                    F.round(_dot("qvec", "cvec"), 6).alias("relevance"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= MMR_POOL))
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["relevance", "cand_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        vecs = np.array(pdf["cvec"].tolist())
+        rel = pdf["relevance"].to_numpy()
+        sim = vecs @ vecs.T
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(MMR_SELECT, len(pdf)) + 1):
+            if selected:
+                max_sim = sim[:, selected].max(axis=1)
+            else:
+                max_sim = np.zeros(len(pdf))
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            score[selected] = -np.inf
+            pick = int(np.argmax(score))   # stable: first max wins, and
+            selected.append(pick)          # rows are (rel desc, id) sorted
+            out.append((int(pdf["query_id"][pick]),
+                        int(pdf["cand_id"][pick]), rank,
+                        round(float(rel[pick]), 4),
+                        round(float(score[pick]), 4)))
+        return pd.DataFrame(
+            out, columns=["query_id", "cand_id", "mmr_rank",
+                          "relevance", "mmr_score"])
+
+    return (pool.groupBy("query_id")
+            .applyInPandas(mmr, "query_id long, cand_id long, mmr_rank int, "
+                                "relevance double, mmr_score double")
+            .orderBy("query_id", "mmr_rank"))
+
+
 QUERIES = {
+    "sim_mmr_rerank": sim_mmr_rerank,
     "sim_cosine_pairs": sim_cosine_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_pandas": sim_cosine_topk_pandas,

@@ -746,7 +746,35 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("coverage"))
 
 
+TOKENIZER_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"   # BPE-ish pre-tokenizer
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: how many BPE-ish pre-tokenizer
+    pieces each whitespace word explodes into — the metric that decides
+    whether a tokenizer (and its context-length budget) suits a corpus
+    slice.  Fertility ≈ 1 means cheap tokenization; high-fertility slices
+    burn context on fragments.
+
+    Both token counts ride the scan projection (regexp_extract_all +
+    split, JVM-side); one tiny aggregate per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_pieces = F.size(F.regexp_extract_all("text", F.lit(TOKENIZER_REGEX), 0))
+    n_words = F.size(F.split("text", " "))
+    per_doc = docs.select(
+        "lang", n_pieces.alias("n_pieces"), n_words.alias("n_words"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+                 F.sum("n_words").cast("bigint").alias("total_words"))
+            .select("lang", "n_docs", "total_pieces", "total_words",
+                    F.round(F.col("total_pieces") / F.col("total_words"), 4)
+                    .alias("fertility"))
+            .orderBy("lang"))
+
+
 QUERIES = {
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_coverage": text_vocab_coverage,
     "text_label_agreement_kappa": text_label_agreement_kappa,
     "text_readability_flesch": text_readability_flesch,
@@ -786,6 +814,20 @@ def _markers_sql(lang: str) -> str:
 
 
 ORACLE = {
+    "text_tokenizer_fertility": """
+        WITH per_doc AS (
+            SELECT lang,
+                   LEN(regexp_extract_all(text,
+                       '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pieces,
+                   LEN(str_split(text, ' ')) AS n_words
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               ROUND(SUM(n_pieces) * 1.0 / SUM(n_words), 4) AS fertility
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
     "text_readability_flesch": """
         WITH c AS (
             SELECT doc_id,

@@ -315,3 +315,44 @@ def test_recursive_cte_matches_driver_loop_bfs(spark, sf_dir):
     got = {r["nation"]: r["min_hops"]
            for r in sql_recursive_cte(spark, sf_dir).collect()}
     assert got == dist
+
+
+def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
+    """The distributed MMR must equal a plain-Python greedy replay over
+    the same relevance pool, and the first pick per query must be the
+    most relevant candidate."""
+    import numpy as np
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        MMR_LAMBDA, MMR_POOL, MMR_SELECT, N_QUERIES, sim_mmr_rerank,
+    )
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    unit = {k: v / np.linalg.norm(v) for k, v in emb.items()}
+    got = sim_mmr_rerank(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["query_id"], r["mmr_rank"])):
+        by_q[r["query_id"]].append(r["cand_id"])
+    assert set(by_q) == set(range(N_QUERIES))
+    for qid, picks in by_q.items():
+        rel = sorted(((round(float(unit[qid] @ v), 6), -cid, cid)
+                      for cid, v in unit.items() if cid != qid),
+                     reverse=True)[:MMR_POOL]
+        pool = [(cid, r) for r, _, cid in rel]
+        selected: list[int] = []
+        for _ in range(MMR_SELECT):
+            best, best_score = None, -np.inf
+            for cid, r in pool:
+                if cid in selected:
+                    continue
+                ms = max((float(unit[cid] @ unit[s]) for s in selected),
+                         default=0.0)
+                score = MMR_LAMBDA * r - (1 - MMR_LAMBDA) * ms
+                if score > best_score + 1e-12:
+                    best, best_score = cid, score
+            selected.append(best)
+        assert picks == selected, (qid, picks, selected)
+        # first pick is pure relevance
+        assert picks[0] == pool[0][0]
