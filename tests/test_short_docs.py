@@ -41,6 +41,10 @@ _NGRAM_OPS = [
     "corpus_vocab_growth",
     "corpus_contamination_check",
     "corpus_curation_funnel",
+    # sequence(1, n)-guarded span builders from the continuation batch
+    "dedup_span_chunks",
+    "corpus_span_corruption",
+    "text_tokenizer_fertility",
 ]
 
 

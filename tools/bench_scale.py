@@ -115,6 +115,17 @@ def main() -> int:
     spark = get_spark("bench-scale")
     qs = registry.queries()
 
+    # optional op filter for big-sf runs (skip quadratic ground-truth ops
+    # whose cost is out of scope): SCALE_OPS_ONLY="op1,op2" or
+    # SCALE_OPS_SKIP="op1,op2"
+    only_ops = {o for o in os.environ.get("SCALE_OPS_ONLY", "").split(",") if o}
+    skip_ops = {o for o in os.environ.get("SCALE_OPS_SKIP", "").split(",") if o}
+    global SCALE_OPS
+    if only_ops:
+        SCALE_OPS = [o for o in SCALE_OPS if o in only_ops]
+    if skip_ops:
+        SCALE_OPS = [o for o in SCALE_OPS if o not in skip_ops]
+
     ops: dict[str, dict] = {}
     if plans_only:
         try:
