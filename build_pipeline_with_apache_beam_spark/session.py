@@ -56,6 +56,12 @@ def get_spark(app_name: str = "build_pipeline_with_apache_beam_spark",
         .config("spark.sql.warehouse.dir",
                 os.path.join(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))), ".scratch", "warehouse"))
+        # shuffle/spill files live under the repo scratch dir, NOT /tmp:
+        # long stages (e.g. the sf10 range-join spill) outlive the host's
+        # /tmp reaper, which deletes blockmgr temp files mid-stage
+        .config("spark.local.dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".scratch", "spark-local"))
         # let custom Python DataSources receive pushFilters() — off by
         # default in Spark 4.1; required for the docstore source's
         # manifest-based file pruning

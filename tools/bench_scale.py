@@ -65,6 +65,7 @@ SCALE_OPS = [
     "events_attribution_last_touch", "graph_component_size_dist",
     "dedup_minhash_recall_eval", "corpus_span_corruption",
     "agg_heavy_hitters_exact",
+    "join_range_gap_histogram",   # bounded-output twin of the range join
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
@@ -88,6 +89,16 @@ NOT_GATED = {
     "stream_watermark_dedup",          # micro-batch startup dominates
     "dedup_ngram_jaccard",             # exact blocked all-pairs ground truth
     "dedup_connected_groups",          # built on the above
+    # OUTPUT-BOUND ops: their result-set cardinality itself grows
+    # superlinearly on denser data, so wall time tracking the output is
+    # the optimal algorithm, not a plan failure —
+    "join_range_bucketized",   # emits ALL pairs within Δt: output ∝ rows ×
+                               # per-bucket density (the bounded-output twin
+                               # is join_range_gap_histogram)
+    "dedup_simhash",           # K replicated copies per doc ⇒ ~K²/2 TRUE
+    "dedup_fuzzy_minhash",     # near-dup pairs per original — the finds
+                               # are real, the output grows quadratically
+    "dedup_incremental_minhash",
 }
 
 LINEAR_FLAG = 1.5  # flag ops whose ratio exceeds data_ratio * this

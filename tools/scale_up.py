@@ -10,9 +10,14 @@ real data.  This produces sfN = R copies of a source sf with:
 - **dimensions held fixed** (region/nation/supplier/part): broadcast
   sides stay broadcastable — the realistic star-schema shape at any sf;
 - **content perturbation** where verbatim copies would distort semantics:
-  documents get a per-copy suffix token (so dedup does not see an exact
-  10x duplicate explosion), embeddings get a small per-copy bias (so ANN
-  buckets spread instead of stacking identical vectors).
+  documents get ~40% of tokens suffixed per copy (copies are new documents,
+  not near-dups — a growing crawl grows mostly new pages), embeddings get a
+  small per-copy bias (so ANN buckets spread instead of stacking identical
+  vectors);
+- **time-axis stretching**: each event copy shifts past the previous copy's
+  span, so events-per-window DENSITY stays constant as volume grows — the
+  production shape.  ``SCALE_UP_DENSE=1`` reproduces the old dense
+  replication (denser windows + near-dup copies) for stress comparisons.
 
 Usage: python tools/scale_up.py [src_sf_dir] [dst_dir] [R]
 Defaults: /root/testdata/sf0.1 -> <repo>/.scratch/sfscale/sf1, R=10.
@@ -83,18 +88,48 @@ def scale_up(src: str, dst: str, r: int) -> None:
     ev = load_table(spark, src, "events")
     e_stride = _stride(ev, "event_id")
     # user_id deliberately NOT remapped: users get R-times deeper event
-    # history, which is what actually stresses per-user windows/sessionization
+    # history, which is what actually stresses per-user windows/sessionization.
+    # Each copy's TIME AXIS is shifted past the previous copy's span: a 10x
+    # bigger production event log covers ~10x more wall time at the SAME
+    # density — replicating timestamps in place instead would multiply the
+    # events-per-window density and make every pairs-within-range op look
+    # quadratic for reasons the production workload never exhibits.
+    # (SCALE_UP_DENSE=1 reproduces the old dense-replication mode.)
+    dense = os.environ.get("SCALE_UP_DENSE") == "1"
+    span_row = ev.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .alias("span")).collect()[0]
+    span_us = int(span_row["span"]) + 3_600_000_000  # +1h guard gap
+    shift = (F.make_interval(secs=F.col("_copy")) if dense
+             else F.make_interval(
+                 secs=F.col("_copy").cast("double") * (span_us / 1e6)))
     (_replicate(ev, r).select(
         (F.col("event_id") + F.col("_copy") * e_stride).alias("event_id"),
-        (F.col("ts") + F.make_interval(secs=F.col("_copy"))).alias("ts"),
+        (F.col("ts") + shift).alias("ts"),
         "user_id", "event_type", "value", "props")
      .repartition(max(8, 2 * r))
      .write.mode("overwrite").parquet(os.path.join(dst, "events.parquet")))
 
     docs = load_table(spark, src, "documents")
     d_stride = _stride(docs, "doc_id")
+    # Copies are DISTINCT documents, not near-dups: ~40% of tokens get a
+    # copy-specific suffix (deterministic hash choice), pushing Jaccard vs
+    # the original well under the 0.7 near-dup threshold.  A crawl that
+    # grows 10x grows mostly NEW pages; replicating verbatim copies makes
+    # every true-near-dup pair set grow quadratically in R and the dedup
+    # family look superlinear for a reason production never exhibits.
+    # (SCALE_UP_DENSE=1 keeps the old one-suffix-token near-dup copies.)
+    perturbed = F.array_join(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.when(
+                (F.abs(F.xxhash64(t, F.col("_copy"))) % 10 < 4)
+                & (F.col("_copy") > 0),
+                F.concat(t, F.lit("_"), F.col("_copy"))).otherwise(t)),
+        " ")
     text = F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-        F.concat("text", F.lit(" rep"), "_copy"))
+        F.concat(perturbed, F.lit(" rep"), "_copy")
+        if not dense else F.concat("text", F.lit(" rep"), "_copy"))
     (_replicate(docs, r).select(
         (F.col("doc_id") + F.col("_copy") * d_stride).alias("doc_id"),
         text.alias("text"), "lang", "source",
