@@ -573,7 +573,33 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f1"))
 
 
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: within each near-dup cluster keep ONE canonical
+    document (longest text; doc_id breaks ties) and mark the rest dropped —
+    the decision table a curation pipeline joins back to filter the corpus.
+
+    Composes the connected-components grouping with a per-group max_by
+    selection: one aggregate on group_id picks the canonical, one broadcast
+    join labels every member.  Emits (doc_id, group_id, canonical_id, keep,
+    n_members); singleton clusters keep their only member, so keeps sum to
+    exactly one per cluster — the invariant the test asserts."""
+    labels = dedup_connected_groups(spark, sf_dir)
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 4 == 0)
+            .select("doc_id", F.length("text").alias("n_len")))
+    members = labels.join(docs, "doc_id")
+    canon = (members.groupBy("group_id")
+             .agg(F.expr("max_by(doc_id, struct(n_len, -doc_id))")
+                  .alias("canonical_id"),
+                  F.count(F.lit(1)).alias("n_members")))
+    return (members.join(F.broadcast(canon), "group_id")
+            .select("doc_id", "group_id", "canonical_id", "n_members",
+                    (F.col("doc_id") == F.col("canonical_id")).alias("keep"))
+            .orderBy("doc_id"))
+
+
 QUERIES = {
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_minhash_recall_eval": dedup_minhash_recall_eval,
     "dedup_span_chunks": dedup_span_chunks,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
@@ -689,5 +715,42 @@ ORACLE = {
             SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
         )
         SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+    """,
+    "dedup_cluster_canonical": """
+        WITH RECURSIVE t AS (
+            SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id % 4 = 0
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM t a JOIN t b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM t
+            UNION
+            SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+        ), labels AS (
+            SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+        ), m AS (
+            SELECT l.doc_id, l.group_id, LENGTH(d.text) AS n_len
+            FROM labels l JOIN documents d USING (doc_id)
+        ), canon AS (
+            SELECT group_id, doc_id AS canonical_id FROM (
+                SELECT group_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY group_id
+                           ORDER BY n_len DESC, doc_id) AS rn
+                FROM m) WHERE rn = 1
+        ), cnt AS (
+            SELECT group_id, COUNT(*) AS n_members FROM m GROUP BY 1
+        )
+        SELECT m.doc_id, m.group_id, canonical_id, n_members,
+               m.doc_id = canonical_id AS keep
+        FROM m JOIN canon USING (group_id) JOIN cnt USING (group_id)
+        ORDER BY m.doc_id
     """,
 }

@@ -356,3 +356,21 @@ def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
         assert picks == selected, (qid, picks, selected)
         # first pick is pure relevance
         assert picks[0] == pool[0][0]
+
+
+def test_canonical_dedup_keeps_exactly_one_per_cluster(spark, sf_dir):
+    """Every cluster keeps exactly one member, the canonical is the
+    longest (ties: lowest id), and drops + keeps partition the sample."""
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        dedup_cluster_canonical,
+    )
+
+    rows = dedup_cluster_canonical(spark, sf_dir).collect()
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r["group_id"]].append(r)
+    for gid, members in by_group.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1, gid
+        assert keeps[0]["doc_id"] == keeps[0]["canonical_id"]
+        assert all(r["n_members"] == len(members) for r in members)
