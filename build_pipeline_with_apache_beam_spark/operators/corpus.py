@@ -963,6 +963,110 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS t(iteration, log_loss, accuracy)")
 
 
+N_SHARDS = 8            # output shards for balanced sharding
+
+
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: assign documents to ``N_SHARDS`` shards so
+    per-shard token mass is even — the writer-side step before a training
+    job reads fixed-size shards.  Deterministic snake round-robin over the
+    token-count ordering (1..N, N..1, …) lands the heaviest docs one per
+    shard and alternates direction so cumulative mass stays balanced.
+
+    One global ordering (rank by tokens desc, doc_id) drives the
+    assignment; the report aggregates per shard and computes the imbalance
+    ratio (max/min token mass) — the number that should stay ≈ 1.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    # global (tokens desc, doc_id) rank WITHOUT a single-reducer window:
+    # partition the window by the sort key's leading component (n_tokens)
+    # and lift local ordinals with a broadcast offset table — the offset
+    # axis is |distinct token counts|, tiny at any corpus size (the same
+    # two-phase ordinal corpus_global_shuffle uses)
+    local = toks.withColumn(
+        "local_pos", F.row_number().over(
+            W.partitionBy("n_tokens").orderBy("doc_id")))
+    offsets = (toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("offset", F.coalesce(
+                   F.sum("n").over(
+                       W.orderBy(F.col("n_tokens").desc())
+                       .rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
+               .select("n_tokens", "offset"))
+    ranked = (local.join(F.broadcast(offsets), "n_tokens")
+              .withColumn("rk", F.col("offset") + F.col("local_pos") - 1))
+    cycle = F.col("rk") % (2 * N_SHARDS)
+    shard = F.when(cycle < N_SHARDS, cycle).otherwise(
+        2 * N_SHARDS - 1 - cycle)
+    per_shard = (ranked.withColumn("shard", shard.cast("int"))
+                 .groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tokens").cast("bigint").alias("shard_tokens")))
+    spread = per_shard.agg(
+        F.max("shard_tokens").alias("mx"), F.min("shard_tokens").alias("mn"))
+    return (per_shard.crossJoin(F.broadcast(spread))
+            .select("shard", "n_docs", "shard_tokens",
+                    F.round(F.col("mx") / F.col("mn"), 4)
+                    .alias("imbalance_ratio"))
+            .orderBy("shard"))
+
+
+N_CURRICULUM_PHASES = 4
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: bucket documents into quality-score
+    quartiles (phase 1 = cleanest) and assign a deterministic hash-shuffled
+    position within each phase — easy-to-hard training order without a
+    single-reducer global sort of the corpus.
+
+    The quality score reuses the gopher-style signals (mean word length,
+    distinct-token ratio); ntile gives equal-sized phases; within-phase
+    order sorts on md5(doc_id) — a deterministic shuffle reproducible
+    across runs, workers, AND engines (md5 is portable SQL, unlike seeded
+    xxhash64).  Output: doc_id, phase, position-within-phase.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = (F.size(F.array_distinct(toks)) / F.size(toks)
+             + F.length("text") / F.size(toks) / 10.0)
+    scored = docs.select(
+        "doc_id", F.round(score, 6).alias("quality"),
+        F.md5(F.concat_ws(":", F.lit("curriculum"), "doc_id")).alias("h"))
+    # phase boundaries from ONE exact-percentile aggregate (no global rank
+    # window): phase 1 = top quality quartile
+    cuts = scored.agg(F.expr(
+        "percentile(quality, array(0.75, 0.5, 0.25))").alias("q"))
+    phased = (scored.crossJoin(F.broadcast(cuts))
+              .select("doc_id", "h", (
+                  1 + (F.col("quality") < F.element_at("q", 1)).cast("int")
+                  + (F.col("quality") < F.element_at("q", 2)).cast("int")
+                  + (F.col("quality") < F.element_at("q", 3)).cast("int"))
+                  .alias("phase")))
+    # within-phase shuffled position, two-phase ordinal: window partitions
+    # on (phase, leading hash byte) — 4×256 balanced buckets — and a
+    # broadcast offset table lifts local ordinals (corpus_global_shuffle's
+    # scheme; no single-reducer window on the doc axis)
+    bucketed = phased.withColumn(
+        "bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    local = bucketed.withColumn(
+        "local_pos", F.row_number().over(
+            W.partitionBy("phase", "bkt").orderBy("h", "doc_id")))
+    offsets = (bucketed.groupBy("phase", "bkt")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("offset", F.coalesce(
+                   F.sum("n").over(
+                       W.partitionBy("phase").orderBy("bkt")
+                       .rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
+               .select("phase", "bkt", "offset"))
+    return (local.join(F.broadcast(offsets), ["phase", "bkt"])
+            .select("doc_id", "phase",
+                    (F.col("offset") + F.col("local_pos")).cast("int")
+                    .alias("position"))
+            .orderBy("phase", "position"))
+
+
 MASK_RATE_256 = 38      # ≈ 15% of 256 — T5-style corruption rate
 
 
@@ -1014,6 +1118,8 @@ QUERIES = {
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "corpus_quality_logreg_train": corpus_quality_logreg_train,
     "corpus_span_corruption": corpus_span_corruption,
+    "corpus_shard_balance": corpus_shard_balance,
+    "corpus_curriculum_order": corpus_curriculum_order,
     "corpus_instruction_pack_jsonl": corpus_instruction_pack_jsonl,
     "corpus_chunk_overlap_windows": corpus_chunk_overlap_windows,
     "corpus_token_budget_apportion": corpus_token_budget_apportion,
@@ -1046,6 +1152,58 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_shard_balance": """
+        WITH toks AS (
+            SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+                       AS rk
+            FROM toks
+        ), assigned AS (
+            SELECT n_tokens,
+                   CAST(CASE WHEN rk % 16 < 8 THEN rk % 16
+                        ELSE 15 - rk % 16 END AS INT) AS shard
+            FROM ranked
+        ), per_shard AS (
+            SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+            FROM assigned GROUP BY 1
+        ), spread AS (
+            SELECT MAX(shard_tokens) AS mx, MIN(shard_tokens) AS mn
+            FROM per_shard
+        )
+        SELECT shard, n_docs, shard_tokens,
+               ROUND(mx * 1.0 / mn, 4) AS imbalance_ratio
+        FROM per_shard CROSS JOIN spread ORDER BY shard
+    """,
+    "corpus_curriculum_order": """
+        WITH scored AS (
+            SELECT doc_id,
+                   ROUND(len(list_distinct(str_split(text, ' '))) * 1.0
+                         / len(str_split(text, ' '))
+                         + LENGTH(text) * 1.0
+                         / len(str_split(text, ' ')) / 10.0, 6) AS quality,
+                   md5('curriculum:' || doc_id) AS h
+            FROM documents
+        ), cuts AS (
+            SELECT QUANTILE_CONT(quality, 0.75) AS q75,
+                   QUANTILE_CONT(quality, 0.5) AS q50,
+                   QUANTILE_CONT(quality, 0.25) AS q25
+            FROM scored
+        ), phased AS (
+            SELECT doc_id, h,
+                   1 + CAST(quality < q75 AS INT)
+                     + CAST(quality < q50 AS INT)
+                     + CAST(quality < q25 AS INT) AS phase
+            FROM scored CROSS JOIN cuts
+        )
+        SELECT doc_id, phase,
+               CAST(ROW_NUMBER() OVER (PARTITION BY phase
+                    ORDER BY h, doc_id) AS INT) AS position
+        FROM phased ORDER BY phase, position
+    """,
     "corpus_span_corruption": """
         WITH t AS (
             SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents

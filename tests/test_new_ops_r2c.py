@@ -374,3 +374,38 @@ def test_canonical_dedup_keeps_exactly_one_per_cluster(spark, sf_dir):
         assert len(keeps) == 1, gid
         assert keeps[0]["doc_id"] == keeps[0]["canonical_id"]
         assert all(r["n_members"] == len(members) for r in members)
+
+
+def test_shard_balance_snake_assignment(spark, sf_dir):
+    """Shards must partition the corpus and keep token mass tight: the
+    snake assignment's imbalance ratio should stay close to 1."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        N_SHARDS, corpus_shard_balance,
+    )
+
+    rows = corpus_shard_balance(spark, sf_dir).collect()
+    assert len(rows) == N_SHARDS
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["imbalance_ratio"] == rows[0]["imbalance_ratio"]
+               for r in rows)
+    assert rows[0]["imbalance_ratio"] < 1.2
+
+
+def test_curriculum_phases_partition_and_positions_dense(spark, sf_dir):
+    """Phases 1..4 partition the corpus into near-equal quartiles and
+    within-phase positions are dense 1..n."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_curriculum_order,
+    )
+
+    rows = corpus_curriculum_order(spark, sf_dir).collect()
+    by_phase = defaultdict(list)
+    for r in rows:
+        by_phase[r["phase"]].append(r["position"])
+    assert set(by_phase) <= {1, 2, 3, 4}
+    n = len(rows)
+    for phase, pos in by_phase.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), phase
+        assert len(pos) >= n // 4 - n // 10  # near-equal quartiles
