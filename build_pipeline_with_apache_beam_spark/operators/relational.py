@@ -1972,7 +1972,15 @@ def agg_pareto_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     window then runs over per-customer rows ORDERED BY total — bounded by
     the customer dimension, not fact rows — and one conditional aggregate
     reads off the threshold.  The 2·cum ≥ … comparison style keeps the
-    threshold in exact decimal space (no float cliff at the boundary)."""
+    threshold in exact decimal space (no float cliff at the boundary).
+
+    Scale note: this is the exact small-dimension form (the unpartitioned
+    window sorts |customers| rows on one reducer).  For a billion-customer
+    dimension, the same readout comes from the ``agg_gini`` /
+    ``corpus_global_shuffle`` two-phase shape: range-bucket by revenue
+    (approx-percentile boundaries), per-bucket partial sums, then the tiny
+    bucket-level cumulative scan locates the 80% boundary bucket and only
+    that one bucket is ranked exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (li.join(orders, li.l_orderkey == orders.o_orderkey)
