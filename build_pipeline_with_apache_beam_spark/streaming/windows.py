@@ -306,7 +306,68 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(sink_dir)
 
 
+def q_stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join: the event stream joins a STATIC
+    user-segment dimension (broadcast — re-snapshotted per micro-batch in
+    production, which is how slowly-changing dims reach a stream without
+    stream-stream state), then rolls up value per segment.
+
+    Complete-mode aggregation snapshots land per batch tagged with their
+    batch id; the read-back keeps the last snapshot, so the result is
+    correct for any micro-batch slicing.  Streaming state is the
+    |segments|-row aggregate — bounded by the dimension, never the stream.
+    """
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"enrich_src_{source_tag(sf_dir)}")
+    sink_dir = os.path.join(SCRATCH, f"enrich_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"enrich_ckpt_{sf_tag}")
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(src_dir):
+        os.makedirs(src_dir)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src_dir, "events.parquet"))
+
+    # static dimension: user → segment (derived deterministically so the
+    # batch oracle can rebuild it)
+    dim = (load_table(spark, sf_dir, "events")
+           .select("user_id").distinct()
+           .withColumn("segment", (F.col("user_id") % 5).cast("int")))
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    raw = spark.readStream.schema(raw_schema).parquet(src_dir)
+    enriched = (raw.select("user_id", "value")
+                .join(F.broadcast(dim), "user_id")
+                .groupBy("segment")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value").alias("sum_value_raw")))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(sink_dir))
+
+    q = (enriched.writeStream.foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt_dir)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # complete-mode rewrites the full aggregate per batch — the LAST
+    # snapshot (max batch_id) is the answer for any micro-batch slicing
+    sunk = spark.read.parquet(sink_dir)
+    last = sunk.agg(F.max("batch_id").alias("b"))
+    return (sunk.join(F.broadcast(last), sunk.batch_id == last.b)
+            .select("segment", "n_events",
+                    F.round("sum_value_raw", 4).alias("sum_value"))
+            .orderBy("segment"))
+
+
 QUERIES = {
+    "stream_static_enrich_join": q_stream_static_enrich_join,
     "window_tumbling_agg": q_window_tumbling_agg,
     "window_sliding_agg": q_window_sliding_agg,
     "window_session_agg": q_window_session_agg,
@@ -325,6 +386,16 @@ _BUCKET3600 = ("TIMESTAMP '1970-01-01 00:00:00' + "
                "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second'")
 
 ORACLE = {
+    "stream_static_enrich_join": """
+        WITH dim AS (
+            SELECT DISTINCT user_id, CAST(user_id % 5 AS INT) AS segment
+            FROM events
+        )
+        SELECT segment, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events JOIN dim USING (user_id)
+        GROUP BY 1 ORDER BY 1
+    """,
     "window_tumbling_agg": f"""
         SELECT {_BUCKET20} AS w_start,
                {_BUCKET20} + INTERVAL '20 minutes' AS w_end,
