@@ -908,6 +908,66 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "AS t(iteration, top_eigenvalue, explained_var)")
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 6
+
+
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the FULL
+    corpus trains (contrast: ``sim_ann_ivf_topk`` trains its codebook on a
+    bounded driver-side sample, the faiss shape; this is the Spark-native
+    alternative when the sample isn't representative).
+
+    Every iteration is two distributed steps: assignment joins each vector
+    against the BROADCAST k×d centroid table (min_by distance — no
+    shuffle beyond the k-fanout join), and the centroid update is one
+    posexplode + (cluster, dim) hash aggregate.  Driver state is the k×d
+    centroid matrix (bounded by model size, never data).  Output is the
+    per-iteration inertia trace — monotone non-increasing for Lloyd's
+    algorithm, which the test asserts.  Rows-only: SQL cannot loop.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    x = x.repartition(spark.sparkContext.defaultParallelism).persist()
+    # deterministic init: the k lowest vec_ids
+    init = (x.orderBy("vec_id").limit(KMEANS_K).collect())  # driver-bounded: k rows
+    centroids = [list(r["v"]) for r in init]
+    trace = []
+    for it in range(1, KMEANS_ITERS + 1):
+        rows = ", ".join(
+            "({}, array({}))".format(c, ", ".join(f"CAST({val} AS DOUBLE)"
+                                                  for val in vec))
+            for c, vec in enumerate(centroids))
+        cent = spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(cid, cv)")
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        assigned = (x.crossJoin(F.broadcast(cent))
+                    .groupBy("vec_id")
+                    .agg(F.min_by(F.struct("cid", "v"),
+                                  F.struct(d2.alias("d"),
+                                           F.col("cid"))).alias("best"),
+                         F.min(d2).alias("dist2")))
+        flat = assigned.select(F.col("best.cid").alias("cid"),
+                               F.col("best.v").alias("v"), "dist2")
+        upd = (flat.select("cid", "dist2",
+                           F.posexplode("v").alias("dim", "val"))
+               .groupBy("cid", "dim").agg(F.avg("val").alias("m")))
+        inertia = flat.agg(F.sum("dist2").alias("s")).collect()[0]["s"]  # driver-bounded: 1 row
+        stats = upd.collect()  # driver-bounded: k*d rows (model, not data)
+        new_c = {(r["cid"], r["dim"]): r["m"] for r in stats}
+        dim = len(centroids[0])
+        centroids = [
+            [new_c.get((c, j), centroids[c][j]) for j in range(dim)]
+            for c in range(KMEANS_K)]
+        trace.append((it, round(float(inertia), 6)))
+    x.unpersist()
+    rows = ", ".join(f"({it}, CAST({v} AS DOUBLE))" for it, v in trace)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(iteration, inertia)")
+
+
 LOGREG_ITERS = 15
 LOGREG_LR = 1.5
 LONG_DOC_CHARS = 300    # ~corpus median -> balanced labels to learn
@@ -1117,6 +1177,7 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "corpus_quality_logreg_train": corpus_quality_logreg_train,
+    "embedding_kmeans_train": embedding_kmeans_train,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_shard_balance": corpus_shard_balance,
     "corpus_curriculum_order": corpus_curriculum_order,

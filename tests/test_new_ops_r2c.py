@@ -409,3 +409,18 @@ def test_curriculum_phases_partition_and_positions_dense(spark, sf_dir):
     for phase, pos in by_phase.items():
         assert sorted(pos) == list(range(1, len(pos) + 1)), phase
         assert len(pos) >= n // 4 - n // 10  # near-equal quartiles
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
+    """Lloyd's algorithm guarantees assignment-step inertia never
+    increases across iterations."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        KMEANS_ITERS, embedding_kmeans_train,
+    )
+
+    rows = sorted(embedding_kmeans_train(spark, sf_dir).collect(),
+                  key=lambda r: r["iteration"])
+    assert len(rows) == KMEANS_ITERS
+    vals = [r["inertia"] for r in rows]
+    assert all(b <= a + 1e-6 for a, b in zip(vals, vals[1:]))
+    assert vals[-1] < vals[0]
