@@ -92,7 +92,10 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is the dominant cost and is embarrassingly parallel; the
     output is bounded by contaminated docs, not grams.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the gram explode across cores (one parquet file = one input
+    # split at test scale; real splits provide this natively)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     toks = F.split(F.col("text"), r"\s+")
     grams = word_ngrams(toks, 5)
     with_grams = docs.select("doc_id", "source", F.explode(grams).alias("gram"))

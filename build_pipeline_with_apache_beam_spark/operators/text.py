@@ -469,7 +469,11 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key family (robust to tokenization differences, the usual
     companion to word-level MinHash).  One substring-transform projection,
     no explode needed for the counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the CPU-heavy trigram stage across cores: the test corpus is
+    # one parquet file = ONE input split (at 100 TB the splits provide this
+    # parallelism natively — same note as _docs_with_shingles)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     grams = F.expr(char_ngrams_sql("text", 3))
     # n_char3 is length-derived — only the distinct count needs the array,
     # so the trigram array is materialized exactly once per row.
