@@ -801,7 +801,92 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("type_a", "type_b"))
 
 
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: model each user's pre-conversion
+    journey as a first-order chain over event types, then credit each
+    channel by how much the conversion probability DROPS when that channel
+    is removed (its paths redirected to the null absorber) — the
+    data-driven alternative to last-touch.
+
+    The distributed work is exactly one pass: journeys truncate at the
+    first purchase (a per-user min + filter), transitions come from one
+    lag window, and the transition-count matrix that leaves the cluster is
+    (|event types| + 3)² rows — model state, not data (the IVF-codebook
+    discipline).  The absorption solve (value iteration on the ≤ 8×8
+    matrix) runs driver-side on that bounded model.  Rows-only: the
+    iterative solve isn't portable SQL; tests assert the probability laws
+    (effects in [0, 1], shares sum to 1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_purch = (ev.where(F.col("event_type") == "purchase")
+                   .groupBy("user_id")
+                   .agg(F.min(F.struct("ts", "event_id")).alias("fp")))
+    j = (ev.join(first_purch, "user_id", "left")
+         .where(F.col("fp").isNull()
+                | (F.struct("ts", "event_id") <= F.col("fp"))))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = j.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+        (F.row_number().over(W.partitionBy("user_id")
+                             .orderBy(F.desc("ts"), F.desc("event_id"))) == 1
+         ).alias("is_last"))
+    trans = (steps.select(
+        F.coalesce("prev", F.lit("(start)")).alias("src"),
+        F.col("event_type").alias("dst"))
+        .unionAll(steps.where("is_last").select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("event_type") == "purchase", "(conv)")
+            .otherwise("(null)").alias("dst"))))
+    counts = (trans.groupBy("src", "dst")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .collect())  # driver-bounded: (|event types| + 3)^2 rows
+
+    states = sorted({r["src"] for r in counts} | {r["dst"] for r in counts})
+    idx = {s: i for i, s in enumerate(states)}
+    import numpy as np
+    T = np.zeros((len(states), len(states)))
+    for r in counts:
+        T[idx[r["src"]], idx[r["dst"]]] = r["n"]
+    T = T / np.maximum(T.sum(axis=1, keepdims=True), 1e-12)
+
+    def p_conv(T):
+        p = np.zeros(len(states))
+        if "(conv)" not in idx:
+            return 0.0
+        for _ in range(200):
+            nxt = T @ p
+            nxt[idx["(conv)"]] = 1.0
+            if "(null)" in idx:
+                nxt[idx["(null)"]] = 0.0
+            p = nxt
+        return float(p[idx["(start)"]])
+
+    base = p_conv(T)
+    channels = [s for s in states
+                if s not in ("(start)", "(conv)", "(null)", "purchase")]
+    effects = []
+    for c in channels:
+        Tr = T.copy()
+        # removal: every edge into the channel becomes a lost path
+        if "(null)" in idx:
+            Tr[:, idx["(null)"]] += Tr[:, idx[c]]
+        Tr[:, idx[c]] = 0.0
+        pc = p_conv(Tr)
+        effects.append((c, max(0.0, (base - pc) / base) if base else 0.0))
+    total = sum(e for _, e in effects) or 1.0
+    rows = ", ".join(
+        f"('{c}', CAST({round(e, 6)} AS DOUBLE), "
+        f"CAST({round(e / total, 4)} AS DOUBLE))"
+        for c, e in effects)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(channel, removal_effect, attribution_share)").orderBy("channel")
+
+
 QUERIES = {
+    "events_attribution_markov": events_attribution_markov,
     "agg_audience_overlap": agg_audience_overlap,
     "window_gaps_and_islands": window_gaps_and_islands,
     "events_attribution_last_touch": events_attribution_last_touch,

@@ -911,6 +911,38 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "AS t(iteration, top_eigenvalue, explained_var)")
 
 
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the corpus-level summary a data release ships
+    with — doc/token/char volumes, language and source cardinality, exact
+    duplicate rate, and mean quality proxies — computed in ONE distributed
+    pass (single multi-aggregate; the dup rate rides a two-phase distinct
+    on the content fingerprint).
+
+    Every figure is an algebraic or distinct aggregate, so the whole card
+    is two shuffles (one for the fingerprint distinct, one final collapse)
+    at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fp = F.md5(F.col("text"))
+    per_doc = docs.select(
+        "doc_id", "lang", "source", fp.alias("fp"),
+        F.size(toks).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"))
+    return (per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("fp").alias("n_unique_texts"),
+        F.round(F.avg("n_toks"), 4).alias("mean_tokens"),
+        F.round(F.avg("ttr"), 4).alias("mean_ttr"))
+        .select("*", F.round(1 - F.col("n_unique_texts") / F.col("n_docs"),
+                             4).alias("exact_dup_rate")))
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 6
 
@@ -1181,6 +1213,7 @@ QUERIES = {
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "corpus_quality_logreg_train": corpus_quality_logreg_train,
     "embedding_kmeans_train": embedding_kmeans_train,
+    "corpus_dataset_card": corpus_dataset_card,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_shard_balance": corpus_shard_balance,
     "corpus_curriculum_order": corpus_curriculum_order,
@@ -1216,6 +1249,27 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_dataset_card": """
+        WITH per_doc AS (
+            SELECT doc_id, lang, source, md5(text) AS fp,
+                   len(str_split(text, ' ')) AS n_toks,
+                   LENGTH(text) AS n_chars,
+                   len(list_distinct(str_split(text, ' '))) * 1.0
+                       / len(str_split(text, ' ')) AS ttr
+            FROM documents
+        )
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+               ROUND(AVG(n_toks), 4) AS mean_tokens,
+               ROUND(AVG(ttr), 4) AS mean_ttr,
+               ROUND(1 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 4)
+                   AS exact_dup_rate
+        FROM per_doc
+    """,
     "corpus_shard_balance": """
         WITH toks AS (
             SELECT doc_id, len(str_split(text, ' ')) AS n_tokens

@@ -424,3 +424,34 @@ def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
     vals = [r["inertia"] for r in rows]
     assert all(b <= a + 1e-6 for a, b in zip(vals, vals[1:]))
     assert vals[-1] < vals[0]
+
+
+def test_markov_attribution_probability_laws(spark, sf_dir):
+    """Removal effects live in [0,1]; shares are a normalized distribution
+    over the non-conversion channels."""
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_attribution_markov,
+    )
+
+    rows = events_attribution_markov(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert r["channel"] not in ("purchase", "(start)", "(conv)", "(null)")
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 0.01
+
+
+def test_dataset_card_consistency(spark, sf_dir):
+    """Card figures must match independent recomputation from the raw
+    documents."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_dataset_card,
+    )
+
+    card = corpus_dataset_card(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert card["n_docs"] == len(docs)
+    assert card["total_tokens"] == sum(len(d["text"].split(" ")) for d in docs)
+    assert card["n_unique_texts"] == len({d["text"] for d in docs})
+    assert 0.0 <= card["exact_dup_rate"] <= 1.0
