@@ -885,7 +885,53 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS t(channel, removal_effect, attribution_share)").orderBy("channel")
 
 
+def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-sums metric with a DELTA-METHOD standard error, per
+    experiment arm: revenue-per-event R = Σx/Σy where the randomization
+    unit is the USER — naive per-event variance understates the error
+    because events within a user correlate, so the correct SE comes from
+    the user-level (x_u, y_u) pairs:
+
+        Var(R) ≈ (Var x̄ + R²·Var ȳ − 2R·Cov(x̄,ȳ)) / (n·ȳ²)
+
+    Everything is algebraic: one groupBy(user) collapse, one
+    groupBy(arm) pass computing means/variances/covariance, and the CI
+    arithmetic on the 2-row result — exact-portable, so oracle-checked.
+    """
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        _bucket_64k,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(_bucket_64k(F.col("user_id").cast("string")) < 32768,
+                 "A").otherwise("B")
+    per_user = (ev.select(arm.alias("arm"), "user_id", "value")
+                .groupBy("arm", "user_id")
+                .agg(F.sum("value").alias("x"),
+                     F.count(F.lit(1)).cast("double").alias("y")))
+    per_arm = (per_user.groupBy("arm")
+               .agg(F.count(F.lit(1)).alias("n_users"),
+                    F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                    F.avg("x").alias("mx"), F.avg("y").alias("my"),
+                    F.var_samp("x").alias("vx"),
+                    F.var_samp("y").alias("vy"),
+                    F.covar_samp("x", "y").alias("cxy")))
+    r = F.col("sx") / F.col("sy")
+    var_r = ((F.col("vx") + r * r * F.col("vy")
+              - 2 * r * F.col("cxy"))
+             / (F.col("n_users") * F.col("my") * F.col("my")))
+    se = F.sqrt(var_r)
+    return (per_arm.select(
+        "arm", "n_users",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"))
+        .orderBy("arm"))
+
+
 QUERIES = {
+    "events_ratio_metric_delta_ci": events_ratio_metric_delta_ci,
     "events_attribution_markov": events_attribution_markov,
     "agg_audience_overlap": agg_audience_overlap,
     "window_gaps_and_islands": window_gaps_and_islands,
@@ -917,7 +963,40 @@ QUERIES = {
     "join_skew_salted": join_skew_salted,
 }
 
+_B64K = """
+      (STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    + (STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+    + (STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+    + (STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+"""
+
 ORACLE = {
+    "events_ratio_metric_delta_ci": f"""
+        WITH per_user AS (
+            SELECT CASE WHEN ({_B64K}) < 32768 THEN 'A' ELSE 'B' END AS arm,
+                   user_id, SUM(value) AS x,
+                   CAST(COUNT(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ), per_arm AS (
+            SELECT arm, COUNT(*) AS n_users,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   AVG(x) AS mx, AVG(y) AS my,
+                   VAR_SAMP(x) AS vx, VAR_SAMP(y) AS vy,
+                   COVAR_SAMP(x, y) AS cxy
+            FROM per_user GROUP BY arm
+        )
+        SELECT arm, n_users,
+               ROUND(sx / sy, 6) AS ratio,
+               ROUND(SQRT((vx + (sx/sy)*(sx/sy)*vy - 2*(sx/sy)*cxy)
+                          / (n_users * my * my)), 6) AS se_delta,
+               ROUND(sx / sy - 1.96 * SQRT((vx + (sx/sy)*(sx/sy)*vy
+                          - 2*(sx/sy)*cxy) / (n_users * my * my)), 6)
+                   AS ci_lo,
+               ROUND(sx / sy + 1.96 * SQRT((vx + (sx/sy)*(sx/sy)*vy
+                          - 2*(sx/sy)*cxy) / (n_users * my * my)), 6)
+                   AS ci_hi
+        FROM per_arm ORDER BY arm
+    """,
     "agg_audience_overlap": """
         WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         both_ AS (

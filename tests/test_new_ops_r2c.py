@@ -455,3 +455,43 @@ def test_dataset_card_consistency(spark, sf_dir):
     assert card["total_tokens"] == sum(len(d["text"].split(" ")) for d in docs)
     assert card["n_unique_texts"] == len({d["text"] for d in docs})
     assert 0.0 <= card["exact_dup_rate"] <= 1.0
+
+
+def test_delta_ci_matches_bruteforce_formula(spark, sf_dir):
+    """Delta-method SE recomputed in plain Python from the per-user pairs;
+    CI must bracket the ratio and match to 6dp."""
+    import math
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_ratio_metric_delta_ci,
+    )
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        _bucket_64k,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        _bucket_64k(F.col("user_id").cast("string")).alias("b"),
+        "user_id", "value").collect()
+    arms = {}
+    for r in ev:
+        arm = "A" if r["b"] < 32768 else "B"
+        key = (arm, r["user_id"])
+        x, y = arms.get(key, (0.0, 0.0))
+        arms[key] = (x + r["value"], y + 1.0)
+    for row in events_ratio_metric_delta_ci(spark, sf_dir).collect():
+        pairs = [v for (a, _u), v in arms.items() if a == row["arm"]]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        mx, my = sx / n, sy / n
+        vx = sum((x - mx) ** 2 for x, _ in pairs) / (n - 1)
+        vy = sum((y - my) ** 2 for _, y in pairs) / (n - 1)
+        cxy = sum((x - mx) * (y - my) for x, y in pairs) / (n - 1)
+        r_ = sx / sy
+        se = math.sqrt((vx + r_ * r_ * vy - 2 * r_ * cxy) / (n * my * my))
+        assert row["n_users"] == n
+        assert abs(row["ratio"] - r_) < 1e-5
+        assert abs(row["se_delta"] - se) < 1e-5
+        assert row["ci_lo"] <= row["ratio"] <= row["ci_hi"]
