@@ -1939,6 +1939,48 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("day"))
 
 
+def timeseries_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete KPI-anomaly pipeline: seasonal decomposition (centered
+    7-day trend + day-of-week profile) feeding a ROBUST residual test —
+    a day is anomalous when its residual sits more than 3 robust z-units
+    (1.4826·MAD) from the residual median.  Deseasonalizing first is what
+    separates "weekend dip" from "real incident"; the MAD scale keeps the
+    threshold itself immune to the anomalies it hunts.
+
+    Same scale shape as the decompose: one exact daily collapse, windows
+    and aggregates on the calendar-bounded axis, and two tiny broadcast
+    joins (seasonal profile, MAD scale).  Output: flagged days only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4)
+                  .cast("double").alias("revenue")))
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day", "revenue",
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.avg("revenue").over(w).alias("trend"))
+    seasonal = (trended.groupBy("dow")
+                .agg(F.avg(F.col("revenue") - F.col("trend"))
+                     .alias("seasonal")))
+    resid = (trended.join(F.broadcast(seasonal), "dow")
+             .select("day", "revenue",
+                     (F.col("revenue") - F.col("trend") - F.col("seasonal"))
+                     .alias("residual")))
+    med = resid.agg(F.expr("percentile(residual, 0.5)").alias("med"))
+    mad = (resid.crossJoin(F.broadcast(med))
+           .agg(F.expr("percentile(abs(residual - med), 0.5)").alias("mad"),
+                F.first("med").alias("med")))
+    rz = (F.col("residual") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (resid.crossJoin(F.broadcast(mad))
+            .where(F.abs(rz) > 3)
+            .select("day", F.round("revenue", 2).alias("revenue"),
+                    F.round("residual", 2).alias("residual"),
+                    F.round(rz, 4).alias("robust_z"))
+            .orderBy("day"))
+
+
 def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t−7}) on daily
     revenue: MAE, MAPE and mean bias per weekday — the accuracy floor any
@@ -2152,6 +2194,7 @@ QUERIES = {
     "timeseries_forecast_backtest": timeseries_forecast_backtest,
     "agg_hhi_concentration": agg_hhi_concentration,
     "timeseries_seasonal_decompose": timeseries_seasonal_decompose,
+    "timeseries_stl_anomaly": timeseries_stl_anomaly,
     "agg_benford_deviation": agg_benford_deviation,
     "window_rolling_median": window_rolling_median,
     "dq_distribution_drift_psi": dq_distribution_drift_psi,
@@ -2381,6 +2424,39 @@ ORACLE = {
                     WHEN SUM(s * s) * 10000 < 2500 THEN 'moderate'
                     ELSE 'concentrated' END AS band
         FROM share GROUP BY nation ORDER BY nation
+    """,
+    "timeseries_stl_anomaly": """
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
+        ), trended AS (
+            SELECT day, revenue,
+                   dayofweek(day) AS dow,
+                   AVG(revenue) OVER (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+            FROM daily
+        ), seasonal AS (
+            SELECT dow, AVG(revenue - trend) AS seasonal
+            FROM trended GROUP BY dow
+        ), resid AS (
+            SELECT day, revenue,
+                   revenue - trend - s.seasonal AS residual
+            FROM trended t JOIN seasonal s ON t.dow = s.dow
+        ), med AS (
+            SELECT QUANTILE_CONT(residual, 0.5) AS med FROM resid
+        ), mad AS (
+            SELECT QUANTILE_CONT(ABS(residual - med), 0.5) AS mad,
+                   ANY_VALUE(med) AS med
+            FROM resid CROSS JOIN med
+        )
+        SELECT day, ROUND(revenue, 2) AS revenue,
+               ROUND(residual, 2) AS residual,
+               ROUND((residual - med) / (1.4826 * mad), 4) AS robust_z
+        FROM resid CROSS JOIN mad
+        WHERE ABS((residual - med) / (1.4826 * mad)) > 3
+        ORDER BY day
     """,
     "timeseries_seasonal_decompose": """
         WITH daily AS (
