@@ -930,7 +930,40 @@ def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("arm"))
 
 
+def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free point-in-time features for each purchase: trailing
+    click/view counts and time since the last click, computed STRICTLY
+    before the label event — the feature-store discipline that separates
+    a valid training set from target leakage.
+
+    One user-partitioned window with a ``(..., -1)`` frame does all three
+    features (the strictly-prior frame IS the no-leakage guarantee, ties
+    broken on event_id); the label filter then keeps purchases.  Single
+    Exchange on user_id at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow - 1))
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    last_click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True).over(w)
+    feats = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.coalesce(F.sum(is_click).over(w), F.lit(0))
+        .alias("n_prior_clicks"),
+        F.coalesce(F.sum(is_view).over(w), F.lit(0)).alias("n_prior_views"),
+        (F.unix_micros("ts") - F.unix_micros(last_click_ts))
+        .alias("micros_since_click"))
+    return (feats.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "n_prior_clicks",
+                    "n_prior_views", "micros_since_click")
+            .orderBy("event_id"))
+
+
 QUERIES = {
+    "events_point_in_time_features": events_point_in_time_features,
     "events_ratio_metric_delta_ci": events_ratio_metric_delta_ci,
     "events_attribution_markov": events_attribution_markov,
     "agg_audience_overlap": agg_audience_overlap,
@@ -971,6 +1004,27 @@ _B64K = """
 """
 
 ORACLE = {
+    "events_point_in_time_features": """
+        WITH feats AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) OVER w, 0) AS BIGINT)
+                       AS n_prior_clicks,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) OVER w, 0) AS BIGINT)
+                       AS n_prior_views,
+                   epoch_us(ts)
+                   - epoch_us(LAST_VALUE(CASE WHEN event_type = 'click'
+                          THEN ts END IGNORE NULLS) OVER w)
+                       AS micros_since_click
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, n_prior_clicks, n_prior_views,
+               micros_since_click
+        FROM feats WHERE event_type = 'purchase' ORDER BY event_id
+    """,
     "events_ratio_metric_delta_ci": f"""
         WITH per_user AS (
             SELECT CASE WHEN ({_B64K}) < 32768 THEN 'A' ELSE 'B' END AS arm,

@@ -495,3 +495,39 @@ def test_delta_ci_matches_bruteforce_formula(spark, sf_dir):
         assert abs(row["ratio"] - r_) < 1e-5
         assert abs(row["se_delta"] - se) < 1e-5
         assert row["ci_lo"] <= row["ratio"] <= row["ci_hi"]
+
+
+def test_point_in_time_features_no_leakage(spark, sf_dir):
+    """Features replayed from each user's ordered stream must match, and
+    no feature may count the label event itself or anything after it."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_point_in_time_features,
+    )
+
+    streams = defaultdict(list)
+    for e in load_table(spark, sf_dir, "events").collect():
+        streams[e["user_id"]].append(e)
+    brute = {}
+    for es in streams.values():
+        es.sort(key=lambda e: (e["ts"], e["event_id"]))
+        clicks = views = 0
+        last_click = None
+        for e in es:
+            if e["event_type"] == "purchase":
+                if last_click is None:
+                    micros = None
+                else:
+                    d = e["ts"] - last_click
+                    micros = ((d.days * 86_400 + d.seconds) * 1_000_000
+                              + d.microseconds)
+                brute[e["event_id"]] = (clicks, views, micros)
+            if e["event_type"] == "click":
+                clicks += 1
+                last_click = e["ts"]
+            elif e["event_type"] == "view":
+                views += 1
+    for r in events_point_in_time_features(spark, sf_dir).collect():
+        c, v, m = brute[r["event_id"]]
+        assert (r["n_prior_clicks"], r["n_prior_views"]) == (c, v)
+        assert r["micros_since_click"] == m
