@@ -962,7 +962,25 @@ def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("event_id"))
 
 
+def events_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity matrix (the ops-dashboard heatmap): event
+    count and share of total per (dow, hour) cell — one two-phase hash
+    aggregate over computed calendar keys, 168 output rows at any scale.
+    Weekday is normalized 0=Sunday as everywhere in this engine."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                        F.hour("ts").alias("hour"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return (cells.crossJoin(F.broadcast(total))
+            .select("dow", "hour", "n_events",
+                    F.round(F.col("n_events") / F.col("n_total"), 6)
+                    .alias("share"))
+            .orderBy("dow", "hour"))
+
+
 QUERIES = {
+    "events_seasonality_matrix": events_seasonality_matrix,
     "events_point_in_time_features": events_point_in_time_features,
     "events_ratio_metric_delta_ci": events_ratio_metric_delta_ci,
     "events_attribution_markov": events_attribution_markov,
@@ -1004,6 +1022,16 @@ _B64K = """
 """
 
 ORACLE = {
+    "events_seasonality_matrix": """
+        WITH cells AS (
+            SELECT dayofweek(ts) AS dow, EXTRACT(hour FROM ts) AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), tot AS (SELECT SUM(n_events) AS n_total FROM cells)
+        SELECT dow, hour, n_events,
+               ROUND(n_events * 1.0 / n_total, 6) AS share
+        FROM cells CROSS JOIN tot ORDER BY dow, hour
+    """,
     "events_point_in_time_features": """
         WITH feats AS (
             SELECT user_id, event_id, ts, event_type,
