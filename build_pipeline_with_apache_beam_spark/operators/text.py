@@ -615,9 +615,13 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", words.alias("n_words"), sents.alias("n_sentences"),
         syll.alias("n_syllables"),
+        # 4dp, not 2: integer-count formulas land EXACTLY on .xx5 (e.g.
+        # syllables/words = 145/90 gives −20.815) where binary-double
+        # rounding and decimal-string rounding disagree between engines;
+        # at 4dp those terminating values are exactly representable
         F.round(206.835
                 - 1.015 * words / F.greatest(sents, F.lit(1))
-                - 84.6 * syll / F.greatest(words, F.lit(1)), 2)
+                - 84.6 * syll / F.greatest(words, F.lit(1)), 4)
          .alias("flesch"))
 
 
@@ -848,7 +852,7 @@ ORACLE = {
                CAST(n_syllables AS INT) AS n_syllables,
                ROUND(206.835::DOUBLE
                      - 1.015::DOUBLE * n_words / GREATEST(n_sentences, 1)
-                     - 84.6::DOUBLE * n_syllables / GREATEST(n_words, 1), 2)
+                     - 84.6::DOUBLE * n_syllables / GREATEST(n_words, 1), 4)
                    AS flesch
         FROM c
     """,
