@@ -1162,7 +1162,8 @@ ORACLE = {
                        AS s
             FROM at_risk
         )
-        SELECT lifetime, n_risk, d, ROUND(s, 4) AS survival
+        SELECT lifetime, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS d, ROUND(s, 4) AS survival
         FROM surv WHERE d > 0
         ORDER BY lifetime
     """,
@@ -1187,7 +1188,8 @@ ORACLE = {
             FROM sess GROUP BY user_id, session_seq
         )
         SELECT day, COUNT(*) AS n_sessions,
-               SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
                ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                      / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
         FROM per_sess GROUP BY day ORDER BY day
@@ -1207,7 +1209,7 @@ ORACLE = {
                        AS session_seq
             FROM flagged
         )
-        SELECT user_id, session_seq,
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                COUNT(*) AS n_events,
                LIST(event_type ORDER BY ts, event_id) AS event_path
         FROM sess
@@ -1239,7 +1241,7 @@ ORACLE = {
         )
         SELECT day,
                COUNT(*) AS n_intent_sessions,
-               SUM(1 - bought) AS n_abandoned,
+               CAST(SUM(1 - bought) AS BIGINT) AS n_abandoned,
                ROUND(SUM(1 - bought) / CAST(COUNT(*) AS DOUBLE), 4)
                    AS abandonment_rate
         FROM flags WHERE intent = 1
@@ -1327,7 +1329,7 @@ ORACLE = {
                    SUM(tot * (c * c_prev + c * (c + 1) / 2)) AS rx
             FROM ranked
         )
-        SELECT n AS n_users, ROUND(s, 2) AS total_value,
+        SELECT CAST(n AS BIGINT) AS n_users, ROUND(s, 2) AS total_value,
                ROUND(2 * rx / (n * s) - (n + 1) / CAST(n AS DOUBLE), 4)
                    AS gini
         FROM agg
@@ -1536,8 +1538,9 @@ ORACLE = {
         )
         SELECT day,
                COUNT(DISTINCT user_id) AS active_users,
-               SUM(is_first) AS new_users,
-               COUNT(DISTINCT user_id) - SUM(is_first) AS returning_users
+               CAST(SUM(is_first) AS BIGINT) AS new_users,
+               CAST(COUNT(DISTINCT user_id) - SUM(is_first) AS BIGINT)
+                   AS returning_users
         FROM flagged
         GROUP BY day
         ORDER BY day
@@ -1568,7 +1571,7 @@ ORACLE = {
                        AS session_seq
             FROM flagged
         )
-        SELECT user_id, session_seq,
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
         FROM numbered

@@ -1464,9 +1464,9 @@ ORACLE = {
                    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
             FROM q
         )
-        SELECT source, tokens_avail,
-               floor_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END
-                   AS token_alloc
+        SELECT source, CAST(tokens_avail AS BIGINT) AS tokens_avail,
+               CAST(floor_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                    AS BIGINT) AS token_alloc
         FROM ranked CROSS JOIN leftover
         ORDER BY source
     """,
@@ -1482,7 +1482,7 @@ ORACLE = {
             FROM documents
         )
         SELECT lang, bin_id, COUNT(1) AS n_docs,
-               SUM(n_tokens) AS bin_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
                CAST(SUM(LENGTH(text)) + COUNT(1) - 1 AS INT) AS seq_chars
         FROM packed
         GROUP BY lang, bin_id
@@ -1582,7 +1582,8 @@ ORACLE = {
         )
         SELECT source, COUNT(1) AS n_docs,
                COUNT(1) FILTER (WHERE trimmed) AS n_trimmed,
-               SUM(LENGTH(text) - LENGTH(text_after)) AS chars_reclaimed
+               CAST(SUM(LENGTH(text) - LENGTH(text_after)) AS BIGINT)
+                   AS chars_reclaimed
         FROM tagged
         GROUP BY source
         ORDER BY source
@@ -1619,7 +1620,7 @@ ORACLE = {
                    wf
             FROM words
         )
-        SELECT pair, SUM(wf) AS pair_freq
+        SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_freq
         FROM pairs
         GROUP BY pair
         ORDER BY pair_freq DESC, pair

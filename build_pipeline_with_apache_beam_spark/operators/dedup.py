@@ -627,7 +627,8 @@ ORACLE = {
             SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1
         )
         SELECT doc_id, COUNT(*) AS n_spans,
-               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
                ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
                      / COUNT(*), 4) AS dup_span_frac
         FROM spans JOIN freq USING (span)

@@ -360,7 +360,8 @@ ORACLE = {
     "multimodal_metadata_stats": """
         SELECT source, 'application/x-fake-media' AS content_type,
                COUNT(1) AS n_assets,
-               SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+               CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT)
+                   AS total_bytes,
                MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
         FROM documents GROUP BY source
     """,

@@ -2016,35 +2016,73 @@ def agg_pareto_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads off the threshold.  The 2·cum ≥ … comparison style keeps the
     threshold in exact decimal space (no float cliff at the boundary).
 
-    Scale note: this is the exact small-dimension form (the unpartitioned
-    window sorts |customers| rows on one reducer).  For a billion-customer
-    dimension, the same readout comes from the ``agg_gini`` /
-    ``corpus_global_shuffle`` two-phase shape: range-bucket by revenue
-    (approx-percentile boundaries), per-bucket partial sums, then the tiny
-    bucket-level cumulative scan locates the 80% boundary bucket and only
-    that one bucket is ranked exactly."""
+    Two-phase (no unpartitioned window over the customer dimension):
+    range-bucket customers by revenue (bucket index is a monotone
+    function of ``rev``, so global order rev DESC ≡ bucket DESC then
+    rev DESC within bucket), per-bucket partial sums, a cumulative scan
+    over the ≤256 bucket-level rows locates the bucket where the running
+    share crosses 80%, and ONLY that boundary bucket — |customers|/256
+    rows in expectation — is ranked exactly.  The 5·cum ≥ 4·total
+    comparison keeps the threshold in exact decimal space (no float
+    cliff at the boundary); bucketing may use doubles because
+    decimal→double is monotone and only ordering matters there."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (li.join(orders, li.l_orderkey == orders.o_orderkey)
                 .groupBy("o_custkey")
                 .agg(F.sum(F.col("l_extendedprice")
                            .cast("decimal(18,4)")).alias("rev")))
-    w = (W.orderBy(F.col("rev").desc(), "o_custkey")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    tot = W.partitionBy()
-    flagged = per_cust.select(
-        "rev",
-        # exact-decimal threshold test: 5·cum ≥ 4·total  ⇔  cum ≥ 80%
-        (F.sum("rev").over(w) * 5 >= F.sum("rev").over(tot) * 4)
-        .alias("reached"))
-    return flagged.agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        # rank of the FIRST row where the running share reaches 80%
-        (F.count(F.lit(1)) - F.sum(F.col("reached").cast("long")) + 1)
+    n_buckets = 256
+    bounds = per_cust.agg(
+        F.min(F.col("rev").cast("double")).alias("lo"),
+        F.max(F.col("rev").cast("double")).alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("rev").alias("tot"))
+    bucketed = (per_cust.crossJoin(F.broadcast(bounds))  # 1-row broadcast
+                .withColumn(
+                    "bucket",
+                    F.when(F.col("hi") <= F.col("lo"), F.lit(0))
+                    .otherwise(F.least(
+                        F.floor((F.col("rev").cast("double") - F.col("lo"))
+                                * n_buckets / (F.col("hi") - F.col("lo"))),
+                        F.lit(n_buckets - 1))))
+                .select("o_custkey", "rev", "bucket"))
+    grp = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("rev").alias("s_b"))
+    # bucket-level cumulative scan as a broadcast triangular self-join
+    # (≤256×256 pairs) — keeps the whole plan free of unpartitioned
+    # windows, which tests/test_plans.py asserts
+    g2 = grp.select(F.col("bucket").alias("b2"),
+                    F.col("n_b").alias("n2"), F.col("s_b").alias("s2"))
+    lvl = (grp.join(F.broadcast(g2), F.col("b2") >= F.col("bucket"))
+           .groupBy("bucket", "n_b", "s_b")
+           .agg(F.sum("s2").alias("cum_s"), F.sum("n2").alias("cum_n"))
+           .crossJoin(F.broadcast(bounds.select("n_total", "tot"))))
+    boundary_info = (lvl.filter(F.col("cum_s") * 5 >= F.col("tot") * 4)
+                     .orderBy(F.col("bucket").desc()).limit(1)
+                     .select(F.col("bucket").alias("bstar"),
+                             (F.col("cum_s") - F.col("s_b")).alias("s_excl"),
+                             (F.col("cum_n") - F.col("n_b")).alias("n_excl"),
+                             "tot", "n_total"))
+    # exact rank only inside the boundary bucket
+    w_sum = (W.partitionBy("bucket")
+             .orderBy(F.col("rev").desc(), "o_custkey")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_rn = W.partitionBy("bucket").orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = (bucketed
+              .join(F.broadcast(boundary_info),
+                    F.col("bucket") == F.col("bstar"))
+              .select(
+                  (F.col("n_excl") + F.row_number().over(w_rn)).alias("rk"),
+                  ((F.col("s_excl") + F.sum("rev").over(w_sum)) * 5
+                   >= F.col("tot") * 4).alias("reached"),
+                  "n_total"))
+    return ranked.agg(
+        F.max("n_total").alias("n_customers"),
+        F.min(F.when(F.col("reached"), F.col("rk"))).cast("long")
          .alias("top_customers_for_80pct"),
-        F.round((F.count(F.lit(1))
-                 - F.sum(F.col("reached").cast("long")) + 1)
-                / F.count(F.lit(1)), 4).alias("share_of_customers"))
+        F.round(F.min(F.when(F.col("reached"), F.col("rk")))
+                / F.max("n_total"), 4).alias("share_of_customers"))
 
 
 def timeseries_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2378,8 +2416,8 @@ ORACLE = {
             FROM per_cust
         )
         SELECT COUNT(*) AS n_customers,
-               COUNT(*) - SUM(CASE WHEN reached THEN 1 ELSE 0 END) + 1
-                   AS top_customers_for_80pct,
+               CAST(COUNT(*) - SUM(CASE WHEN reached THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS top_customers_for_80pct,
                ROUND((COUNT(*) - SUM(CASE WHEN reached THEN 1 ELSE 0 END)
                       + 1) / CAST(COUNT(*) AS DOUBLE), 4)
                    AS share_of_customers
@@ -2570,7 +2608,8 @@ ORACLE = {
             UNION ALL SELECT 'o_orderdate', total, n5, d5 FROM one
             UNION ALL SELECT 'o_orderpriority', total, n6, d6 FROM one
         )
-        SELECT column_name, total AS n_total, n_nulls, n_distinct,
+        SELECT column_name, total AS n_total,
+               CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct,
                ROUND(1.0 - CAST(n_nulls AS DOUBLE) / total, 4) AS fill_rate
         FROM rows_out ORDER BY column_name
     """,

@@ -888,8 +888,9 @@ ORACLE = {
         )
         SELECT source,
                COUNT(*) AS vocab_size,
-               SUM(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS n_hapax,
-               SUM(wf) AS n_tokens,
+               CAST(SUM(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(SUM(wf) AS BIGINT) AS n_tokens,
                ROUND(SUM(CASE WHEN wf = 1 THEN 1 ELSE 0 END)
                      / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_ratio
         FROM words
@@ -909,9 +910,10 @@ ORACLE = {
             FROM first_seen GROUP BY batch
         )
         SELECT batch, new_tokens,
-               SUM(new_tokens) OVER (ORDER BY batch
+               CAST(SUM(new_tokens) OVER (ORDER BY batch
                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND CURRENT ROW) AS vocab_size
+                                              AND CURRENT ROW) AS BIGINT)
+                   AS vocab_size
         FROM per_batch
         ORDER BY batch
     """,
@@ -960,9 +962,11 @@ ORACLE = {
         ), pts AS (SELECT UNNEST([100, 1000]) AS k)
         SELECT k,
                (SELECT COUNT(*) FROM ranked) AS vocab_size,
-               (SELECT SUM(CASE WHEN rk <= k THEN wf ELSE 0 END)
+               (SELECT CAST(SUM(CASE WHEN rk <= k THEN wf ELSE 0 END)
+                            AS BIGINT)
                 FROM ranked) AS covered_tokens,
-               (SELECT SUM(wf) FROM ranked) AS total_tokens,
+               (SELECT CAST(SUM(wf) AS BIGINT) FROM ranked)
+                   AS total_tokens,
                ROUND((SELECT SUM(CASE WHEN rk <= k THEN wf ELSE 0 END)
                       FROM ranked)
                      / CAST((SELECT SUM(wf) FROM ranked) AS DOUBLE), 4)
@@ -1002,7 +1006,7 @@ ORACLE = {
             SELECT SUM(COALESCE(rn, 0) * COALESCE(cn, 0)) AS rc
             FROM rowm FULL OUTER JOIN colm USING (cls)
         )
-        SELECT n_docs,
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
                ROUND(CAST(n_agree AS DOUBLE) / n_docs, 4) AS p_observed,
                ROUND(CAST(rc AS DOUBLE) / (n_docs * n_docs), 4)
                    AS p_expected,

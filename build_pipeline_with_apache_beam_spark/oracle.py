@@ -57,6 +57,81 @@ def canonicalize(rows, cols):
     return [cols[i] for i in order], out
 
 
+def _spark_family(dtype: str) -> str:
+    """Collapse a Spark simpleString dtype to a comparison family."""
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "bigint", "byte", "short",
+             "integer", "long"):
+        return "i64"
+    if d in ("float", "double"):
+        return "f"
+    if d.startswith("decimal"):
+        # scale-tagged: Decimal("5.00") and Decimal("5.0") repr-differ,
+        # so a hash over canonicalized values sees the scale
+        scale = d.rsplit(",", 1)[-1].rstrip(")") if "," in d else "0"
+        return f"dec:{scale.strip()}"
+    if d == "boolean":
+        return "b"
+    if d.startswith("array"):
+        return "arr"
+    if d.startswith("timestamp"):
+        return "timestamp"  # ntz and ltz hash identically (driver-verified)
+    return d  # string/date/binary/map/struct compare by name
+
+
+def _duck_family(dtype: str) -> str:
+    """Collapse a DuckDB DESCRIBE type to the same family space.
+
+    The driver's correctness hash is type-aware: DuckDB exports HUGEINT
+    through Arrow as decimal128, so an oracle whose OUTPUT column is
+    HUGEINT hash-mismatches a Spark BIGINT even when every value is
+    equal under Python ``==``.  Mapping HUGEINT/UHUGEINT/UBIGINT to a
+    distinct "i128" family makes this local gate fail exactly where the
+    driver would (round-2 verdict, What's wrong #1)."""
+    d = dtype.upper()
+    if d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "i64"
+    if d in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "i128"
+    if d in ("FLOAT", "REAL", "DOUBLE"):
+        return "f"
+    if d.startswith("DECIMAL"):
+        scale = d.rsplit(",", 1)[-1].rstrip(")") if "," in d else "0"
+        return f"dec:{scale.strip()}"
+    if d == "BOOLEAN":
+        return "b"
+    if d.endswith("[]") or d.startswith("LIST") or d.startswith("ARRAY"):
+        return "arr"
+    if d == "VARCHAR":
+        return "string"
+    if d == "DATE":
+        return "date"
+    if d.startswith("TIMESTAMP"):
+        return "timestamp"
+    if d == "BLOB":
+        return "binary"
+    return d.lower()
+
+
+def check_types(sdf, con, sql: str) -> list[str]:
+    """Per-column type-family mismatches between Spark schema and the
+    DuckDB DESCRIBE of the oracle — the failures Python ``==`` masks."""
+    spark_types = dict(sdf.dtypes)
+    duck_types = {row[0]: row[1]
+                  for row in con.execute(f"DESCRIBE {sql}").fetchall()}
+    problems = []
+    for col, styp in spark_types.items():
+        if col not in duck_types:
+            continue  # column-name mismatch reported separately
+        sf, df_ = _spark_family(styp), _duck_family(duck_types[col])
+        if sf != df_:
+            problems.append(
+                f"{col}: spark {styp} ({sf}) vs duck {duck_types[col]} "
+                f"({df_})")
+    return problems
+
+
 def compare(sdf, con, sql: str) -> tuple[bool, str]:
     """(ok, message) — Spark DataFrame vs DuckDB SQL result."""
     srows = [tuple(r) for r in sdf.collect()]
@@ -67,6 +142,9 @@ def compare(sdf, con, sql: str) -> tuple[bool, str]:
 
     if sorted(scols) != sorted(dcols):
         return False, f"columns spark={sorted(scols)} duck={sorted(dcols)}"
+    type_problems = check_types(sdf, con, sql)
+    if type_problems:
+        return False, "type-family mismatch: " + "; ".join(type_problems)
     if len(srows) != len(drows):
         return False, f"rowcount spark={len(srows)} duck={len(drows)}"
     _, s_can = canonicalize(srows, scols)

@@ -454,3 +454,17 @@ def test_gaps_and_islands_single_exchange_chain(spark, sf_dir, registry):
     # exchange; both island rollups reuse the window's partitioning
     n_exchange = plan.count("+- Exchange")
     assert n_exchange <= 3, f"{n_exchange} exchanges\n{plan}"
+
+
+def test_pareto_threshold_has_no_unpartitioned_window(
+        spark, sf_dir, registry):
+    """Round-2 verdict #4: the 80/20 readout must never sort the whole
+    customer dimension on one reducer.  Every window in the plan must be
+    partitioned (by the revenue range bucket); the bucket-level cumulative
+    scan is a broadcast triangular self-join, not a window at all."""
+    df = registry["agg_pareto_threshold"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_specs = plan.count("windowspecdefinition(")
+    n_partitioned = plan.count("windowspecdefinition(bucket#")
+    assert n_specs > 0 and n_specs == n_partitioned, plan
+    assert "CartesianProduct" not in plan
