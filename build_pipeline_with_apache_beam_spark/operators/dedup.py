@@ -16,8 +16,9 @@ Scale design (the part that matters at 1000 executors):
 - exact verification joins only the candidate pairs back to their shingle
   sets (two hash joins on doc_id);
 - skewed bands (a shingle-hash shared by millions of docs) are the known
-  failure mode — AQE skew-join handles moderate skew, and a production run
-  would add a band-frequency cap (drop bands hotter than N docs).
+  failure mode — AQE skew-join handles moderate skew, and bands hotter
+  than BAND_CAP docs are dropped from candidate generation outright, with
+  the dropped mass reported by ``lsh_hot_bands`` (no silent caps).
 """
 
 from __future__ import annotations
@@ -107,12 +108,11 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFr
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Banding: docs sharing any band of the signature become candidates.
+BAND_CAP = 10000   # drop LSH bands hotter than this many docs (B² guard)
 
-    Shuffle key is (band_id, band_hash); the self-join never sees documents
-    outside a shared bucket.
-    """
+
+def _stacked_bands(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per doc per band."""
     bands = signatures.select(
         "doc_id",
         *[
@@ -121,14 +121,51 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ],
     )
-    stacked = bands.selectExpr(
+    return bands.selectExpr(
         "doc_id",
         "stack({n}, {args}) AS (band_id, band_hash)".format(
             n=N_BANDS,
             args=", ".join(f"{b}, band_{b}" for b in range(N_BANDS))),
     )
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+
+
+def lsh_hot_bands(signatures: DataFrame,
+                  band_cap: int | None = None) -> DataFrame:
+    """The dropped mass the band cap removes — (band_id, band_hash,
+    n_docs) for every band hotter than the cap.  Per the no-silent-caps
+    discipline this is the reportable companion of
+    ``lsh_candidate_pairs``: a dedup run logs/persists it so a capped
+    band is an explicit, quantified recall decision, never an invisible
+    one."""
+    cap = BAND_CAP if band_cap is None else band_cap
+    return (_stacked_bands(signatures)
+            .groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > cap))
+
+
+def lsh_candidate_pairs(signatures: DataFrame,
+                        band_cap: int | None = None) -> DataFrame:
+    """Banding: docs sharing any band of the signature become candidates.
+
+    Shuffle key is (band_id, band_hash); the self-join never sees
+    documents outside a shared bucket.
+
+    Band-frequency cap (round-2 verdict #7): a degenerate band shared by
+    B docs costs B²/2 candidate pairs — one boilerplate shingle pattern
+    shared by millions of docs would melt the stage.  Bands hotter than
+    ``band_cap`` (default BAND_CAP) are dropped from candidate
+    generation via an anti-join against the (broadcast-small) hot-band
+    list.  A pair is only lost if the cap removes EVERY band the two
+    docs share; ``lsh_hot_bands`` reports exactly what was dropped, and
+    ``dedup_minhash_recall_eval`` measures the recall consequence.
+    """
+    stacked = _stacked_bands(signatures)
+    hot = lsh_hot_bands(signatures, band_cap).select("band_id", "band_hash")
+    kept = stacked.join(F.broadcast(hot), ["band_id", "band_hash"],
+                        "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -231,28 +268,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+JACCARD_MAX_BLOCK = 1024  # per-tile row cap for the exact pair family
+
+
+def _tiled_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked self-join on ``source``, TILED: the shared candidate
+    generator for the exact token-set family (jaccard / containment /
+    rate curve).
+
+    All-pairs within a block is inherently quadratic — that is the
+    semantics of exact ground truth — but the naive self-join puts a
+    whole block's B²/2 comparisons on ONE reducer, so a hot source stalls
+    the stage at 100× data (round-2 verdict, What's wrong #2).  Tiling
+    keeps the result byte-identical while bounding every task: each block
+    is split into n_sub = ceil(B / JACCARD_MAX_BLOCK) deterministic
+    sub-blocks, each row is exploded across the n_sub partner tiles, and
+    the join key becomes (source, sub_a, sub_b) — n_sub² tasks of at most
+    JACCARD_MAX_BLOCK² comparisons each, instead of one task of B².
+    Every (doc_a < doc_b) pair lands in exactly one tile, so no pair is
+    dropped or duplicated.  Blocks under the cap degenerate to n_sub = 1
+    (sub = tile = 0), i.e. the original single-block join.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    t = docs.select("doc_id", "source",
+                    F.array_distinct(F.split("text", " ")).alias("toks"))
+    sizes = t.groupBy("source").agg(
+        F.ceil(F.count(F.lit(1)) / JACCARD_MAX_BLOCK).cast("int")
+        .alias("n_sub"))
+    blocked = (t.join(F.broadcast(sizes), "source")
+               .withColumn("sub",
+                           F.pmod(F.xxhash64("doc_id"),
+                                  F.col("n_sub")).cast("int")))
+    partner = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "source",
+                       F.col("toks").alias("toks_a"),
+                       F.col("sub").alias("sub_a"),
+                       partner.alias("tile_b"))
+    b = blocked.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("source_b"),
+                       F.col("toks").alias("toks_b"),
+                       F.col("sub").alias("sub_b"),
+                       partner.alias("tile_a"))
+    return a.join(b, (F.col("source") == F.col("source_b"))
+                  & (F.col("sub_a") == F.col("tile_a"))
+                  & (F.col("tile_b") == F.col("sub_b"))
+                  & (F.col("doc_a") < F.col("doc_b")))
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact token-set Jaccard (the oracle-checkable ground truth
     for the sketch-based ops): pairs within the same ``source`` block on a
     deterministic doc sample, Jaccard ≥ 0.5.
 
-    Blocking is the scale lever: all-pairs is quadratic, per-block pairs are
-    quadratic only in block size.  (In production the block key is a cheap
-    sketch — length bucket, simhash band — rather than a metadata column.)
+    Blocking is the scale lever: all-pairs is quadratic, per-block pairs
+    are quadratic only in block size — and the block self-join is tiled
+    (see ``_tiled_source_pairs``) so no single task ever exceeds
+    JACCARD_MAX_BLOCK² comparisons however hot a block gets.  (In
+    production the block key is a cheap sketch — length bucket, simhash
+    band — rather than a metadata column.)
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
-    t = docs.select("doc_id", "source",
-                    F.array_distinct(F.split("text", " ")).alias("toks"))
-    # the per-pair array_intersect/union is the CPU hot loop; spread the
-    # probe side across cores (single small file = one input split locally)
-    t = t.repartition(spark.sparkContext.defaultParallelism)
-    a = t.select(F.col("doc_id").alias("doc_a"), "source",
-                 F.col("toks").alias("toks_a"))
-    b = t.select(F.col("doc_id").alias("doc_b"),
-                 F.col("source").alias("source_b"), F.col("toks").alias("toks_b"))
     return (
-        a.join(b, (F.col("source") == F.col("source_b"))
-               & (F.col("doc_a") < F.col("doc_b")))
+        _tiled_source_pairs(spark, sf_dir)
         .withColumn("jaccard", F.round(
             F.size(F.array_intersect("toks_a", "toks_b"))
             / F.size(F.array_union("toks_a", "toks_b")), 4))
@@ -431,23 +507,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quote farms, scraped aggregations), which symmetric Jaccard misses
     because the union dwarfs the intersection.
 
-    Same blocked self-join discipline as dedup_ngram_jaccard (per-source
-    blocks, doc_id % 4 sample), but both directions are emitted from ONE
+    Same blocked-and-tiled self-join discipline as dedup_ngram_jaccard
+    (per-source blocks, doc_id % 4 sample, per-task comparison cap via
+    ``_tiled_source_pairs``), but both directions are emitted from ONE
     ordered pair comparison (containment of a in b AND b in a share the
     intersection computation).  Flags pairs where either direction ≥ 0.8
     while Jaccard may be far lower.
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
-    t = docs.select("doc_id", "source",
-                    F.array_distinct(F.split("text", " ")).alias("toks"))
-    t = t.repartition(spark.sparkContext.defaultParallelism)
-    a = t.select(F.col("doc_id").alias("doc_a"), "source",
-                 F.col("toks").alias("toks_a"))
-    b = t.select(F.col("doc_id").alias("doc_b"),
-                 F.col("source").alias("source_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    pairs = (a.join(b, (F.col("source") == F.col("source_b"))
-                    & (F.col("doc_a") < F.col("doc_b")))
+    pairs = (_tiled_source_pairs(spark, sf_dir)
              .select("doc_a", "doc_b", "source",
                      inter.alias("n_common"),
                      F.size("toks_a").alias("n_a"),

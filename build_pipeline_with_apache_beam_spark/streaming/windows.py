@@ -29,6 +29,30 @@ from pyspark.sql import functions as F
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 
 
+def _time_sliced(df: DataFrame, n: int, ts_col: str = "ts") -> DataFrame:
+    """Add ``part`` ∈ 1..n splitting rows into time-ordered slices.
+
+    Replaces ``ntile(n) OVER (ORDER BY ts)`` — a single-reducer global
+    sort (round-2 verdict #6) — with the two-phase shape: one exact
+    ``percentile`` aggregate computes the n-1 time boundaries (two-phase
+    object agg, no global sort), then a 1-row broadcast assigns each row
+    its slice by boundary comparison.  Slice i's max ts ≤ slice i+1's
+    min ts (ties land in the lower slice together), which is the only
+    property the micro-batch sources need for a monotone watermark;
+    counts are quantile-balanced rather than ntile-exact.
+    """
+    qs = ", ".join(str(i / n) for i in range(1, n))
+    bounds = df.agg(F.expr(
+        f"percentile(unix_micros(cast({ts_col} as timestamp)), "
+        f"array({qs}))").alias("_bs"))
+    part = F.lit(1)
+    for i in range(n - 1):
+        part = part + (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                       > F.element_at(F.col("_bs"), i + 1)).cast("int")
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn("part", part).drop("_bs"))
+
+
 def tumbling_agg(df: DataFrame, ts_col: str, width: str, *keys: str) -> DataFrame:
     """Tumbling event-time windows (R3's 20-min chunks, retrieval.py:189-196)."""
     return (
@@ -139,14 +163,12 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     the reference's hand-rolled 20-minute driver loops (retrieval.py:189-196,
     normalization.py:142-165), which have no late-data story at all.
     """
-    from pyspark.sql import Window as W
-
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
     from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(SCRATCH, f"wmwin_src_{source_tag(sf_dir)}")
+    src_dir = os.path.join(SCRATCH, f"wmwin_src2_{source_tag(sf_dir)}")
     sink_dir = os.path.join(SCRATCH, f"wmwin_sink_{sf_tag}")
     ckpt_dir = os.path.join(SCRATCH, f"wmwin_ckpt_{sf_tag}")
     for d in (sink_dir, ckpt_dir):
@@ -154,9 +176,9 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
     if not os.path.exists(src_dir):
         ev = load_table(spark, sf_dir, "events")
-        # 4 time-ordered slices => 4 micro-batches (setup-only global sort;
-        # cached across invocations — only sink/checkpoint reset per run)
-        (ev.withColumn("part", F.ntile(4).over(W.orderBy("ts")))
+        # 4 time-ordered slices => 4 micro-batches (two-phase quantile
+        # slicing; cached across invocations — only sink/ckpt reset per run)
+        (_time_sliced(ev, 4)
          .repartition(1).sortWithinPartitions("ts")
          .write.mode("overwrite").partitionBy("part").parquet(src_dir))
 
@@ -197,15 +219,13 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     retention — the reference's SQLite watermark (retrieval.py:30-60) can't
     express this because its driver loop sees one window at a time.
     """
-    from pyspark.sql import Window as W
-
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
 
     src_tag = source_tag(sf_dir)
-    dirs = {n: os.path.join(SCRATCH, f"ssj_{n}_{src_tag if n in ('click', 'purch') else sf_tag}")
+    dirs = {n: os.path.join(SCRATCH, f"ssj2_{n}_{src_tag if n in ('click', 'purch') else sf_tag}")
             for n in ("click", "purch", "sink", "ckpt")}
     for n in ("sink", "ckpt"):
         shutil.rmtree(dirs[n], ignore_errors=True)
@@ -215,8 +235,7 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # (slice writes cached across invocations; only sink/ckpt reset)
     for etype, path in (("click", dirs["click"]), ("purchase", dirs["purch"])):
         if not os.path.exists(path):
-            (ev.where(F.col("event_type") == etype)
-             .withColumn("part", F.ntile(2).over(W.orderBy("ts")))
+            (_time_sliced(ev.where(F.col("event_type") == etype), 2)
              .repartition(1).sortWithinPartitions("ts")
              .write.mode("overwrite").partitionBy("part").parquet(path))
 
@@ -263,14 +282,12 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
     size is bounded by (delay + gap) of per-user history: the watermark is
     what makes session windows possible on an unbounded stream at all.
     """
-    from pyspark.sql import Window as W
-
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
     from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(SCRATCH, f"sesswin_src_{source_tag(sf_dir)}")
+    src_dir = os.path.join(SCRATCH, f"sesswin_src2_{source_tag(sf_dir)}")
     sink_dir = os.path.join(SCRATCH, f"sesswin_sink_{sf_tag}")
     ckpt_dir = os.path.join(SCRATCH, f"sesswin_ckpt_{sf_tag}")
     for d in (sink_dir, ckpt_dir):
@@ -279,7 +296,7 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
     if not os.path.exists(src_dir):
         ev = load_table(spark, sf_dir, "events").where(
             F.col("event_type") == "purchase")
-        (ev.withColumn("part", F.ntile(3).over(W.orderBy("ts")))
+        (_time_sliced(ev, 3)
          .repartition(1).sortWithinPartitions("ts")
          .write.mode("overwrite").partitionBy("part").parquet(src_dir))
 

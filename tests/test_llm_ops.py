@@ -335,3 +335,55 @@ def test_multimodal_phash_finds_real_png_neardups(spark):
     assert (1, 2) in got, got
     assert got[(1, 2)] <= 6
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_tiled_block_pairs_exact_under_forced_split(spark, sf_dir):
+    """Hot-block tiling (round-2 verdict #3) must be invisible in the
+    results: forcing every source block to split into many sub-block
+    tiles (cap far below block size) yields the byte-identical pair set
+    the single-block join produces."""
+    import build_pipeline_with_apache_beam_spark.operators.dedup as dd
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline_cap = dd.JACCARD_MAX_BLOCK
+    try:
+        base = rows(dd.dedup_ngram_jaccard(spark, sf_dir))
+        base_cont = rows(dd.dedup_containment(spark, sf_dir))
+        dd.JACCARD_MAX_BLOCK = 3  # every block splits into tiles
+        assert rows(dd.dedup_ngram_jaccard(spark, sf_dir)) == base
+        assert rows(dd.dedup_containment(spark, sf_dir)) == base_cont
+    finally:
+        dd.JACCARD_MAX_BLOCK = baseline_cap
+
+
+def test_lsh_band_cap_drops_hot_band_and_reports_mass(spark):
+    """Band-frequency cap (round-2 verdict #7): a synthetic band shared
+    by many docs must be excluded from candidate generation when hotter
+    than the cap, and lsh_hot_bands must report exactly that band; cold
+    bands are untouched."""
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_hot_bands,
+    )
+
+    # 6 docs share signature A (one hot band family), 2 docs share B
+    rows = ", ".join(f"({i}, 1, 2, 3, 4)" for i in range(6))
+    rows += ", (100, 9, 9, 9, 9), (101, 9, 9, 9, 9)"
+    sigs16 = spark.sql(
+        "SELECT doc_id, "
+        + ", ".join(f"mh_{i % 4} AS mh_{i}" for i in range(16))
+        + f" FROM (VALUES {rows}) t(doc_id, mh_0, mh_1, mh_2, mh_3)")
+
+    uncapped = lsh_candidate_pairs(sigs16, band_cap=10000)
+    assert uncapped.count() == 15 + 1  # C(6,2) hot + C(2,2) cold
+
+    capped = lsh_candidate_pairs(sigs16, band_cap=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert pairs == {(100, 101)}  # hot family gone, cold pair survives
+
+    hot = lsh_hot_bands(sigs16, band_cap=5)
+    assert hot.count() == 4  # all 4 bands of the hot family, none cold
+    assert all(r["n_docs"] == 6 for r in hot.collect())
+    assert lsh_hot_bands(sigs16, band_cap=10000).count() == 0
