@@ -769,14 +769,16 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience set algebra between event types: for every ordered pair of
-    event types, the distinct-user intersection, union, and Jaccard — the
-    segmentation overlap matrix behind "do purchasers also click?".
+    """Audience set algebra between event types: for every UNORDERED pair
+    of event types with a non-empty user intersection (type_a < type_b;
+    disjoint pairs emit no row rather than a jaccard=0 row), the
+    distinct-user intersection, union, and Jaccard — the segmentation
+    overlap matrix behind "do purchasers also click?".
 
     One distinct(user, type) pass collapses the stream (two-phase hash
     agg), then the pairwise overlap is a self-join ON user_id — shuffle
     carries one row per (user, type), never raw events, and the output is
-    |types|² rows at any scale."""
+    at most C(|types|, 2) rows at any scale."""
     ev = load_table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct()
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
@@ -875,6 +877,13 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         Tr[:, idx[c]] = 0.0
         pc = p_conv(Tr)
         effects.append((c, max(0.0, (base - pc) / base) if base else 0.0))
+    if not effects:
+        # degenerate stream (no non-purchase event types): an empty VALUES
+        # list is a parse error, so return an empty typed result instead
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS channel, "
+            "CAST(NULL AS DOUBLE) AS removal_effect, "
+            "CAST(NULL AS DOUBLE) AS attribution_share WHERE 1 = 0")
     total = sum(e for _, e in effects) or 1.0
     rows = ", ".join(
         f"('{c}', CAST({round(e, 6)} AS DOUBLE), "

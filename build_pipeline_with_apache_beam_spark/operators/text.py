@@ -607,22 +607,38 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     206.835 − 1.015·(W/S) − 84.6·(Syl/W), the classic corpus-quality
     readability gate.  Everything is regexp_count in the scan projection:
-    JVM-side, zero shuffle, scan-speed at 100 TB."""
+    JVM-side, zero shuffle, scan-speed at 100 TB.
+
+    Rounding is done in EXACT integer arithmetic, not on doubles: the
+    score is the rational N/D with N = 206835·S'·W' − 1015·W·W' −
+    84600·Syl·S' and D = 1000·S'·W' (S' = max(S,1), W' = max(W,1)), and
+    the 4dp half-away-from-zero rounding is computed as an integer DIV —
+    sign·((2·|N|·10000 + D) DIV (2·D)) — identically in the oracle SQL,
+    so no cross-engine double-rounding tie (.xxxx5) can ever diverge.
+    The only float op left, r/10000, is the same double division on both
+    engines."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     sents = F.regexp_count(F.col("text"), F.lit(r"[^.!?]*[A-Za-z][^.!?]*"))
     syll = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
-    return docs.select(
+    counted = docs.select(
         "doc_id", words.alias("n_words"), sents.alias("n_sentences"),
-        syll.alias("n_syllables"),
-        # 4dp, not 2: integer-count formulas land EXACTLY on .xx5 (e.g.
-        # syllables/words = 145/90 gives −20.815) where binary-double
-        # rounding and decimal-string rounding disagree between engines;
-        # at 4dp those terminating values are exactly representable
-        F.round(206.835
-                - 1.015 * words / F.greatest(sents, F.lit(1))
-                - 84.6 * syll / F.greatest(words, F.lit(1)), 4)
-         .alias("flesch"))
+        syll.alias("n_syllables"))
+    rational = counted.selectExpr(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "206835 * CAST(GREATEST(n_sentences, 1) AS BIGINT)"
+        "       * CAST(GREATEST(n_words, 1) AS BIGINT)"
+        " - 1015 * CAST(n_words AS BIGINT)"
+        "        * CAST(GREATEST(n_words, 1) AS BIGINT)"
+        " - 84600 * CAST(n_syllables AS BIGINT)"
+        "         * CAST(GREATEST(n_sentences, 1) AS BIGINT) AS num",
+        "1000 * CAST(GREATEST(n_sentences, 1) AS BIGINT)"
+        "     * CAST(GREATEST(n_words, 1) AS BIGINT) AS den")
+    return rational.selectExpr(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "(CASE WHEN num >= 0 THEN (2*num*10000 + den) DIV (2*den)"
+        "      ELSE -((-2*num*10000 + den) DIV (2*den)) END)"
+        " / CAST(10000 AS DOUBLE) AS flesch")
 
 
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,15 +862,26 @@ ORACLE = {
                        AS n_syllables
             FROM documents
         )
+        , r AS (
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   206835 * CAST(GREATEST(n_sentences, 1) AS BIGINT)
+                          * CAST(GREATEST(n_words, 1) AS BIGINT)
+                   - 1015 * CAST(n_words AS BIGINT)
+                          * CAST(GREATEST(n_words, 1) AS BIGINT)
+                   - 84600 * CAST(n_syllables AS BIGINT)
+                           * CAST(GREATEST(n_sentences, 1) AS BIGINT) AS num,
+                   1000 * CAST(GREATEST(n_sentences, 1) AS BIGINT)
+                        * CAST(GREATEST(n_words, 1) AS BIGINT) AS den
+            FROM c
+        )
         SELECT doc_id,
                CAST(n_words AS INT) AS n_words,
                CAST(n_sentences AS INT) AS n_sentences,
                CAST(n_syllables AS INT) AS n_syllables,
-               ROUND(206.835::DOUBLE
-                     - 1.015::DOUBLE * n_words / GREATEST(n_sentences, 1)
-                     - 84.6::DOUBLE * n_syllables / GREATEST(n_words, 1), 4)
-                   AS flesch
-        FROM c
+               (CASE WHEN num >= 0 THEN (2*num*10000 + den) // (2*den)
+                     ELSE -((-2*num*10000 + den) // (2*den)) END)
+               / 10000.0 AS flesch
+        FROM r
     """,
     "text_ocr_artifact_score": """
         WITH c AS (

@@ -566,3 +566,23 @@ def test_kl_divergence_nonnegative_and_zero_for_corpus_clone(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["kl_vs_corpus"] >= -1e-9, r
+
+
+def test_attribution_markov_purchase_only_stream_is_empty_not_error(
+        spark, sf_dir, tmp_path):
+    """A stream with no non-purchase event types has no channels to
+    credit: the op must return an empty 3-column result, not raise a SQL
+    parse error from an empty VALUES list (round-2 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        events_attribution_markov,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = events_attribution_markov(spark, str(tmp_path))
+    assert out.columns == ["channel", "removal_effect", "attribution_share"]
+    assert out.count() == 0
