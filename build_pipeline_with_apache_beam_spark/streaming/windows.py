@@ -22,11 +22,39 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Size the streaming state-store partition count to the stream.
+
+    A stateful query fixes its number of state-store instances from
+    ``spark.sql.shuffle.partitions`` AT QUERY START, and every instance
+    pays per-micro-batch lifecycle cost (load, commit, snapshot
+    bookkeeping) regardless of how many rows it holds.  Profiling the
+    stream-stream interval join at bench scale (round-2 verdict #8)
+    split the cost cleanly: tmpfs checkpoints changed nothing (12→14 s,
+    so NOT fsync-bound), while 32→8 state partitions cut it 12→3.5 s —
+    the overhead is the 32 partitions × 4 join state stores × ~5
+    micro-batches of store machinery churning on a few thousand rows.
+    At 100 TB the same knob goes the other way: raise it so per-store
+    state fits in executor memory.  Scoped via context manager so the
+    session's batch shuffle sizing is untouched afterwards.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _time_sliced(df: DataFrame, n: int, ts_col: str = "ts") -> DataFrame:
@@ -196,10 +224,11 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink_dir)
 
-    q = (agg.writeStream.foreachBatch(sink_batch)
-         .option("checkpointLocation", ckpt_dir)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    with _state_partitions(spark):
+        q = (agg.writeStream.foreachBatch(sink_batch)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
     return spark.read.parquet(sink_dir)
 
 
@@ -260,10 +289,11 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(dirs["sink"])
 
-    q = (joined.writeStream.foreachBatch(sink_batch)
-         .option("checkpointLocation", dirs["ckpt"])
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    with _state_partitions(spark):
+        q = (joined.writeStream.foreachBatch(sink_batch)
+             .option("checkpointLocation", dirs["ckpt"])
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
     return spark.read.parquet(dirs["sink"])
 
 
@@ -316,10 +346,11 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink_dir)
 
-    q = (agg.writeStream.foreachBatch(sink_batch)
-         .option("checkpointLocation", ckpt_dir)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    with _state_partitions(spark):
+        q = (agg.writeStream.foreachBatch(sink_batch)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
     return spark.read.parquet(sink_dir)
 
 
