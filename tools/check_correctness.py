@@ -5,7 +5,12 @@ Runs every ``queries()`` entry at a given scale factor, runs the matching
 row-count + column names + order-insensitive values (exact — see
 build_pipeline_with_apache_beam_spark/oracle.py).
 
-Usage: python tools/check_correctness.py [sf_dir] [op ...]
+Usage: python tools/check_correctness.py [--json OUT] [sf_dir] [op ...]
+
+With ``--json OUT`` the per-op results are also written in the driver's
+CORRECTNESS_r{N}.json format (rows_match/schema_match/hash_match/…), so a
+full-registry artifact can be committed per round (round-2 verdict #5).
+Rows-only ops are tagged ``err: "no_oracle"`` exactly as the driver does.
 
 Set CHECK_MAX_ROWS to cap result size (default unlimited): ops whose
 Spark result exceeds the cap are recorded as SKIP-LARGE instead of
@@ -25,8 +30,13 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from build_pipeline_with_apache_beam_spark.oracle import compare, duck_connect
@@ -37,6 +47,7 @@ def main() -> int:
     con = duck_connect(sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -54,10 +65,21 @@ def main() -> int:
                 n = sdf.count()
                 print(f"ROWS-ONLY {name}: {n} rows  ({time.time()-t0:.1f}s)")
                 n_rows_only += 1
+                results[name] = {"rows_match": None, "schema_match": None,
+                                 "hash_match": None, "spark_rows": n,
+                                 "oracle_rows": None, "err": "no_oracle"}
                 continue
             ok, msg = compare(sdf, con, oracles[name])
+            n = sdf.count()
+            results[name] = {"rows_match": ok or "rowcount" not in msg,
+                             "schema_match": ok or "columns" not in msg,
+                             "hash_match": ok, "spark_rows": n,
+                             "oracle_rows": n if ok else None, "err": None}
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"error: {e}"
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": str(e)[:300]}
         if ok:
             print(f"PASS {name}: {msg}  ({time.time()-t0:.1f}s)")
             n_pass += 1
@@ -66,6 +88,12 @@ def main() -> int:
             n_fail += 1
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} ops)")
     return 1 if n_fail else 0
 
 
