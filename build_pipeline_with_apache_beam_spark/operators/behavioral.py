@@ -988,7 +988,98 @@ def events_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dow", "hour"))
 
 
+KMV_K = 64                 # k-minimum-values sketch size
+KMV_SPACE = 16 ** 12       # 48-bit md5-derived hash space
+
+
+def agg_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches with SET ALGEBRA: a K-minimum-
+    values (KMV) sketch of the distinct-user set per event type, then
+    pairwise union/Jaccard/intersection ESTIMATES read off the merged
+    sketches — the composable alternative to exact
+    ``agg_audience_overlap`` when audiences are billions of users and
+    sketches must be stored and merged across days (KMV merges by
+    keeping the k smallest of the union, which HLL intersection cannot
+    do directly).
+
+    Everything is deterministic and oracle-checkable: the hash is the
+    first 12 hex digits of md5 (portable across engines), the distinct
+    estimate is the exact-integer readout (k-1)·2^48 DIV h_k (exact
+    count when the set is smaller than k), and Jaccard/intersection use
+    integer basis-point division — no float whose rounding could differ
+    between engines.
+
+    Scale shape: sketch build is distinct(type, hash) → per-(type, salt)
+    local top-k windows (each bounded by its salt slice) → per-type
+    top-k over the ≤ 32·k survivors; everything after runs on ≤ |types|·k
+    rows.  No window ever sorts the raw user dimension.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uh = (ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+               16, 10).cast("bigint").alias("h"))
+        .distinct())
+    w_salt = W.partitionBy("event_type", "salt").orderBy("h")
+    w_type = W.partitionBy("event_type").orderBy("h")
+    cand = (uh.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+            .withColumn("rk", F.row_number().over(w_salt))
+            .where(F.col("rk") <= KMV_K))
+    sketch = (cand.withColumn("rk2", F.row_number().over(w_type))
+              .where(F.col("rk2") <= KMV_K).select("event_type", "h"))
+    est = (sketch.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk"))
+           .selectExpr("event_type",
+                       f"CASE WHEN n_sk < {KMV_K} THEN n_sk"
+                       f" ELSE ({KMV_K - 1} * CAST({KMV_SPACE} AS BIGINT))"
+                       " DIV hk END AS est"))
+    types = sketch.select("event_type").distinct()
+    tp = (types.alias("x").join(
+        types.alias("y"),
+        F.col("x.event_type") < F.col("y.event_type"))
+        .select(F.col("x.event_type").alias("type_a"),
+                F.col("y.event_type").alias("type_b")))
+    member = sketch.withColumnRenamed("event_type", "t")
+    u = (tp.join(member, (F.col("t") == F.col("type_a"))
+                 | (F.col("t") == F.col("type_b")))
+         .select("type_a", "type_b", "h").distinct())
+    w_pair = W.partitionBy("type_a", "type_b").orderBy("h")
+    uk = (u.withColumn("rk", F.row_number().over(w_pair))
+          .where(F.col("rk") <= KMV_K))
+    in_a = sketch.select(F.col("event_type").alias("type_a"), "h",
+                         F.lit(1).alias("in_a"))
+    in_b = sketch.select(F.col("event_type").alias("type_b"), "h",
+                         F.lit(1).alias("in_b"))
+    merged = (uk.join(in_a, ["type_a", "h"], "left")
+              .join(in_b, ["type_b", "h"], "left")
+              .groupBy("type_a", "type_b")
+              .agg(F.count(F.lit(1)).alias("n_usk"),
+                   F.max("h").alias("hk"),
+                   F.sum(F.coalesce(F.col("in_a"), F.lit(0))
+                         * F.coalesce(F.col("in_b"), F.lit(0)))
+                   .alias("n_both")))
+    ea = est.select(F.col("event_type").alias("type_a"),
+                    F.col("est").alias("est_a"))
+    eb = est.select(F.col("event_type").alias("type_b"),
+                    F.col("est").alias("est_b"))
+    return (merged.join(F.broadcast(ea), "type_a")
+            .join(F.broadcast(eb), "type_b")
+            .selectExpr(
+                "type_a", "type_b", "est_a", "est_b",
+                f"CASE WHEN n_usk < {KMV_K} THEN n_usk"
+                f" ELSE ({KMV_K - 1} * CAST({KMV_SPACE} AS BIGINT))"
+                " DIV hk END AS est_union",
+                "((10000 * n_both) DIV n_usk)"
+                " / CAST(10000 AS DOUBLE) AS est_jaccard",
+                f"(((10000 * n_both) DIV n_usk)"
+                f" * (CASE WHEN n_usk < {KMV_K} THEN n_usk"
+                f"     ELSE ({KMV_K - 1} * CAST({KMV_SPACE} AS BIGINT))"
+                "      DIV hk END)) DIV 10000 AS est_intersect")
+            .orderBy("type_a", "type_b"))
+
+
 QUERIES = {
+    "agg_kmv_distinct_intersect": agg_kmv_distinct_intersect,
     "events_seasonality_matrix": events_seasonality_matrix,
     "events_point_in_time_features": events_point_in_time_features,
     "events_ratio_metric_delta_ci": events_ratio_metric_delta_ci,
@@ -1030,7 +1121,71 @@ _B64K = """
     + (STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
 """
 
+# first 12 hex digits of md5 as a 48-bit integer — portable across engines
+_MD5_48_SQL = " + ".join(
+    f"(STRPOS('0123456789abcdef', SUBSTRING(MD5({{c}}), {i + 1}, 1)) - 1)"
+    f" * {16 ** (11 - i)}"
+    for i in range(12))
+
+_KMV_EST = ("CASE WHEN {n} < 64 THEN {n}"
+            " ELSE (63 * CAST(281474976710656 AS BIGINT)) // {hk} END")
+
 ORACLE = {
+    "agg_kmv_distinct_intersect": f"""
+        WITH uh AS (
+            SELECT DISTINCT event_type,
+                   CAST({_MD5_48_SQL.format(c="CAST(user_id AS VARCHAR)")}
+                        AS BIGINT) AS h
+            FROM events
+        ), ranked AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rk
+            FROM uh
+        ), sketch AS (SELECT event_type, h FROM ranked WHERE rk <= 64),
+        estv AS (
+            SELECT event_type,
+                   {_KMV_EST.format(n="COUNT(*)", hk="MAX(h)")} AS est
+            FROM sketch GROUP BY event_type
+        ), tp AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM sketch) x
+            JOIN (SELECT DISTINCT event_type FROM sketch) y
+              ON x.event_type < y.event_type
+        ), u AS (
+            SELECT DISTINCT type_a, type_b, h
+            FROM tp JOIN sketch s
+              ON s.event_type = type_a OR s.event_type = type_b
+        ), uk AS (
+            SELECT type_a, type_b, h,
+                   ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY h) AS rk
+            FROM u
+        ), merged AS (
+            SELECT type_a, type_b, COUNT(*) AS n_usk, MAX(uk.h) AS hk,
+                   CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM uk
+            LEFT JOIN sketch a ON a.event_type = uk.type_a AND a.h = uk.h
+            LEFT JOIN sketch b ON b.event_type = uk.type_b AND b.h = uk.h
+            WHERE uk.rk <= 64
+            GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b,
+               CAST(ea.est AS BIGINT) AS est_a,
+               CAST(eb.est AS BIGINT) AS est_b,
+               CAST({_KMV_EST.format(n="n_usk", hk="hk")} AS BIGINT)
+                   AS est_union,
+               ((10000 * n_both) // n_usk) / CAST(10000 AS DOUBLE)
+                   AS est_jaccard,
+               CAST((((10000 * n_both) // n_usk)
+                     * ({_KMV_EST.format(n="n_usk", hk="hk")})) // 10000
+                    AS BIGINT) AS est_intersect
+        FROM merged
+        JOIN estv ea ON ea.event_type = type_a
+        JOIN estv eb ON eb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
     "events_seasonality_matrix": """
         WITH cells AS (
             SELECT dayofweek(ts) AS dow, EXTRACT(hour FROM ts) AS hour,

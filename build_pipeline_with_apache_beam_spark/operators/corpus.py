@@ -1235,7 +1235,94 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+DSIR_BUCKETS = 4096
+
+
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the average log-ratio of a hashed-unigram LM of the
+    TARGET distribution (the src0 slice standing in for a quality
+    domain, as in corpus_contamination_check) over the raw-corpus LM.
+    High scores = docs that look like the target; importance resampling
+    on these weights shifts the pretraining mixture toward the target
+    without a trained classifier.
+
+    Arithmetic is cross-engine exact by construction: the hashed-bucket
+    counts are integers, each bucket's add-1-smoothed log-ratio is
+    frozen to integer basis points ONCE (4096-row model), and a
+    document's score is an exact integer SUM of its tokens' bp values —
+    no float-summation order sensitivity.  Scale shape: one explode pass
+    builds the counts (two-phase agg), the 4096-row LM broadcasts, and
+    the scoring join is map-side only.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = (docs.select("doc_id", "source",
+                        F.explode(F.split(F.lower("text"), " ")).alias("w"))
+            .where(F.col("w") != ""))
+    bucketed = toks.select(
+        "doc_id", "source",
+        F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int").alias("b"))
+    per_bucket = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .alias("tc"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        .alias("rc"))
+    tot = per_bucket.agg(F.sum("tc").alias("t_tot"),
+                         F.sum("rc").alias("r_tot"))
+    lm = (per_bucket.crossJoin(F.broadcast(tot))
+          .selectExpr("b",
+                      f"CAST(ROUND(LN(((tc + 1)"
+                      f" / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))"
+                      f" / ((rc + 1)"
+                      f" / CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE)))"
+                      " * 10000) AS BIGINT) AS ratio_bp"))
+    return (bucketed.where(F.col("source") != "src0")
+            .join(F.broadcast(lm), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_toks"),
+                 F.sum("ratio_bp").alias("sbp"))
+            .selectExpr("doc_id", "n_toks",
+                        "sbp / (CAST(10000 AS DOUBLE) * n_toks)"
+                        " AS dsir_logratio")
+            .orderBy("doc_id"))
+
+
+RESERVOIR_K = 5
+
+
+def corpus_reservoir_sample_per_source(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the k docs with the
+    smallest md5(doc_id) per source — the backfill-stable equivalent of
+    a per-group reservoir sample (re-running over a grown corpus keeps
+    every previously-sampled doc that is still in the k smallest, the
+    property a random reservoir lacks).
+
+    Two-phase min-k, no per-group global sort: a salt-local top-k window
+    bounds every sort to its salt slice, then the per-source top-k runs
+    over at most 16·k survivors per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (docs.select(
+        "source", "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("bigint").alias("h")))
+    w_salt = W.partitionBy("source", "salt").orderBy("h", "doc_id")
+    w_src = W.partitionBy("source").orderBy("h", "doc_id")
+    cand = (h.withColumn("salt", F.pmod(F.col("h"), F.lit(16)))
+            .withColumn("rk", F.row_number().over(w_salt))
+            .where(F.col("rk") <= RESERVOIR_K))
+    return (cand.withColumn("sample_rank", F.row_number().over(w_src))
+            .where(F.col("sample_rank") <= RESERVOIR_K)
+            .select("source", "sample_rank", "doc_id")
+            .orderBy("source", "sample_rank"))
+
+
 QUERIES = {
+    "corpus_dsir_importance": corpus_dsir_importance,
+    "corpus_reservoir_sample_per_source": corpus_reservoir_sample_per_source,
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "corpus_quality_logreg_train": corpus_quality_logreg_train,
     "embedding_kmeans_train": embedding_kmeans_train,
@@ -1275,7 +1362,71 @@ QUERIES = {
 
 _B_TEXT = _BUCKET_64K_SQL.format(c="text")
 
+# 12-bit md5 bucket (3 hex digits) — portable across engines
+_MD5_12BIT_SQL = (
+    "  (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 1, 1)) - 1) * 256"
+    "+ (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 2, 1)) - 1) * 16"
+    "+ (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 3, 1)) - 1)")
+
+# 48-bit md5 hash (12 hex digits) — same construction as behavioral.py
+_MD5_48B_SQL = " + ".join(
+    f"(STRPOS('0123456789abcdef', SUBSTRING(MD5({{c}}), {i + 1}, 1)) - 1)"
+    f" * {16 ** (11 - i)}"
+    for i in range(12))
+
 ORACLE = {
+    "corpus_dsir_importance": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w
+            FROM documents
+        ), tok2 AS (
+            SELECT doc_id, source,
+                   ({_MD5_12BIT_SQL.format(c="w")}) AS b
+            FROM toks WHERE w <> ''
+        ), pb AS (
+            SELECT b,
+                   CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tc,
+                   CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rc
+            FROM tok2 GROUP BY b
+        ), tot AS (
+            SELECT CAST(SUM(tc) AS BIGINT) AS t_tot,
+                   CAST(SUM(rc) AS BIGINT) AS r_tot
+            FROM pb
+        ), lm AS (
+            SELECT b,
+                   CAST(ROUND(LN(((tc + 1)
+                                  / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))
+                                 / ((rc + 1)
+                                  / CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE)))
+                              * 10000) AS BIGINT) AS ratio_bp
+            FROM pb CROSS JOIN tot
+        )
+        SELECT doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(ratio_bp) AS BIGINT)
+               / (CAST(10000 AS DOUBLE) * COUNT(*)) AS dsir_logratio
+        FROM tok2 JOIN lm USING (b)
+        WHERE source <> 'src0'
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "corpus_reservoir_sample_per_source": f"""
+        WITH h AS (
+            SELECT source, doc_id,
+                   CAST({_MD5_48B_SQL.format(c="CAST(doc_id AS VARCHAR)")}
+                        AS BIGINT) AS h
+            FROM documents
+        ), ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS sample_rank
+            FROM h
+        )
+        SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+        FROM ranked WHERE sample_rank <= {RESERVOIR_K}
+        ORDER BY source, sample_rank
+    """,
     "corpus_kl_divergence_sources": """
         WITH tok AS (
             SELECT source, UNNEST(str_split(text, ' ')) AS t FROM documents

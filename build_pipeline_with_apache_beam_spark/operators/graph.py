@@ -294,8 +294,57 @@ def graph_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("component_size"))
 
 
+def graph_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the strong co-supply graph: for the top-20
+    NON-adjacent supplier pairs, the three classic neighborhood scores —
+    common-neighbor count, neighbor-set Jaccard, and Adamic-Adar
+    (Σ 1/ln(deg) over shared neighbors, which discounts promiscuous hubs).
+
+    Scale shape: candidates come from the length-2-path join (cost
+    Σ_x deg(x)² — bounded by the strong graph's degree distribution, not
+    fact rows), existing edges are removed with one anti-join, and the
+    Adamic-Adar term is precomputed per NODE in integer basis points so
+    the per-pair score is an exact integer sum (no float-summation order
+    sensitivity, the discipline every oracle-paired float op here
+    follows).  Jaccard is integer-DIV basis points for the same reason.
+    """
+    strong = _strong_co_supply(spark, sf_dir)
+    sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(strong.select(F.col("v").alias("src"),
+                                   F.col("u").alias("dst"))))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # a common neighbor always has deg >= 2 (it touches both endpoints),
+    # but ANSI mode evaluates the term for deg-1 leaves too — guard it
+    aa = deg.select("src", F.when(F.col("deg") >= 2,
+                                  F.round(10000 / F.log("deg")))
+                    .otherwise(F.lit(0)).cast("bigint").alias("aa_bp"))
+    s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    s2 = sym.select(F.col("src").alias("x2"), F.col("dst").alias("b"))
+    cand = (s1.join(s2, (F.col("x") == F.col("x2"))
+                    & (F.col("a") < F.col("b")))
+            .join(strong.select(F.col("u").alias("a"),
+                                F.col("v").alias("b")),
+                  ["a", "b"], "left_anti"))
+    scored = (cand.join(aa.withColumnRenamed("src", "x"), "x")
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                   F.sum("aa_bp").alias("aa_sum")))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (scored.join(da, "a").join(db, "b")
+            .selectExpr(
+                "a AS supp_a", "b AS supp_b", "common_neighbors",
+                "((10000 * common_neighbors) DIV"
+                " (deg_a + deg_b - common_neighbors))"
+                " / CAST(10000 AS DOUBLE) AS jaccard",
+                "aa_sum / CAST(10000 AS DOUBLE) AS adamic_adar")
+            .orderBy(F.col("common_neighbors").desc(), "supp_a", "supp_b")
+            .limit(20))
+
+
 QUERIES = {
     "graph_component_size_dist": graph_component_size_dist,
+    "graph_link_prediction_scores": graph_link_prediction_scores,
     "graph_khop_reachability": graph_khop_reachability,
     "graph_assortativity": graph_assortativity,
     "graph_degree_distribution": graph_degree_distribution,
@@ -481,4 +530,50 @@ ORACLE = {
         FROM wd CROSS JOIN ec CROSS JOIN tri
     """,
     "graph_pagerank_trade": _PR_SQL,
+    "graph_link_prediction_scores": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM strong
+            UNION ALL
+            SELECT v AS src, u AS dst FROM strong
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+        aa AS (
+            SELECT src, CAST(ROUND(10000 / LN(deg)) AS BIGINT) AS aa_bp
+            FROM deg
+        ),
+        cand AS (
+            SELECT s1.src AS a, s1.dst AS x, s2.dst AS b
+            FROM sym s1 JOIN sym s2
+              ON s1.dst = s2.src AND s1.src < s2.dst
+            WHERE NOT EXISTS (SELECT 1 FROM strong st
+                              WHERE st.u = s1.src AND st.v = s2.dst)
+        ),
+        scored AS (
+            SELECT a, b, COUNT(*) AS common_neighbors,
+                   SUM(aa_bp) AS aa_sum
+            FROM cand JOIN aa ON cand.x = aa.src
+            GROUP BY a, b
+        )
+        SELECT a AS supp_a, b AS supp_b, common_neighbors,
+               ((10000 * common_neighbors)
+                // (da.deg + db.deg - common_neighbors)) / 10000.0
+                   AS jaccard,
+               CAST(aa_sum AS BIGINT) / 10000.0 AS adamic_adar
+        FROM scored
+        JOIN deg da ON scored.a = da.src
+        JOIN deg db ON scored.b = db.src
+        ORDER BY common_neighbors DESC, supp_a, supp_b
+        LIMIT 20
+    """,
 }

@@ -797,7 +797,57 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style LM quality scoring, distributed: train an add-1
+    -smoothed bigram model over HASHED token buckets (256² contexts, so
+    the model is a broadcastable 65k-row table however large the
+    vocabulary), then score every document by its average bigram log-
+    probability — low scores flag gibberish/OCR noise, high scores flag
+    boilerplate, the standard perplexity-band corpus filter.
+
+    Cross-engine exact by the integer-bp discipline: bucket counts are
+    integers, each (b1, b2) log-probability is frozen to basis points
+    once in the model, and a document's score is an exact integer sum of
+    its bigrams' bp values divided out at the end.  Docs with fewer than
+    2 tokens have no bigrams and emit no row (same on both engines).
+
+    Scale shape: one explode pass → two-phase count for the model, the
+    65k-row model broadcasts, and scoring is a map-side join + two-phase
+    agg; nothing shuffles the corpus twice.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    t = (docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+         .where(F.size("toks") >= 2))
+    bi = t.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS w1,"
+        "             element_at(toks, i + 1) AS w2))")).alias("g"))
+    bb = bi.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g.w1"), 1, 2), 16, 10).cast("int")
+        .alias("b1"),
+        F.conv(F.substring(F.md5("g.w2"), 1, 2), 16, 10).cast("int")
+        .alias("b2"))
+    c12 = bb.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("b1").agg(F.sum("c12").alias("c1"))
+    model = (c12.join(c1, "b1")
+             .selectExpr("b1", "b2",
+                         "CAST(ROUND(LN((c12 + 1)"
+                         " / CAST(c1 + 65536 AS DOUBLE)) * 10000)"
+                         " AS BIGINT) AS logp_bp"))
+    return (bb.join(F.broadcast(model), ["b1", "b2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("logp_bp").alias("sbp"))
+            .selectExpr("doc_id", "n_bigrams",
+                        "sbp / (CAST(10000 AS DOUBLE) * n_bigrams)"
+                        " AS avg_logp")
+            .orderBy("doc_id"))
+
+
 QUERIES = {
+    "text_bigram_lm_quality": text_bigram_lm_quality,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_coverage": text_vocab_coverage,
     "text_label_agreement_kappa": text_label_agreement_kappa,
@@ -837,7 +887,46 @@ def _markers_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]) + "]"
 
 
+# 8-bit md5 bucket (2 hex digits) — portable across engines
+_MD5_8BIT = ("((STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 1, 1)) - 1)"
+             " * 16"
+             " + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 2, 1))"
+             " - 1))")
+
 ORACLE = {
+    "text_bigram_lm_quality": f"""
+        WITH t AS (
+            SELECT doc_id, str_split(LOWER(text), ' ') AS toks
+            FROM documents
+        ), bi AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   UNNEST(list_transform(range(1, len(toks)),
+                                         i -> toks[i + 1])) AS w2
+            FROM t
+        ), bb AS (
+            SELECT doc_id,
+                   {_MD5_8BIT.format(c="w1")} AS b1,
+                   {_MD5_8BIT.format(c="w2")} AS b2
+            FROM bi
+        ), c12 AS (
+            SELECT b1, b2, COUNT(*) AS c12 FROM bb GROUP BY b1, b2
+        ), c1 AS (
+            SELECT b1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY b1
+        ), model AS (
+            SELECT b1, b2,
+                   CAST(ROUND(LN((c12 + 1)
+                                 / CAST(c1 + 65536 AS DOUBLE)) * 10000)
+                        AS BIGINT) AS logp_bp
+            FROM c12 JOIN c1 USING (b1)
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(logp_bp) AS BIGINT)
+               / (CAST(10000 AS DOUBLE) * COUNT(*)) AS avg_logp
+        FROM bb JOIN model USING (b1, b2)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "text_tokenizer_fertility": """
         WITH per_doc AS (
             SELECT lang,

@@ -1,0 +1,116 @@
+"""Round-3 operator additions: invariants beyond the DuckDB oracle.
+
+The oracle gate proves Spark ≡ SQL; these tests prove the operators mean
+what they claim (estimator accuracy, sample-size laws, plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_kmv_estimates_track_exact_distinct(spark, sf_dir):
+    """KMV with k=64 has relative SE ≈ 1/sqrt(k-2) ≈ 13%; demand every
+    per-type estimate lands within 40% of the exact distinct count and
+    exact-mode types (distinct < k) are exactly right."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        KMV_K,
+        agg_kmv_distinct_intersect,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    out = agg_kmv_distinct_intersect(spark, sf_dir).collect()
+    assert out, "no pairs"
+    seen = {}
+    for r in out:
+        seen[r["type_a"]] = r["est_a"]
+        seen[r["type_b"]] = r["est_b"]
+        # intersection can never exceed the smaller set's estimate
+        assert r["est_intersect"] <= min(r["est_a"], r["est_b"]) + 1
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.6
+    for t, est in seen.items():
+        if exact[t] < KMV_K:
+            assert est == exact[t], (t, est, exact[t])
+        else:
+            assert abs(est - exact[t]) / exact[t] < 0.40, (t, est, exact[t])
+
+
+def test_reservoir_sample_is_fixed_k_and_stable(spark, sf_dir):
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        RESERVOIR_K,
+        corpus_reservoir_sample_per_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = {r["source"]: r["n"] for r in
+               docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out = corpus_reservoir_sample_per_source(spark, sf_dir).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    for src, n in per_src.items():
+        assert len(by_src[src]) == min(n, RESERVOIR_K)
+    # deterministic: a second run yields the identical sample
+    again = corpus_reservoir_sample_per_source(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dsir_scores_favor_target_like_docs(spark, sf_dir):
+    """Docs sharing vocabulary with the src0 target must average a higher
+    importance log-ratio than the corpus at large: check the top-decile
+    mean exceeds the bottom-decile mean (the resampling signal exists)."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_dsir_importance,
+    )
+
+    rows = sorted(corpus_dsir_importance(spark, sf_dir).collect(),
+                  key=lambda r: r["dsir_logratio"])
+    k = max(len(rows) // 10, 1)
+    bottom = sum(r["dsir_logratio"] for r in rows[:k]) / k
+    top = sum(r["dsir_logratio"] for r in rows[-k:]) / k
+    assert top > bottom
+    assert all(abs(r["dsir_logratio"]) < 20 for r in rows)  # sane magnitudes
+
+
+def test_bigram_lm_model_broadcasts_and_scores_every_long_doc(spark, sf_dir):
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.text import (
+        text_bigram_lm_quality,
+    )
+
+    df = text_bigram_lm_quality(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    docs = load_table(spark, sf_dir, "documents")
+    n_long = docs.where(F.size(F.split(F.lower("text"), " ")) >= 2).count()
+    assert df.count() == n_long
+    # every average bigram log-prob is negative (it is a log-probability)
+    assert df.where(F.col("avg_logp") >= 0).count() == 0
+
+
+def test_link_prediction_scores_are_nonadjacent_and_bounded(spark, sf_dir):
+    from build_pipeline_with_apache_beam_spark.operators.graph import (
+        _strong_co_supply,
+        graph_link_prediction_scores,
+    )
+
+    # the tiny test sf can yield a strong graph with no non-adjacent
+    # 2-paths; score against sf0.01 where the graph has structure
+    sf_dir = "/root/testdata/sf0.01"
+    out = graph_link_prediction_scores(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    strong = {(r["u"], r["v"])
+              for r in _strong_co_supply(spark, sf_dir).collect()}
+    for r in out:
+        assert (r["supp_a"], r["supp_b"]) not in strong  # non-adjacent only
+        assert r["supp_a"] < r["supp_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["common_neighbors"] >= 1
+        assert r["adamic_adar"] > 0
