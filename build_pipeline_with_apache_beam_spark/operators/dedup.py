@@ -578,6 +578,26 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+SHINGLE_DF_CAP = 4096   # drop stop-shingles hotter than this many docs
+
+
+def eval_hot_shingles(spark: SparkSession, sf_dir: str,
+                      df_cap: int | None = None) -> DataFrame:
+    """The dropped mass the recall-eval df-cap removes: (h, df) for every
+    shingle hash whose document frequency exceeds the cap.  The
+    reportable companion of ``dedup_minhash_recall_eval``'s inverted
+    index, mirroring ``lsh_hot_bands`` — a capped stop-shingle is an
+    explicit, quantified decision, never an invisible one."""
+    cap = SHINGLE_DF_CAP if df_cap is None else df_cap
+    shingled = _docs_with_shingles(spark, sf_dir)
+    inv = (shingled.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s)))).alias("h")))
+    return (inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap))
+
+
 def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation: precision/recall/F1 of the MinHash+LSH
     pipeline against COMPLETE exact shingle-Jaccard ground truth — the
@@ -588,8 +608,14 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins only documents that share at least one shingle (any pair with
     Jaccard > 0 appears; pairs sharing nothing can't reach the threshold),
     so the cost is Σ_shingle C(df, 2) — bounded by shingle document
-    frequency, not |docs|².  A production run caps df (drops stop-shingle
-    buckets hotter than N docs) exactly like the LSH band-cap.
+    frequency, not |docs|².  Shingles hotter than ``SHINGLE_DF_CAP`` docs
+    (stop-shingle boilerplate, the Σ C(df,2) blow-up term) are DROPPED
+    from the index via an anti-join, the same guard as the LSH band cap;
+    ``eval_hot_shingles`` reports exactly what was dropped (no silent
+    caps), and because n_common can only shrink while set sizes stay
+    exact, a capped truth is a strict SUBSET of the uncapped truth —
+    conservative, never inflated.  The default cap is far above any df
+    in the test corpora, so the shipped numbers are uncapped.
 
     Because the LSH pipeline exact-verifies its candidates, precision is
     1.0 by construction; recall isolates banding misses (pairs whose
@@ -603,6 +629,10 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sh")), sf_dir, "mh_eval_sets")
     sizes = hashed.select("doc_id", F.size("sh").alias("n"))
     inv = hashed.select("doc_id", F.explode("sh").alias("h"))
+    hot = (inv.groupBy("h")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > SHINGLE_DF_CAP).select("h"))
+    inv = inv.join(F.broadcast(hot), "h", "left_anti")
     common = (inv.alias("a")
               .join(inv.alias("b"), (F.col("a.h") == F.col("b.h"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -387,3 +387,25 @@ def test_lsh_band_cap_drops_hot_band_and_reports_mass(spark):
     assert hot.count() == 4  # all 4 bands of the hot family, none cold
     assert all(r["n_docs"] == 6 for r in hot.collect())
     assert lsh_hot_bands(sigs16, band_cap=10000).count() == 0
+
+
+def test_recall_eval_df_cap_is_conservative_and_reported(spark, sf_dir):
+    """Forcing a low stop-shingle df-cap must only SHRINK the ground
+    truth (conservative subset — n_common can only drop while set sizes
+    stay exact), keep the precision law intact, and report the dropped
+    shingles via eval_hot_shingles."""
+    import build_pipeline_with_apache_beam_spark.operators.dedup as dd
+
+    base = dd.dedup_minhash_recall_eval(spark, sf_dir).collect()[0]
+    assert dd.eval_hot_shingles(spark, sf_dir).count() == 0  # default: uncapped
+    orig = dd.SHINGLE_DF_CAP
+    try:
+        dd.SHINGLE_DF_CAP = 2
+        capped = dd.dedup_minhash_recall_eval(spark, sf_dir).collect()[0]
+        hot = dd.eval_hot_shingles(spark, sf_dir, df_cap=2)
+        assert hot.count() > 0
+        assert all(r["df"] > 2 for r in hot.collect())
+    finally:
+        dd.SHINGLE_DF_CAP = orig
+    assert capped["n_truth_pairs"] <= base["n_truth_pairs"]
+    assert capped["n_predicted_pairs"] == base["n_predicted_pairs"]
