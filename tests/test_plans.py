@@ -468,3 +468,21 @@ def test_pareto_threshold_has_no_unpartitioned_window(
     n_partitioned = plan.count("windowspecdefinition(bucket#")
     assert n_specs > 0 and n_specs == n_partitioned, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_and_bigram_models_broadcast(spark, sf_dir, registry):
+    """The 4096-row DSIR LM and 65k-row bigram LM must broadcast to the
+    scoring join — the corpus side is never shuffled for the model."""
+    for op in ("corpus_dsir_importance", "text_bigram_lm_quality"):
+        plan = plan_of(registry[op](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (op, plan)
+
+
+def test_kmv_windows_never_sort_raw_users(spark, sf_dir, registry):
+    """Every KMV window is partitioned (type,salt) or (type/pair) over
+    already-bounded inputs — no unpartitioned window over user hashes."""
+    df = registry["agg_kmv_distinct_intersect"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_specs = plan.count("windowspecdefinition(")
+    n_unpart = plan.count("windowspecdefinition(h#")
+    assert n_specs > 0 and n_unpart == 0, plan
