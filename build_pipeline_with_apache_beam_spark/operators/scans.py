@@ -423,7 +423,65 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("o_totalprice", 4).alias("o_totalprice")))
 
 
+def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet FOOTER introspection: per row group of the
+    lineitem table, its row count, column-chunk count, and compressed
+    byte size — the pruning diagnostic that tells you whether min/max
+    row-group skipping can work at all (one giant row group per file =
+    no skipping; thousands of tiny ones = footer bloat).
+
+    The file list is bounded driver-side metadata (a SQL VALUES literal,
+    never a Python-RDD build side); footer reads fan out over
+    ``mapInPandas`` so a 100 TB lake's million footers are opened on
+    executors, ~8 KB each, no data pages touched.  Rows-only by design:
+    the DuckDB twin (``parquet_metadata()``) needs a literal path, which
+    a static oracle string cannot carry across scale factors —
+    tests/test_new_ops_r3.py checks parity against both DuckDB and
+    pyarrow at the test sf instead.
+
+    Reference parity: this is the engine-side replacement for the
+    reference's GCS object listing + per-object stats loop
+    (normalization.py:53-79), which pulled every blob's metadata through
+    the driver one HTTP call at a time.
+    """
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    rows = ", ".join(f"('{f}')" for f in files)
+    flist = (spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(path)")
+             .repartition(min(len(files), 32)))
+
+    def prof(batches):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    out.append((
+                        _os.path.basename(p), i, rg.num_rows, rg.num_columns,
+                        sum(rg.column(j).total_compressed_size
+                            for j in range(rg.num_columns))))
+            yield pd.DataFrame(out, columns=[
+                "file_name", "row_group_id", "num_rows", "n_col_chunks",
+                "compressed_bytes"])
+
+    schema = ("file_name string, row_group_id int, num_rows bigint, "
+              "n_col_chunks int, compressed_bytes bigint")
+    return (flist.mapInPandas(prof, schema)
+            .orderBy("file_name", "row_group_id"))
+
+
 QUERIES = {
+    "scan_parquet_rowgroup_profile": scan_parquet_rowgroup_profile,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_json_multiline": scan_json_multiline,
     "scan_observe_metrics": scan_observe_metrics,

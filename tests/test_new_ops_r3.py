@@ -114,3 +114,30 @@ def test_link_prediction_scores_are_nonadjacent_and_bounded(spark, sf_dir):
         assert 0.0 <= r["jaccard"] <= 1.0
         assert r["common_neighbors"] >= 1
         assert r["adamic_adar"] > 0
+
+
+def test_rowgroup_profile_matches_duckdb_and_pyarrow(spark, sf_dir):
+    """The distributed footer profile must byte-match DuckDB's
+    parquet_metadata() aggregation and pyarrow's footer reads (the op is
+    rows-only because a static oracle string cannot carry a dynamic
+    path, so the differential check lives here)."""
+    import os
+
+    import duckdb
+
+    from build_pipeline_with_apache_beam_spark.operators.scans import (
+        scan_parquet_rowgroup_profile,
+    )
+
+    got = [tuple(r) for r in
+           scan_parquet_rowgroup_profile(spark, sf_dir).collect()]
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    glob = os.path.join(path, "*.parquet") if os.path.isdir(path) else path
+    want = duckdb.connect().execute(f"""
+        SELECT regexp_extract(file_name, '[^/]+$'), row_group_id,
+               MAX(row_group_num_rows), COUNT(*),
+               CAST(SUM(total_compressed_size) AS BIGINT)
+        FROM parquet_metadata('{glob}')
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    assert got == [tuple(r) for r in want]
+    assert all(r[2] > 0 and r[4] > 0 for r in got)
