@@ -66,6 +66,12 @@ SCALE_OPS = [
     "dedup_minhash_recall_eval", "corpus_span_corruption",
     "agg_heavy_hitters_exact",
     "join_range_gap_histogram",   # bounded-output twin of the range join
+    # round-3 additions: sketch set algebra, importance weights, bigram LM,
+    # link prediction, min-k sampling, footer profiling, exact containment
+    "agg_kmv_distinct_intersect", "corpus_dsir_importance",
+    "text_bigram_lm_quality", "graph_link_prediction_scores",
+    "corpus_reservoir_sample_per_source", "scan_parquet_rowgroup_profile",
+    "dedup_containment", "agg_pareto_threshold",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
