@@ -148,6 +148,43 @@ class TxTable:
         return (merged.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_pri", "_rn"))
 
+    def compact(self, target_file_bytes: int = 128 << 20,
+                max_retries: int = 10) -> int:
+        """Small-files compaction: rewrite the latest snapshot into
+        ``ceil(total_bytes / target_file_bytes)`` files and commit the
+        rewrite as a NEW version (copy-on-write, so readers of the old
+        version are untouched and time travel still works).
+
+        This is the maintenance op every streaming/lakehouse ingest needs
+        at scale: micro-batch appends leave thousands of KB-sized files
+        whose per-file open/footer cost dominates scans.  ``coalesce``
+        (not ``repartition``) does the rewrite — merging partitions needs
+        no shuffle, so compaction cost is one read + one write of the
+        data.  Commits race like any other writer: on conflict the
+        rewrite re-reads the winner's snapshot (which may contain new
+        rows) and compacts that instead, so no committed row is lost.
+        """
+        import math
+
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            data = self._manifest(base_v)["data"]
+            src = os.path.join(self.root, data)
+            total = sum(os.path.getsize(os.path.join(src, f))
+                        for f in os.listdir(src) if f.endswith(".parquet"))
+            n_target = max(1, math.ceil(total / target_file_bytes))
+            data_dir = self._write_snapshot(
+                self.read(base_v).coalesce(n_target))
+            if self._try_commit(base_v + 1, data_dir, parent=base_v):
+                return base_v + 1
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise CommitConflict(f"gave up after {max_retries} conflicts")
+
+    def data_file_count(self, version: int | None = None) -> int:
+        v = self.latest_version() if version is None else version
+        src = os.path.join(self.root, self._manifest(v)["data"])
+        return sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+
     def vacuum(self, keep_last: int = 1,
                min_age_seconds: float = 3600.0) -> None:
         """Drop data dirs not referenced by the ``keep_last`` newest
@@ -248,9 +285,42 @@ def merge_acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey"))
 
 
+def merge_acid_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a committed table version: fragment the
+    demo table's snapshot into 64 files (the shape a micro-batch ingest
+    leaves behind), compact to ~1 MB targets, and report the before/after
+    file counts and row counts from the commit log.  Rows-only: file
+    layout is invisible to a SQL oracle; tests assert rows are preserved
+    byte-identically and the pre-compaction version stays readable
+    (time travel across maintenance)."""
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    root = os.path.join(SCRATCH, "txtable",
+                        source_tag(sf_dir, "customer"), "compactdemo")
+    shutil.rmtree(root, ignore_errors=True)
+    base, changes = _demo_changeset(spark, sf_dir)
+    table = TxTable(spark, root)
+    table.create(base.repartition(64))  # deliberately fragmented
+    v_before = table.latest_version()
+    files_before = table.data_file_count(v_before)
+    rows_before = table.read(v_before).count()
+    v_after = table.compact(target_file_bytes=1 << 20)
+    return spark.sql(
+        f"""SELECT {v_before} AS version_before, {v_after} AS version_after,
+                   {files_before} AS n_files_before,
+                   {table.data_file_count(v_after)} AS n_files_after,
+                   CAST({rows_before} AS BIGINT) AS n_rows_before,
+                   CAST({table.read(v_after).count()} AS BIGINT)
+                       AS n_rows_after""")
+
+
 QUERIES = {
     "merge_upsert_acid": merge_upsert_acid,
     "merge_acid_version_diff": merge_acid_version_diff,
+    "merge_acid_compaction": merge_acid_compaction,
 }
 
 ORACLE = {

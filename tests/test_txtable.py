@@ -129,3 +129,44 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
     assert got[1] == "gold" and got[2] == "gold"
     assert all(got[k] is None for k in got if k not in (1, 2))
     assert set(t.read(1).columns) == {"k", "v"}  # history keeps its schema
+
+
+def test_compaction_preserves_rows_and_time_travel(spark, sf_dir):
+    """compact() must reduce the file count, preserve every row
+    byte-identically, and leave the pre-compaction version readable."""
+    from build_pipeline_with_apache_beam_spark.sources.txtable import (
+        merge_acid_compaction,
+    )
+
+    r = merge_acid_compaction(spark, sf_dir).collect()[0]
+    assert r["version_after"] == r["version_before"] + 1
+    assert r["n_files_after"] < r["n_files_before"]
+    assert r["n_files_before"] == 64
+    assert r["n_rows_after"] == r["n_rows_before"]
+
+
+def test_compaction_rows_identical_and_old_version_readable(spark, sf_dir):
+    import os
+    import shutil
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+    from build_pipeline_with_apache_beam_spark.sources.txtable import (
+        TxTable,
+        _demo_changeset,
+    )
+
+    root = os.path.join(SCRATCH, "txtable", source_tag(sf_dir, "customer"),
+                        "compact_t2")
+    shutil.rmtree(root, ignore_errors=True)
+    base, _ = _demo_changeset(spark, sf_dir)
+    t = TxTable(spark, root)
+    t.create(base.repartition(16))
+    v2 = t.compact(target_file_bytes=1 << 30)  # everything into one file
+    assert t.data_file_count(v2) == 1
+    before = sorted(map(tuple, t.read(1).collect()))
+    after = sorted(map(tuple, t.read(v2).collect()))
+    assert before == after              # byte-identical rows
+    assert t.read(1).count() == len(before)  # time travel intact
