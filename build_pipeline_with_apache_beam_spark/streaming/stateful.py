@@ -85,12 +85,17 @@ def q_stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink_dir)
 
-    q = (stateful_user_agg(stream)
-         .writeStream.foreachBatch(sink_batch)
-         .option("checkpointLocation", ckpt_dir)
-         .outputMode("update")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    from build_pipeline_with_apache_beam_spark.streaming.windows import (
+        _state_partitions,
+    )
+
+    with _state_partitions(spark):
+        q = (stateful_user_agg(stream)
+             .writeStream.foreachBatch(sink_batch)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
 
     return spark.read.parquet(sink_dir)
 
@@ -170,11 +175,16 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
         def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(sink_dir)
 
-        q = (out.writeStream.foreachBatch(sink_batch)
-             .option("checkpointLocation", ckpt_dir)
-             .outputMode("update")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        from build_pipeline_with_apache_beam_spark.streaming.windows import (
+            _state_partitions,
+        )
+
+        with _state_partitions(spark):
+            q = (out.writeStream.foreachBatch(sink_batch)
+                 .option("checkpointLocation", ckpt_dir)
+                 .outputMode("update")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
