@@ -74,9 +74,11 @@ def q_stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(SCRATCH, f"state_ckpt_{sf_tag}")
     for d in (src_dir, sink_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src_dir)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src_dir, "events.parquet"))
+    from build_pipeline_with_apache_beam_spark.streaming.windows import (
+        _stage_events_source,
+    )
+
+    _stage_events_source(sf_dir, src_dir)
 
     raw_schema = spark.read.parquet(src_dir).schema
     stream = (spark.readStream.schema(raw_schema).parquet(src_dir)
@@ -152,9 +154,11 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
     ckpt_dir = os.path.join(SCRATCH, f"tws_ckpt_{sf_tag}")
     for d in (src_dir, sink_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src_dir)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src_dir, "events.parquet"))
+    from build_pipeline_with_apache_beam_spark.streaming.windows import (
+        _stage_events_source,
+    )
+
+    _stage_events_source(sf_dir, src_dir)
 
     # transformWithState requires the RocksDB state store provider
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)

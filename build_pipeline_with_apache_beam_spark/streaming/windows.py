@@ -57,6 +57,22 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _stage_events_source(sf_dir: str, src_dir: str) -> None:
+    """Copy the events table into a fresh stream-source dir, handling both
+    layouts: driver testdata ships one parquet FILE, while Spark-written
+    scale-up tables are DIRECTORIES of part files (each part file lands
+    flat in src_dir, so the file-source stream sees them all)."""
+    os.makedirs(src_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        for i, name in enumerate(sorted(os.listdir(src))):
+            if name.endswith(".parquet"):
+                shutil.copy(os.path.join(src, name),
+                            os.path.join(src_dir, f"events-{i:05d}.parquet"))
+    else:
+        shutil.copy(src, os.path.join(src_dir, "events.parquet"))
+
+
 def _time_sliced(df: DataFrame, n: int, ts_col: str = "ts") -> DataFrame:
     """Add ``part`` ∈ 1..n splitting rows into time-ordered slices.
 
@@ -157,9 +173,7 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(SCRATCH, f"stream_ckpt_{sf_tag}")
     for d in (src_dir, sink_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src_dir)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src_dir, "events.parquet"))
+    _stage_events_source(sf_dir, src_dir)
 
     # raw parquet schema (ts is INT64 nanos under nanosAsLong): the stream
     # must declare what is physically in the files, not the converted view
@@ -376,10 +390,10 @@ def q_stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(SCRATCH, f"enrich_ckpt_{sf_tag}")
     for d in (sink_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
-    if not os.path.exists(src_dir):
-        os.makedirs(src_dir)
-        shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                    os.path.join(src_dir, "events.parquet"))
+    if not (os.path.isdir(src_dir)
+            and any(f.endswith(".parquet") for f in os.listdir(src_dir))):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _stage_events_source(sf_dir, src_dir)
 
     # static dimension: user → segment (derived deterministically so the
     # batch oracle can rebuild it)
