@@ -309,7 +309,16 @@ def _tiled_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("toks").alias("toks_b"),
                        F.col("sub").alias("sub_b"),
                        partner.alias("tile_a"))
-    return a.join(b, (F.col("source") == F.col("source_b"))
+    # shuffle_hash hint: Catalyst's size estimate for the build side
+    # ignores the token-array payload and the partner-tile explode, so
+    # left alone it BROADCASTS the whole corpus slice and runs every
+    # pair comparison inside the probe side's input-split tasks —
+    # parallelism capped at file count, per-task work unbounded, the
+    # exact failure tiling exists to prevent (observed at sf10: 20
+    # stuck scan tasks).  Forcing a shuffle join makes the tile key
+    # (source, sub, tile) the partition key, which is the whole point.
+    return a.join(b.hint("shuffle_hash"),
+                  (F.col("source") == F.col("source_b"))
                   & (F.col("sub_a") == F.col("tile_a"))
                   & (F.col("tile_b") == F.col("sub_b"))
                   & (F.col("doc_a") < F.col("doc_b")))
