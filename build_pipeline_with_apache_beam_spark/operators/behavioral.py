@@ -1078,7 +1078,87 @@ def agg_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("type_a", "type_b"))
 
 
+CEP_PATTERN = "v+c*p"  # views, optional clicks, then a purchase
+
+
+def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event-pattern detection (the Flink CEP
+    / SQL:2016 row-pattern shape Spark has no native operator for): encode
+    each user-day's ordered event stream as a code string (c/v/p/s/e =
+    first letter of the event type) and run the pattern regex over it —
+    `v+c*p` finds view-browse-then-purchase journeys, non-overlapping
+    greedy matches exactly like MATCH_RECOGNIZE's default AFTER MATCH SKIP
+    PAST LAST ROW.
+
+    Scale shape: grouping by (user_id, day) bounds the per-group string at
+    one day of one user's events — state never grows with corpus history
+    (the streaming twin would be a session/tumbling window).  One shuffle
+    to group, then the regex is a JVM-side string kernel inside
+    whole-stage codegen; no Python, no self-join, no window function.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    coded = ev.select("user_id", day, "ts", "event_id",
+                      F.substring("event_type", 1, 1).alias("code"))
+    journeys = (coded.groupBy("user_id", "day")
+                .agg(F.concat_ws(
+                    "", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("ts", "event_id", "code"))),
+                        lambda s: s["code"])).alias("journey")))
+    return (journeys.select(
+        "user_id", "day",
+        F.length("journey").cast("bigint").alias("journey_len"),
+        F.regexp_count("journey", F.lit(CEP_PATTERN)).cast("bigint")
+         .alias("n_matches"),
+        F.regexp_extract("journey", CEP_PATTERN, 0).alias("first_match"))
+        .where(F.col("n_matches") > 0))
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without an equi key: which user sessions were
+    concurrently active?  The canonical temporal/genomic overlap-join shape
+    — two interval sets, output where [a_start,a_end] ∩ [b_start,b_end] ≠ ∅.
+
+    A naive overlap theta-join is O(N²).  Bucketizing the time axis by day
+    and exploding each session over `sequence(start_day, end_day)` turns it
+    into an EQUI join on the day bucket with the exact overlap predicate as
+    an in-bucket residual.  Double counting (a pair meeting in several
+    buckets) is eliminated WITHOUT a distinct: a pair is emitted only in
+    the bucket that contains the overlap's start, `greatest(a_start,
+    b_start)` — the standard dedup trick for decomposed interval joins.
+    Output is the bounded per-day concurrency audit, not the raw pairspace.
+    Sessions come from the registered sessionizer, so the whole chain stays
+    one lineage: sessionize (1 shuffle) → bucket-explode → equi-join →
+    aggregate.
+    """
+    sess = sessionize_events(spark, sf_dir).select(
+        "user_id", "session_seq",
+        F.col("session_start").alias("s0"), F.col("session_end").alias("s1"))
+    a = (sess.select(F.col("user_id").alias("ua"), F.col("s0").alias("a0"),
+                     F.col("s1").alias("a1"))
+         .withColumn("bkt", F.explode(F.sequence(
+             F.to_date("a0"), F.to_date("a1")))))
+    b = (sess.select(F.col("user_id").alias("ub"), F.col("s0").alias("b0"),
+                     F.col("s1").alias("b1"))
+         .withColumn("bkt_b", F.explode(F.sequence(
+             F.to_date("b0"), F.to_date("b1")))))
+    pairs = (a.join(b, (F.col("bkt") == F.col("bkt_b"))
+                    & (F.col("ua") < F.col("ub"))
+                    & (F.col("a0") <= F.col("b1"))
+                    & (F.col("b0") <= F.col("a1"))
+                    # emit once: only in the bucket holding the overlap start
+                    & (F.to_date(F.greatest("a0", "b0")) == F.col("bkt")))
+             .select("bkt", "ua", "ub"))
+    return (pairs.groupBy(F.col("bkt").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_overlaps"),
+                 F.countDistinct("ua", "ub").alias("n_user_pairs"))
+            .orderBy("day"))
+
+
 QUERIES = {
+    "events_pattern_match_cep": events_pattern_match_cep,
+    "join_interval_overlap": join_interval_overlap,
     "agg_kmv_distinct_intersect": agg_kmv_distinct_intersect,
     "events_seasonality_matrix": events_seasonality_matrix,
     "events_point_in_time_features": events_point_in_time_features,
@@ -1131,6 +1211,48 @@ _KMV_EST = ("CASE WHEN {n} < 64 THEN {n}"
             " ELSE (63 * CAST(281474976710656 AS BIGINT)) // {hk} END")
 
 ORACLE = {
+    "events_pattern_match_cep": f"""
+        WITH j AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   STRING_AGG(SUBSTRING(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT user_id, day,
+               CAST(LENGTH(journey) AS BIGINT) AS journey_len,
+               CAST(LEN(regexp_extract_all(journey, '{CEP_PATTERN}')) AS BIGINT)
+                   AS n_matches,
+               regexp_extract(journey, '{CEP_PATTERN}') AS first_match
+        FROM j
+        WHERE LEN(regexp_extract_all(journey, '{CEP_PATTERN}')) > 0
+    """,
+    "join_interval_overlap": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, session_seq, MIN(ts) AS s0, MAX(ts) AS s1
+            FROM numbered GROUP BY user_id, session_seq
+        ), pairs AS (
+            SELECT CAST(GREATEST(a.s0, b.s0) AS DATE) AS day,
+                   a.user_id AS ua, b.user_id AS ub
+            FROM sess a JOIN sess b
+              ON a.user_id < b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
+        )
+        SELECT day, COUNT(*) AS n_overlaps,
+               COUNT(DISTINCT (ua, ub)) AS n_user_pairs
+        FROM pairs GROUP BY day ORDER BY day
+    """,
     "agg_kmv_distinct_intersect": f"""
         WITH uh AS (
             SELECT DISTINCT event_type,

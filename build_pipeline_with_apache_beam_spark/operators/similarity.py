@@ -432,7 +432,70 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+SEMDEDUP_TAU = 0.5  # near-duplicate cosine threshold inside a cluster
+
+
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embeddings with sample-trained k-means, and inside each cluster
+    remove every vector that has an above-threshold cosine neighbor closer
+    to the cluster centroid — keeping, per near-duplicate neighborhood, the
+    member farthest from the centroid (the paper's diversity-preserving
+    keep rule).
+
+    Scale shape: the pairwise stage is confined to (cell, sub_block) blocks
+    — cells come from the bounded-sample codebook (driver holds k×d
+    centroids only, the assignment scan is distributed), hot cells are
+    sub-split by the same MAX_BLOCK cap as ``dedup_embedding_cosine``, so
+    every block's quadratic term is bounded regardless of corpus size.  The
+    removal decision is one anti-join: X is removed iff some same-block Y
+    with cos(X,Y) ≥ τ sits strictly closer to the centroid (ties broken by
+    vec_id), which needs no transitive closure and exactly one pass.
+    Output is the bounded per-cell audit (kept/removed counts), the form a
+    100 TB curation run logs.  Rows-only: k-means cells are not portable
+    SQL; tests assert the keep-rule invariants.
+    """
+    emb = (_with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+           .select("vec_id", "vec").persist())
+    cents = _ivf_codebook(emb)
+    assigned = (emb
+                .withColumn("dots", _cell_dots(F.col("vec"), cents))
+                .withColumn("cell", _argmax_cell(F.col("dots")))
+                .withColumn("cent_sim", F.round(F.array_max("dots"), 6))
+                .drop("dots"))
+    sizes = assigned.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
+    blocked = (assigned.join(F.broadcast(sizes), "cell")
+               .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")))
+               .select("vec_id", "vec", "cell", "sub", "cent_sim"))
+    a = blocked.select(F.col("vec_id").alias("xid"), F.col("vec").alias("xv"),
+                       "cell", "sub", F.col("cent_sim").alias("xsim"))
+    b = blocked.select(F.col("vec_id").alias("yid"), F.col("vec").alias("yv"),
+                       F.col("cell").alias("cell_b"), F.col("sub").alias("sub_b"),
+                       F.col("cent_sim").alias("ysim"))
+    # X removed iff ∃ same-block Y: cos ≥ τ and Y closer to centroid
+    # (centroid-similarity DESC, vec_id ASC order decides the survivor)
+    removed = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                      & (F.col("sub") == F.col("sub_b"))
+                      & (F.col("xid") != F.col("yid"))
+                      & (_dot(F.col("xv"), F.col("yv")) >= SEMDEDUP_TAU)
+                      & ((F.col("ysim") > F.col("xsim"))
+                         | ((F.col("ysim") == F.col("xsim"))
+                            & (F.col("yid") < F.col("xid")))))
+               .select(F.col("xid").alias("vec_id")).distinct()
+               .withColumn("removed", F.lit(1)))
+    return (assigned.join(removed, "vec_id", "left")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(F.coalesce("removed", F.lit(0))).alias("n_removed"),
+                 (F.count(F.lit(1))
+                  - F.sum(F.coalesce("removed", F.lit(0)))).alias("n_kept"),
+                 F.round(F.avg("cent_sim"), 4).alias("avg_cent_sim"))
+            .orderBy("cell"))
+
+
 QUERIES = {
+    "corpus_semdedup": corpus_semdedup,
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_mmr_rerank": sim_mmr_rerank,
     "sim_cosine_pairs": sim_cosine_pairs,

@@ -141,3 +141,104 @@ def test_rowgroup_profile_matches_duckdb_and_pyarrow(spark, sf_dir):
         GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
     assert got == [tuple(r) for r in want]
     assert all(r[2] > 0 and r[4] > 0 for r in got)
+
+
+def test_semdedup_matches_numpy_replica(spark, sf_dir):
+    """corpus_semdedup's removal decision, replicated independently in
+    numpy on the collected test corpus (where every cell fits one block),
+    must agree cell-by-cell — and the keep-rule laws must hold."""
+    import numpy as np
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        _ivf_codebook,
+        _with_unit_vec,
+        corpus_semdedup,
+    )
+
+    out = {r["cell"]: r for r in corpus_semdedup(spark, sf_dir).collect()}
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings")) \
+        .select("vec_id", "vec")
+    pdf = emb.toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["vec"].values)
+    ids = pdf["vec_id"].to_numpy()
+    cents = np.array(_ivf_codebook(emb))
+    dots = vecs @ cents.T
+    cell = dots.argmax(axis=1)
+    csim = np.round(dots.max(axis=1), 6)
+    removed_per_cell = {}
+    for c in np.unique(cell):
+        m = cell == c
+        cv, cid, cs = vecs[m], ids[m], csim[m]
+        sim = cv @ cv.T
+        n_removed = 0
+        for i in range(len(cid)):
+            dup = (sim[i] >= SEMDEDUP_TAU) & (
+                (cs > cs[i]) | ((cs == cs[i]) & (cid < cid[i])))
+            dup[i] = False
+            n_removed += bool(dup.any())
+        removed_per_cell[int(c)] = n_removed
+    assert set(out) == set(int(c) for c in np.unique(cell))
+    for c, row in out.items():
+        assert row["n_kept"] + row["n_removed"] == row["n_vectors"]
+        assert row["n_kept"] >= 1  # the farthest-from-centroid member survives
+        assert row["n_removed"] == removed_per_cell[c], (
+            c, row["n_removed"], removed_per_cell[c])
+
+
+def test_cep_pattern_matches_python_re(spark, sf_dir):
+    """The CEP journey matcher must agree with Python's re over journeys
+    rebuilt independently (greedy non-overlapping scan = re.findall)."""
+    import re
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        CEP_PATTERN,
+        events_pattern_match_cep,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("code")).collect()
+    journeys = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        journeys.setdefault((r["user_id"], r["day"]), []).append(r["code"])
+    want = {}
+    for k, codes in journeys.items():
+        j = "".join(codes)
+        hits = re.findall(CEP_PATTERN, j)
+        if hits:
+            want[k] = (len(j), len(hits), hits[0])
+    got = {(r["user_id"], r["day"]):
+           (r["journey_len"], r["n_matches"], r["first_match"])
+           for r in events_pattern_match_cep(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_interval_overlap_spot_day_brute_force(spark, sf_dir):
+    """Bucket-decomposed overlap join must count each overlapping session
+    pair exactly once: brute-force the busiest day driver-side."""
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        join_interval_overlap,
+        sessionize_events,
+    )
+
+    out = join_interval_overlap(spark, sf_dir).collect()
+    assert out == sorted(out, key=lambda r: r["day"])
+    assert all(r["n_user_pairs"] <= r["n_overlaps"] for r in out)
+    busiest = max(out, key=lambda r: r["n_overlaps"])
+    sess = sessionize_events(spark, sf_dir).select(
+        "user_id", F.col("session_start").alias("s0"),
+        F.col("session_end").alias("s1")).collect()
+    n, pairs = 0, set()
+    for i, a in enumerate(sess):
+        for b in sess[i + 1:]:
+            lo, hi = (a, b) if a["user_id"] < b["user_id"] else (b, a)
+            if (lo["user_id"] < hi["user_id"] and lo["s0"] <= hi["s1"]
+                    and hi["s0"] <= lo["s1"]
+                    and max(lo["s0"], hi["s0"]).date() == busiest["day"]):
+                n += 1
+                pairs.add((lo["user_id"], hi["user_id"]))
+    assert busiest["n_overlaps"] == n
+    assert busiest["n_user_pairs"] == len(pairs)
