@@ -1120,37 +1120,43 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrently active?  The canonical temporal/genomic overlap-join shape
     — two interval sets, output where [a_start,a_end] ∩ [b_start,b_end] ≠ ∅.
 
-    A naive overlap theta-join is O(N²).  Bucketizing the time axis by day
-    and exploding each session over `sequence(start_day, end_day)` turns it
-    into an EQUI join on the day bucket with the exact overlap predicate as
-    an in-bucket residual.  Double counting (a pair meeting in several
-    buckets) is eliminated WITHOUT a distinct: a pair is emitted only in
-    the bucket that contains the overlap's start, `greatest(a_start,
-    b_start)` — the standard dedup trick for decomposed interval joins.
-    Output is the bounded per-day concurrency audit, not the raw pairspace.
-    Sessions come from the registered sessionizer, so the whole chain stays
-    one lineage: sessionize (1 shuffle) → bucket-explode → equi-join →
-    aggregate.
+    A naive overlap theta-join is O(N²).  Bucketizing the time axis and
+    exploding each session over its touched buckets turns it into an EQUI
+    join on the bucket with the exact overlap predicate as an in-bucket
+    residual — work drops from N² to Σ|bucket|².  The bucket width is the
+    tuning knob: it should track the typical interval span (sessions are
+    minutes-long), not the reporting grain — HOUR buckets hold ~25× fewer
+    sessions than day buckets at test density, so the in-bucket quadratic
+    term shrinks ~600× for the same answer.  Double counting (a pair
+    meeting in several buckets) is eliminated WITHOUT a distinct: a pair
+    is emitted only in the bucket that contains the overlap's start,
+    `greatest(a_start, b_start)` — the standard dedup trick for decomposed
+    interval joins.  Output is the bounded per-day concurrency audit, not
+    the raw pairspace.  Sessions come from the registered sessionizer, so
+    the whole chain stays one lineage: sessionize (1 shuffle) →
+    bucket-explode → equi-join → aggregate.
     """
     sess = sessionize_events(spark, sf_dir).select(
         "user_id", "session_seq",
         F.col("session_start").alias("s0"), F.col("session_end").alias("s1"))
+    hour = F.expr("interval 1 hour")
     a = (sess.select(F.col("user_id").alias("ua"), F.col("s0").alias("a0"),
                      F.col("s1").alias("a1"))
          .withColumn("bkt", F.explode(F.sequence(
-             F.to_date("a0"), F.to_date("a1")))))
+             F.date_trunc("hour", "a0"), F.date_trunc("hour", "a1"), hour))))
     b = (sess.select(F.col("user_id").alias("ub"), F.col("s0").alias("b0"),
                      F.col("s1").alias("b1"))
          .withColumn("bkt_b", F.explode(F.sequence(
-             F.to_date("b0"), F.to_date("b1")))))
+             F.date_trunc("hour", "b0"), F.date_trunc("hour", "b1"), hour))))
     pairs = (a.join(b, (F.col("bkt") == F.col("bkt_b"))
                     & (F.col("ua") < F.col("ub"))
                     & (F.col("a0") <= F.col("b1"))
                     & (F.col("b0") <= F.col("a1"))
                     # emit once: only in the bucket holding the overlap start
-                    & (F.to_date(F.greatest("a0", "b0")) == F.col("bkt")))
+                    & (F.date_trunc("hour", F.greatest("a0", "b0"))
+                       == F.col("bkt")))
              .select("bkt", "ua", "ub"))
-    return (pairs.groupBy(F.col("bkt").alias("day"))
+    return (pairs.groupBy(F.to_date("bkt").alias("day"))
             .agg(F.count(F.lit(1)).alias("n_overlaps"),
                  F.countDistinct("ua", "ub").alias("n_user_pairs"))
             .orderBy("day"))

@@ -72,6 +72,10 @@ SCALE_OPS = [
     "text_bigram_lm_quality", "graph_link_prediction_scores",
     "corpus_reservoir_sample_per_source", "scan_parquet_rowgroup_profile",
     "dedup_containment", "agg_pareto_threshold",
+    # round-3 continuation: CEP row patterns, interval-overlap join,
+    # SemDeDup (all three have in-bucket/in-cell quadratic hazards the
+    # emit-once / MAX_BLOCK bounds must keep linear-ish)
+    "events_pattern_match_cep", "join_interval_overlap", "corpus_semdedup",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
