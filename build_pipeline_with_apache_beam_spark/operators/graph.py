@@ -342,7 +342,48 @@ def graph_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+LPA_ITERS = 3  # fixed synchronous rounds — deterministic, oracle-replayable
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the strong
+    co-supply graph: every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors, ties broken by the
+    smallest label — the deterministic variant of LPA (Raghavan et al.),
+    run for a fixed LPA_ITERS rounds so the result is exactly replayable
+    (and hence SQL-oracle-able, unlike randomized LPA).
+
+    Scale shape: each round is one join edge→labels + one two-phase count
+    + one per-node window pick, all keyed on node ids — cost ∝ |edges| per
+    round, bounded by entity cardinality (the fact table collapsed to the
+    edge list once, in ``_strong_co_supply``).  Like the other iterative
+    ops, each round's labels are localCheckpoint-ed: hop k joins a
+    materialized label table, keeping lineage O(1) per round.  Output is
+    the community-size histogram keyed by final label."""
+    from pyspark.sql import Window as W
+
+    strong = _strong_co_supply(spark, sf_dir)
+    sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(strong.select(F.col("v").alias("src"),
+                                   F.col("u").alias("dst")))
+           .persist())
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    pick = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(LPA_ITERS):
+        votes = (sym.join(labels, sym.dst == labels.node)
+                 .groupBy(sym.src.alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn("rn", F.row_number().over(pick))
+                  .where(F.col("rn") == 1)
+                  .select("node", "label").localCheckpoint())
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("community"))
+
+
 QUERIES = {
+    "graph_label_propagation": graph_label_propagation,
     "graph_component_size_dist": graph_component_size_dist,
     "graph_link_prediction_scores": graph_link_prediction_scores,
     "graph_khop_reachability": graph_khop_reachability,
@@ -397,6 +438,52 @@ FROM r5 ORDER BY nation
 """)
 
 ORACLE = {
+    "graph_label_propagation": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ), sym AS (
+            SELECT u AS src, v AS dst FROM strong
+            UNION ALL
+            SELECT v AS src, u AS dst FROM strong
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        c1 AS (
+            SELECT s.src AS node, l.label, COUNT(*) AS c
+            FROM sym s JOIN l0 l ON s.dst = l.node GROUP BY 1, 2
+        ), l1 AS (
+            SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c1)
+            WHERE rn = 1
+        ),
+        c2 AS (
+            SELECT s.src AS node, l.label, COUNT(*) AS c
+            FROM sym s JOIN l1 l ON s.dst = l.node GROUP BY 1, 2
+        ), l2 AS (
+            SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c2)
+            WHERE rn = 1
+        ),
+        c3 AS (
+            SELECT s.src AS node, l.label, COUNT(*) AS c
+            FROM sym s JOIN l2 l ON s.dst = l.node GROUP BY 1, 2
+        ), l3 AS (
+            SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c3)
+            WHERE rn = 1
+        )
+        SELECT label AS community, COUNT(*) AS n_members
+        FROM l3 GROUP BY 1 ORDER BY 1
+    """,
     "graph_component_size_dist": """
         WITH RECURSIVE e AS (
             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

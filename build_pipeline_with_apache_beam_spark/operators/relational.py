@@ -2223,7 +2223,49 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("n_occurrences").desc(), "token"))
 
 
+_UNIQ_COMBOS = [
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_orderdate",),
+    ("o_custkey", "o_orderdate"),
+    ("o_orderstatus", "o_orderpriority"),
+]
+
+
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: for each declared column combination over
+    ``orders``, the distinct-count, a uniqueness ratio in exact integer
+    basis points, and whether the combo is a candidate key — the profiling
+    pass a warehouse runs before trusting a merge/upsert key
+    (``merge_upsert``'s precondition, and the uniqueness half of
+    ``dq_constraint_report``).
+
+    One scan: all distinct-counts are computed in a single aggregate (the
+    planner expands multi-distinct into one Expand + two-phase aggregate —
+    map-side partials, no per-combo rescan), then the 1×N result row is
+    unpivoted to a row per combo with a stack() projection.  Exact integer
+    basis points, not a rounded double, so the readout is
+    engine-portable."""
+    ords = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, combo in enumerate(_UNIQ_COMBOS):
+        aggs.append(F.count_distinct(*[F.col(c) for c in combo])
+                    .alias(f"d{i}"))
+    one = ords.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{'+'.join(combo)}', d{i}" for i, combo in enumerate(_UNIQ_COMBOS))
+    return (one.select(
+        F.col("n_rows"),
+        F.expr(f"stack({len(_UNIQ_COMBOS)}, {stack_args}) "
+               "AS (column_set, n_distinct)"))
+        .select("column_set", "n_rows", "n_distinct",
+                F.expr("(10000 * n_distinct) div n_rows").alias("uniq_bp"),
+                (F.col("n_distinct") == F.col("n_rows")).alias("is_key"))
+        .orderBy("column_set"))
+
+
 QUERIES = {
+    "dq_uniqueness_profile": dq_uniqueness_profile,
     "sql_recursive_cte": sql_recursive_cte,
     "agg_heavy_hitters_exact": agg_heavy_hitters_exact,
     "timeseries_active_intervals": timeseries_active_intervals,
@@ -2320,6 +2362,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_uniqueness_profile": """
+        WITH s AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT o_orderkey) AS d0,
+                   COUNT(DISTINCT o_custkey) AS d1,
+                   COUNT(DISTINCT o_orderdate) AS d2,
+                   COUNT(DISTINCT (o_custkey, o_orderdate)) AS d3,
+                   COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS d4
+            FROM orders
+        ), rows_ AS (
+            SELECT 'o_orderkey' AS column_set, n_rows, d0 AS n_distinct FROM s
+            UNION ALL
+            SELECT 'o_custkey', n_rows, d1 FROM s
+            UNION ALL
+            SELECT 'o_orderdate', n_rows, d2 FROM s
+            UNION ALL
+            SELECT 'o_custkey+o_orderdate', n_rows, d3 FROM s
+            UNION ALL
+            SELECT 'o_orderstatus+o_orderpriority', n_rows, d4 FROM s
+        )
+        SELECT column_set, n_rows, n_distinct,
+               (10000 * n_distinct) // n_rows AS uniq_bp,
+               n_distinct = n_rows AS is_key
+        FROM rows_ ORDER BY column_set
+    """,
     "sql_recursive_cte": """
         WITH RECURSIVE edges AS (
             SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w

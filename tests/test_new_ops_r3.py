@@ -242,3 +242,45 @@ def test_interval_overlap_spot_day_brute_force(spark, sf_dir):
                 pairs.add((lo["user_id"], hi["user_id"]))
     assert busiest["n_overlaps"] == n
     assert busiest["n_user_pairs"] == len(pairs)
+
+
+def test_lpa_communities_partition_the_strong_graph(spark, sf_dir):
+    """Synchronous LPA must assign every strong-graph node to exactly one
+    community, labels must be node ids, and the fixed-round run must be
+    deterministic."""
+    from build_pipeline_with_apache_beam_spark.operators.graph import (
+        _strong_co_supply,
+        graph_label_propagation,
+    )
+
+    out = graph_label_propagation(spark, sf_dir).collect()
+    strong = _strong_co_supply(spark, sf_dir)
+    nodes = (strong.select(F.col("u").alias("n"))
+             .unionAll(strong.select(F.col("v").alias("n")))
+             .distinct().count())
+    assert sum(r["n_members"] for r in out) == nodes
+    node_ids = {r["n"] for r in
+                strong.select(F.col("u").alias("n"))
+                .unionAll(strong.select(F.col("v").alias("n")))
+                .distinct().collect()}
+    assert all(r["community"] in node_ids for r in out)
+    again = graph_label_propagation(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_uniqueness_profile_flags_the_primary_key(spark, sf_dir):
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        dq_uniqueness_profile,
+    )
+
+    rows = {r["column_set"]: r
+            for r in dq_uniqueness_profile(spark, sf_dir).collect()}
+    assert rows["o_orderkey"]["is_key"]
+    assert rows["o_orderkey"]["uniq_bp"] == 10000
+    assert not rows["o_orderdate"]["is_key"]
+    for r in rows.values():
+        assert 0 < r["n_distinct"] <= r["n_rows"]
+        assert r["is_key"] == (r["uniq_bp"] == 10000)
+    # a superset combo can never be less distinct than its subset column
+    assert (rows["o_custkey+o_orderdate"]["n_distinct"]
+            >= rows["o_custkey"]["n_distinct"])
