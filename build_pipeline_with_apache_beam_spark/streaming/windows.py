@@ -428,7 +428,78 @@ def q_stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment"))
 
 
+def q_stream_cep_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-batch streaming CEP: the batch row-pattern matcher
+    (``events_pattern_match_cep``) lifted onto an unbounded stream.  Each
+    user's events aggregate into a watermarked SESSION window
+    (30-minute inactivity gap) whose state carries the ordered event-code
+    journey; when the watermark closes a session, its journey string is
+    scanned once with the CEP regex (`v+c*p`) and the session is emitted
+    iff the pattern fired — MATCH_RECOGNIZE ONE ROW PER MATCH semantics
+    with AFTER MATCH SKIP PAST LAST ROW, expressed as session-window state
+    + a JVM regex at emit time.
+
+    The state-bounding story is the whole point: the journey buffer lives
+    per OPEN session only (watermark delay + gap of history), never per
+    user-forever — the streaming answer to the batch op's per-user-day
+    grouping.  The 2-hour delay exceeds the 30-minute gap, so streamed
+    sessions equal the batch gaps-and-islands answer, which the oracle
+    replays with the same watermark cutoff.
+    """
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        CEP_PATTERN,
+    )
+    from build_pipeline_with_apache_beam_spark.sources.sinks import (
+        SCRATCH,
+        source_tag,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(SCRATCH, f"cep_src_{source_tag(sf_dir)}")
+    sink_dir = os.path.join(SCRATCH, f"cep_sink_{sf_tag}")
+    ckpt_dir = os.path.join(SCRATCH, f"cep_ckpt_{sf_tag}")
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    if not os.path.exists(src_dir):
+        ev = load_table(spark, sf_dir, "events")
+        (_time_sliced(ev, 3)
+         .repartition(1).sortWithinPartitions("ts")
+         .write.mode("overwrite").partitionBy("part").parquet(src_dir))
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir)
+              .select("user_id", "ts", "event_id",
+                      F.substring("event_type", 1, 1).alias("code")))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+           .agg(F.concat_ws(
+               "", F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("ts", "event_id", "code"))),
+                   lambda s: s["code"])).alias("journey"))
+           .select("user_id",
+                   F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"),
+                   F.length("journey").cast("bigint").alias("journey_len"),
+                   F.regexp_count("journey", F.lit(CEP_PATTERN))
+                    .cast("bigint").alias("n_matches"))
+           .where(F.col("n_matches") > 0))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    with _state_partitions(spark):
+        q = (agg.writeStream.foreachBatch(sink_batch)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+    return spark.read.parquet(sink_dir)
+
+
 QUERIES = {
+    "stream_cep_sessions": q_stream_cep_sessions,
     "stream_static_enrich_join": q_stream_static_enrich_join,
     "window_tumbling_agg": q_window_tumbling_agg,
     "window_sliding_agg": q_window_sliding_agg,
@@ -518,6 +589,37 @@ ORACLE = {
         )
         SELECT w_start, w_end, n_events, sum_value FROM w
         WHERE w_end <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
+    """,
+    "stream_cep_sessions": """
+        WITH coded AS (
+            SELECT user_id, ts, event_id,
+                   SUBSTRING(event_type, 1, 1) AS code
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts, event_id, code,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM coded
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, event_id, code,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   STRING_AGG(code, '' ORDER BY ts, event_id) AS journey
+            FROM sessions GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end,
+               CAST(LENGTH(journey) AS BIGINT) AS journey_len,
+               CAST(LEN(regexp_extract_all(journey, 'v+c*p')) AS BIGINT)
+                   AS n_matches
+        FROM agg
+        WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL '2 hours'
+          AND LEN(regexp_extract_all(journey, 'v+c*p')) > 0
     """,
     "stream_session_window_watermark": """
         WITH p AS (

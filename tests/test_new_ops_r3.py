@@ -284,3 +284,56 @@ def test_uniqueness_profile_flags_the_primary_key(spark, sf_dir):
     # a superset combo can never be less distinct than its subset column
     assert (rows["o_custkey+o_orderdate"]["n_distinct"]
             >= rows["o_custkey"]["n_distinct"])
+
+
+def test_stream_cep_sessions_matches_batch_replay(spark, sf_dir):
+    """The streamed CEP sessions (multi-batch, watermarked) must equal a
+    batch gaps-and-islands replay with the same watermark cutoff, and
+    every emitted session must genuinely contain the pattern."""
+    import re
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        CEP_PATTERN,
+    )
+    from build_pipeline_with_apache_beam_spark.streaming.windows import (
+        q_stream_cep_sessions,
+    )
+
+    got = {(r["user_id"], r["session_start"]):
+           (r["session_end"], r["journey_len"], r["n_matches"])
+           for r in q_stream_cep_sessions(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("code")).collect()
+    from collections import defaultdict
+    from datetime import timedelta
+    by_user = defaultdict(list)
+    max_ts = max(r["ts"] for r in ev)
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user[r["user_id"]].append(r)
+    want = {}
+    for uid, rows in by_user.items():
+        cur = []
+        for r in rows:
+            if cur and (r["ts"] - cur[-1]["ts"]) >= timedelta(minutes=30):
+                _emit(want, uid, cur, max_ts, CEP_PATTERN)
+                cur = []
+            cur.append(r)
+        _emit(want, uid, cur, max_ts, CEP_PATTERN)
+    assert got == want and len(got) > 0
+
+
+def _emit(want, uid, cur, max_ts, pattern):
+    import re
+    from datetime import timedelta
+
+    if not cur:
+        return
+    end = cur[-1]["ts"] + timedelta(minutes=30)
+    if end > max_ts - timedelta(hours=2):
+        return  # session the watermark never closed
+    j = "".join(r["code"] for r in cur)
+    hits = re.findall(pattern, j)
+    if hits:
+        want[(uid, cur[0]["ts"])] = (end, len(j), len(hits))
