@@ -2264,7 +2264,69 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("column_set"))
 
 
+_BLOOM_BITS = 1 << 16   # 64 Kbit filter = 1024 longs of broadcast metadata
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3            # hash functions
+
+
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction with a hand-built Bloom filter: the classic
+    100 TB technique for a selective dim⋈fact join when the dim key set is
+    too big to broadcast as an IN-list but its BITS are not.  The urgent
+    orders' keys aggregate into a 64 Kbit Bloom filter (one distinct-
+    positions pass + a per-word bit_or — all distributed), the ≤1024-long
+    word array broadcasts as a literal, and the fact scan drops every row
+    whose key misses the filter BEFORE the shuffle.  False positives are
+    removed by the exact join that follows, so the result is byte-equal to
+    the plain join (which is exactly what the oracle checks) — the filter
+    only cuts shuffled volume, it never changes the answer (Bloom filters
+    have no false negatives).
+
+    Production notes the docstring owes at scale: m must be sized to the
+    creation-side cardinality (64 Kbit ≈ 1 % FP at ~6 k keys, saturating
+    as n grows — a real deployment picks m ≈ 10·n bits), and Spark's own
+    InjectRuntimeFilter does this automatically when size estimates allow;
+    this op is the explicit, estimate-independent form.  Driver state is
+    the fixed 1024-word mask (bounded index metadata, like the IVF
+    codebook), never key data.
+    """
+    ords = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    keys = ords.select("o_orderkey")
+    pos = keys.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64("o_orderkey", F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)])).alias("p")).distinct()
+    words = (pos.groupBy((F.col("p") / 64).cast("int").alias("w"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+                 .alias("mask")))
+    masks = [0] * _BLOOM_WORDS
+    for r in words.collect():  # driver-bounded: <= 1024 (word, mask) rows of filter metadata
+        masks[r["w"]] = r["mask"]
+    arr = F.array(*[F.lit(m) for m in masks])
+    li = load_table(spark, sf_dir, "lineitem").withColumn("_bf", arr)
+    hit = None
+    for i in range(_BLOOM_K):
+        # & 1, not % 2: Java % keeps the dividend's sign, so a word whose
+        # bit 63 is set (negative long) would test -1 and never match
+        bit = F.expr(
+            f"(shiftrightunsigned(_bf[CAST(pmod(xxhash64(l_orderkey, {i}),"
+            f" {_BLOOM_BITS}) / 64 AS INT)],"
+            f" CAST(pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS}) % 64"
+            " AS INT)) & 1) = 1")
+        hit = bit if hit is None else (hit & bit)
+    pre = li.where(hit).drop("_bf")
+    return (pre.join(ords, pre.l_orderkey == ords.o_orderkey)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
 QUERIES = {
+    "join_bloom_semi_reduction": join_bloom_semi_reduction,
     "dq_uniqueness_profile": dq_uniqueness_profile,
     "sql_recursive_cte": sql_recursive_cte,
     "agg_heavy_hitters_exact": agg_heavy_hitters_exact,
@@ -2362,6 +2424,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_bloom_semi_reduction": """
+        SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "dq_uniqueness_profile": """
         WITH s AS (
             SELECT COUNT(*) AS n_rows,

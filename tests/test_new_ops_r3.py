@@ -337,3 +337,26 @@ def _emit(want, uid, cur, max_ts, pattern):
     hits = re.findall(pattern, j)
     if hits:
         want[(uid, cur[0]["ts"])] = (end, len(j), len(hits))
+
+
+def test_bloom_semi_reduction_filters_without_false_negatives(spark, sf_dir):
+    """The Bloom prefilter must pass EVERY true-matching fact row (no
+    false negatives) while rejecting most non-matching rows, and the
+    reduced join must equal the plain join exactly."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.relational import (
+        join_bloom_semi_reduction,
+    )
+
+    got = {tuple(r) for r in join_bloom_semi_reduction(spark, sf_dir).collect()}
+    ords = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {tuple(r) for r in
+            (li.join(ords, li.l_orderkey == ords.o_orderkey)
+             .groupBy("l_returnflag", "l_linestatus")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))).collect()}
+    assert got == want and len(got) > 0
