@@ -76,6 +76,11 @@ SCALE_OPS = [
     # SemDeDup (all three have in-bucket/in-cell quadratic hazards the
     # emit-once / MAX_BLOCK bounds must keep linear-ish)
     "events_pattern_match_cep", "join_interval_overlap", "corpus_semdedup",
+    # round-3 finale: LPA communities (iterative, edge-bounded), key
+    # profiling (multi-distinct single scan), Bloom semi-join reduction
+    # (filter build + prefiltered shuffle), streaming CEP (session state)
+    "graph_label_propagation", "dq_uniqueness_profile",
+    "join_bloom_semi_reduction", "stream_cep_sessions",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
@@ -96,7 +101,8 @@ PLAN_CHECKS = {
 # ratio is reported but not flagged against the linear gate
 NOT_GATED = {
     "stream_window_append_watermark", "stream_docstore_tail",
-    "stream_watermark_dedup",          # micro-batch startup dominates
+    "stream_watermark_dedup",
+    "stream_cep_sessions",             # micro-batch startup dominates
     "dedup_ngram_jaccard",             # exact blocked all-pairs ground truth
     "dedup_connected_groups",          # built on the above
     # OUTPUT-BOUND ops: their result-set cardinality itself grows
