@@ -2303,7 +2303,11 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks = [0] * _BLOOM_WORDS
     for r in words.collect():  # driver-bounded: <= 1024 (word, mask) rows of filter metadata
         masks[r["w"]] = r["mask"]
-    arr = F.array(*[F.lit(m) for m in masks])
+    # each literal MUST be cast to long: a saturated filter's words are
+    # small-magnitude negatives (≈ -1) that all fit int32, and an
+    # ARRAY<INT> element under shiftrightunsigned(x, 41) shifts by
+    # 41 & 31 = 9 (Java int semantics) — silently dropping true matches
+    arr = F.array(*[F.lit(m).cast("long") for m in masks])
     li = load_table(spark, sf_dir, "lineitem").withColumn("_bf", arr)
     hit = None
     for i in range(_BLOOM_K):
