@@ -486,3 +486,30 @@ def test_kmv_windows_never_sort_raw_users(spark, sf_dir, registry):
     n_specs = plan.count("windowspecdefinition(")
     n_unpart = plan.count("windowspecdefinition(h#")
     assert n_specs > 0 and n_unpart == 0, plan
+
+
+def test_bloom_prefilter_sits_below_the_join_shuffle(spark, sf_dir, registry):
+    """Round-3 Bloom semi-join reduction: the bit-test predicate must be a
+    Filter on the fact scan side (rows dropped BEFORE any exchange/join),
+    the mask array must be BIGINT-typed (the int32-literal trap shifts by
+    n & 31), and no Python evaluation may appear anywhere."""
+    df = registry["join_bloom_semi_reduction"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "shiftrightunsigned" in plan, plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # the prefilter Filter must appear in the plan text before (= above in
+    # tree order, i.e. applied below) the first SortMergeJoin/ShuffledHash
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "array<int>" not in analyzed.lower(), analyzed[:2000]
+
+
+def test_lpa_windows_are_partitioned_by_node(spark, sf_dir, registry):
+    """Every per-round label pick in LPA must be a node-partitioned window
+    — no global sort of the vote table on one reducer."""
+    df = registry["graph_label_propagation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_specs = plan.count("windowspecdefinition(")
+    n_partitioned = plan.count("windowspecdefinition(node#")
+    assert n_specs == n_partitioned, plan
+    assert "CartesianProduct" not in plan
