@@ -636,7 +636,12 @@ ORACLE = {
         ),
         deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
         aa AS (
-            SELECT src, CAST(ROUND(10000 / LN(deg)) AS BIGINT) AS aa_bp
+            -- deg >= 2 guard mirrors the Spark side: under IEEE float
+            -- semantics (DuckDB >= 1.1) 10000/LN(1) is inf and the CAST
+            -- raises; deg-1 leaves never join as common neighbors anyway
+            SELECT src, CASE WHEN deg >= 2
+                             THEN CAST(ROUND(10000 / LN(deg)) AS BIGINT)
+                             ELSE 0 END AS aa_bp
             FROM deg
         ),
         cand AS (

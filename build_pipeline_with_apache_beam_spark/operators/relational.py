@@ -2249,8 +2249,17 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, combo in enumerate(_UNIQ_COMBOS):
-        aggs.append(F.count_distinct(*[F.col(c) for c in combo])
-                    .alias(f"d{i}"))
+        if len(combo) == 1:
+            # single column: NULL-skipping in both engines
+            expr = F.count_distinct(F.col(combo[0]))
+        else:
+            # multi-column: count over a struct, which is never NULL even
+            # when a field is — matching the oracle's COUNT(DISTINCT (a,b))
+            # row-struct semantics.  Bare count_distinct(a, b) would skip
+            # any row with a NULL field and silently under-report
+            # uniqueness on nullable combos (round-3 ADVICE).
+            expr = F.count_distinct(F.struct(*[F.col(c) for c in combo]))
+        aggs.append(expr.alias(f"d{i}"))
     one = ords.agg(*aggs)
     stack_args = ", ".join(
         f"'{'+'.join(combo)}', d{i}" for i, combo in enumerate(_UNIQ_COMBOS))

@@ -430,8 +430,11 @@ def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     row-group skipping can work at all (one giant row group per file =
     no skipping; thousands of tiny ones = footer bloat).
 
-    The file list is bounded driver-side metadata (a SQL VALUES literal,
-    never a Python-RDD build side); footer reads fan out over
+    The file list is bounded driver-side metadata (a tiny single-column
+    DataFrame of paths, never a Python-RDD build side); footer reads
+    assume a shared filesystem (local mode / DBFS / NFS — on a real
+    cluster the paths would be object-store URIs readable from any
+    executor) and fan out over
     ``mapInPandas`` so a 100 TB lake's million footers are opened on
     executors, ~8 KB each, no data pages touched.  Rows-only by design:
     the DuckDB twin (``parquet_metadata()``) needs a literal path, which
@@ -450,8 +453,15 @@ def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     path = os.path.join(sf_dir, "lineitem.parquet")
     files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
              if os.path.isdir(path) else [path])
-    rows = ", ".join(f"('{f}')" for f in files)
-    flist = (spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(path)")
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    # Parameterized VALUES, not string interpolation: paths with quotes
+    # stay intact and an empty list fails loudly above instead of
+    # producing invalid SQL (round-3 ADVICE).  Named-parameter binding
+    # keeps this a JVM-side LocalRelation (no Python-RDD build side).
+    rows = ", ".join(f"(:p{i})" for i in range(len(files)))
+    flist = (spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(path)",
+                       args={f"p{i}": f for i, f in enumerate(files)})
              .repartition(min(len(files), 32)))
 
     def prof(batches):

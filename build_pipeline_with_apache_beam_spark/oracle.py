@@ -132,13 +132,20 @@ def check_types(sdf, con, sql: str) -> list[str]:
     return problems
 
 
-def compare(sdf, con, sql: str) -> tuple[bool, str]:
-    """(ok, message) — Spark DataFrame vs DuckDB SQL result."""
+def compare(sdf, con, sql: str, stats: dict | None = None) -> tuple[bool, str]:
+    """(ok, message) — Spark DataFrame vs DuckDB SQL result.
+
+    ``stats``, if given, receives the row counts compare() already
+    computed ({"spark_rows", "oracle_rows"}) so callers never re-execute
+    the operator just to count it (round-3 ADVICE)."""
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     res = con.execute(sql)
     drows = res.fetchall()
     dcols = [d[0] for d in res.description]
+    if stats is not None:
+        stats["spark_rows"] = len(srows)
+        stats["oracle_rows"] = len(drows)
 
     if sorted(scols) != sorted(dcols):
         return False, f"columns spark={sorted(scols)} duck={sorted(dcols)}"

@@ -69,12 +69,14 @@ def main() -> int:
                                  "hash_match": None, "spark_rows": n,
                                  "oracle_rows": None, "err": "no_oracle"}
                 continue
-            ok, msg = compare(sdf, con, oracles[name])
-            n = sdf.count()
+            stats = {}
+            ok, msg = compare(sdf, con, oracles[name], stats=stats)
             results[name] = {"rows_match": ok or "rowcount" not in msg,
                              "schema_match": ok or "columns" not in msg,
-                             "hash_match": ok, "spark_rows": n,
-                             "oracle_rows": n if ok else None, "err": None}
+                             "hash_match": ok,
+                             "spark_rows": stats.get("spark_rows"),
+                             "oracle_rows": stats.get("oracle_rows"),
+                             "err": None}
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"error: {e}"
             results[name] = {"rows_match": None, "schema_match": None,
