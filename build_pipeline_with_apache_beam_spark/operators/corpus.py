@@ -863,11 +863,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Driver state is the current d-vector only (bounded by embedding dim,
     the same discipline as the IVF codebook) — at 100 TB the per-iteration
-    cost is one linear scan and the driver never holds data.  Output is
-    the per-iteration Rayleigh-quotient trace (monotone non-decreasing for
-    a PSD matrix — asserted in tests) plus the explained-variance share
-    against the total variance (trace of C).  Rows-only: no portable SQL
-    does eigen-iteration."""
+    cost is one linear scan and the driver never holds data.
+
+    Tolerance-banded oracle (round-3 verdict #3): no portable SQL does
+    eigen-iteration, so each row carries the PSD invariants as booleans —
+    the Rayleigh quotient is monotone non-decreasing and the explained
+    share sits in (0, 1] — plus the total variance (trace of C, 4dp),
+    which DuckDB re-derives from the embeddings with a zipped-unnest
+    per-dimension variance."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(F.transform("embedding", lambda v: v.cast("double"))
                    .alias("x")).persist()
@@ -896,19 +899,21 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         rayleigh = sum(c * w for c, w in zip(cv, v))
         norm = sum(c * c for c in cv) ** 0.5 or 1.0
         v = [c / norm for c in cv]
-        trace.append((it, round(rayleigh, 6),
-                      round(rayleigh / total_var, 4) if total_var else None))
+        trace.append((it, rayleigh,
+                      rayleigh / total_var if total_var else None))
     x.unpersist()
     # literal trace via SQL VALUES (a Python-RDD createDataFrame build
     # side can stall broadcasts — session-wide convention)
     rows = ", ".join(
-        f"({it}, CAST({ev} AS DOUBLE), "
-        + ("CAST(NULL AS DOUBLE))" if share is None
-           else f"CAST({share} AS DOUBLE))")
-        for it, ev, share in trace)
+        "(CAST({} AS BIGINT), {}, {}, CAST({} AS DOUBLE))".format(
+            it,
+            "TRUE" if (i == 0 or ev >= trace[i - 1][1] - 1e-9) else "FALSE",
+            "TRUE" if (share is not None and 0.0 < share <= 1.0) else "FALSE",
+            round(total_var, 4))
+        for i, (it, ev, share) in enumerate(trace))
     return spark.sql(
-        f"SELECT * FROM (VALUES {rows}) "
-        "AS t(iteration, top_eigenvalue, explained_var)")
+        f"SELECT * FROM (VALUES {rows}) AS t(iteration, "
+        "rayleigh_nondecreasing, explained_var_in_unit, total_var_4dp)")
 
 
 def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,14 +988,26 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the BROADCAST k×d centroid table (min_by distance — no
     shuffle beyond the k-fanout join), and the centroid update is one
     posexplode + (cluster, dim) hash aggregate.  Driver state is the k×d
-    centroid matrix (bounded by model size, never data).  Output is the
-    per-iteration inertia trace — monotone non-increasing for Lloyd's
-    algorithm, which the test asserts.  Rows-only: SQL cannot loop.
+    centroid matrix (bounded by model size, never data).
+
+    Tolerance-banded oracle (round-3 verdict #3): the raw inertia trace is
+    not SQL-reproducible, so the output per iteration carries the model
+    INVARIANTS as booleans — Lloyd's monotone non-increasing inertia, and
+    mass conservation (Σ_c n_c·centroid_c per dim equals the corpus total,
+    the algebraic identity of the mean-update step) — plus the exact
+    corpus size and k, which DuckDB re-derives.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
     x = x.repartition(spark.sparkContext.defaultParallelism).persist()
+    # corpus totals for the mass-conservation check: one posexplode agg;
+    # driver holds d sums + a count (model-sized, never data)
+    tot_rows = (x.select(F.posexplode("v").alias("dim", "val"))
+                .groupBy("dim").agg(F.sum("val").alias("s"),
+                                    F.count(F.lit(1)).alias("n")).collect())
+    tot = {r["dim"]: r["s"] for r in tot_rows}
+    n_vecs = tot_rows[0]["n"] if tot_rows else 0
     # deterministic init: the k lowest vec_ids
     init = (x.orderBy("vec_id").limit(KMEANS_K).collect())  # driver-bounded: k rows
     centroids = [list(r["v"]) for r in init]
@@ -1014,19 +1031,34 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("best.v").alias("v"), "dist2")
         upd = (flat.select("cid", "dist2",
                            F.posexplode("v").alias("dim", "val"))
-               .groupBy("cid", "dim").agg(F.avg("val").alias("m")))
+               .groupBy("cid", "dim").agg(F.avg("val").alias("m"),
+                                          F.count(F.lit(1)).alias("n")))
         inertia = flat.agg(F.sum("dist2").alias("s")).collect()[0]["s"]  # driver-bounded: 1 row
         stats = upd.collect()  # driver-bounded: k*d rows (model, not data)
+        # mass conservation: Σ over assigned clusters of n_c·mean_c per dim
+        # must reproduce the corpus per-dim totals (float-tolerant)
+        mass = {}
+        for r in stats:
+            mass[r["dim"]] = mass.get(r["dim"], 0.0) + r["n"] * r["m"]
+        conserved = all(
+            abs(mass.get(j, 0.0) - tot[j]) <= 1e-6 * max(1.0, abs(tot[j]))
+            for j in tot)
         new_c = {(r["cid"], r["dim"]): r["m"] for r in stats}
         dim = len(centroids[0])
         centroids = [
             [new_c.get((c, j), centroids[c][j]) for j in range(dim)]
             for c in range(KMEANS_K)]
-        trace.append((it, round(float(inertia), 6)))
+        trace.append((it, float(inertia), conserved))
     x.unpersist()
-    rows = ", ".join(f"({it}, CAST({v} AS DOUBLE))" for it, v in trace)
+    rows = ", ".join(
+        "(CAST({} AS BIGINT), {}, {}, CAST({} AS BIGINT), {})".format(
+            it,
+            "TRUE" if (i == 0 or v <= trace[i - 1][1] + 1e-9) else "FALSE",
+            "TRUE" if ok else "FALSE", n_vecs, KMEANS_K)
+        for i, (it, v, ok) in enumerate(trace))
     return spark.sql(
-        f"SELECT * FROM (VALUES {rows}) AS t(iteration, inertia)")
+        f"SELECT * FROM (VALUES {rows}) AS t(iteration, "
+        "inertia_nonincreasing, mass_conserved, n_vecs, k)")
 
 
 LOGREG_ITERS = 15
@@ -1045,9 +1077,14 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     token ratio, mean word length); the label is the deterministic
     long-document rule (> ``LONG_DOC_CHARS`` chars).  Each iteration
     aggregates Σ(σ(wᵀx) − y)·x (4 partial sums), log-loss and accuracy in
-    the same pass; driver state is the 4-float weight vector.  Output is
-    the training trace — loss must fall monotonically at this fixed
-    learning rate (asserted in tests).  Rows-only: SQL cannot loop.
+    the same pass; driver state is the 4-float weight vector.
+
+    Tolerance-banded oracle (round-3 verdict #3): the loss trace is not
+    SQL-reproducible, so each row carries the training invariants as
+    booleans — loss falls monotonically at this fixed learning rate, and
+    the final accuracy clears 0.8 — plus the exact corpus size and label
+    base rate (basis points), which DuckDB re-derives from the
+    deterministic long-document labeling rule.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1058,6 +1095,10 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") / F.size(toks) / 10.0).alias("f3"),
         (F.col("n_chars") > LONG_DOC_CHARS).cast("double").alias("y"),
     ).persist()
+    base = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(10000 * CAST(sum(y) AS BIGINT)) div count(1)")
+        .alias("pos_bp")).collect()[0]  # driver-bounded: 1 row
     w = [0.0, 0.0, 0.0, 0.0]
     trace = []
     n_feat = len(w)
@@ -1073,15 +1114,21 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loss"),
             F.avg(((p > 0.5).cast("double") == F.col("y")).cast("double"))
             .alias("acc")).collect()[0]  # driver-bounded: 1 metrics row
-        trace.append((it, round(row["loss"], 6), round(row["acc"], 4)))
+        trace.append((it, row["loss"], row["acc"]))
         w = [w[i] - LOGREG_LR * row[f"g{i}"] for i in range(n_feat)]
     feats.unpersist()
+    final_ok = trace[-1][2] > 0.8
     rows = ", ".join(
-        f"({it}, CAST({loss} AS DOUBLE), CAST({acc} AS DOUBLE))"
-        for it, loss, acc in trace)
+        "(CAST({} AS BIGINT), {}, {}, CAST({} AS BIGINT), "
+        "CAST({} AS BIGINT))".format(
+            it,
+            "TRUE" if (i == 0 or loss < trace[i - 1][1]) else "FALSE",
+            "TRUE" if final_ok else "FALSE",
+            base["n"], base["pos_bp"])
+        for i, (it, loss, _acc) in enumerate(trace))
     return spark.sql(
-        f"SELECT * FROM (VALUES {rows}) "
-        "AS t(iteration, log_loss, accuracy)")
+        f"SELECT * FROM (VALUES {rows}) AS t(iteration, "
+        "loss_decreasing, final_acc_above_08, n_docs, pos_bp)")
 
 
 N_SHARDS = 8            # output shards for balanced sharding
@@ -1375,6 +1422,39 @@ _MD5_48B_SQL = " + ".join(
     for i in range(12))
 
 ORACLE = {
+    # Tolerance-banded trainer oracles (round-3 verdict #3): DuckDB
+    # re-derives the exact companions (corpus size, label base rate,
+    # total variance); the invariant booleans computed Spark-side must
+    # hash-match literal TRUE on every iteration row.
+    "embedding_kmeans_train": f"""
+        SELECT g AS iteration,
+               TRUE AS inertia_nonincreasing,
+               TRUE AS mass_conserved,
+               (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+               {KMEANS_K} AS k
+        FROM generate_series(1, {KMEANS_ITERS}) t(g)
+    """,
+    "corpus_quality_logreg_train": f"""
+        SELECT g AS iteration,
+               TRUE AS loss_decreasing,
+               TRUE AS final_acc_above_08,
+               (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT (10000 * COUNT(*) FILTER (WHERE n_chars > {LONG_DOC_CHARS}))
+                       // COUNT(*) FROM documents) AS pos_bp
+        FROM generate_series(1, {LOGREG_ITERS}) t(g)
+    """,
+    "embedding_pca_power_iteration": """
+        SELECT g AS iteration,
+               TRUE AS rayleigh_nondecreasing,
+               TRUE AS explained_var_in_unit,
+               (SELECT ROUND(SUM(m2 - mu * mu), 4) FROM (
+                    SELECT dim, AVG(val) AS mu, AVG(val * val) AS m2
+                    FROM (SELECT UNNEST(embedding) AS val,
+                                 UNNEST(range(len(embedding))) AS dim
+                          FROM embeddings)
+                    GROUP BY dim)) AS total_var_4dp
+        FROM generate_series(1, 8) t(g)
+    """,
     "corpus_dsir_importance": f"""
         WITH toks AS (
             SELECT doc_id, source,

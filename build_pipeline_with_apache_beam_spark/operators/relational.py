@@ -87,15 +87,28 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch (rows-only check: sketch estimates differ across engines).
+    """HLL approx distinct with a tolerance-banded oracle (round-3 verdict
+    #3): raw sketch estimates are engine-specific, so the comparable output
+    is the EXACT count (which DuckDB recomputes) plus a boolean asserting
+    the sketch landed within 3× its declared rsd (0.05 → 15% band; Spark's
+    HLL++ is deterministic for fixed data, so the boolean is stable).
 
-    At 100 TB this replaces an exact count-distinct's full shuffle of the
-    distinct keys with a fixed-size mergeable sketch per partition.
+    At 100 TB the sketch replaces an exact count-distinct's full shuffle of
+    the distinct keys with fixed-size mergeable state per partition; the
+    exact companion here exists for the gate, not the production path.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+    ).select(
+        "n_orders_exact", "n_parts_exact",
+        (F.abs(F.col("_ao") - F.col("n_orders_exact"))
+         <= 0.15 * F.col("n_orders_exact")).alias("orders_within_band"),
+        (F.abs(F.col("_ap") - F.col("n_parts_exact"))
+         <= 0.15 * F.col("n_parts_exact")).alias("parts_within_band"),
     )
 
 
@@ -1292,22 +1305,34 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles per group (rows-only: sketch values are
-    engine-specific, like agg_approx_count_distinct / agg_hll_sketch_merge).
+    """Approximate percentiles per group with a tolerance-banded oracle
+    (round-3 verdict #3): sketch values are engine-specific, so the output
+    carries the EXACT interpolated quantiles (DuckDB quantile_cont parity,
+    4dp) plus booleans asserting the GK sketch (accuracy 10000) landed
+    within 1% relative error of each — deterministic for fixed data.
 
-    approx_percentile keeps a bounded-size mergeable sketch per group, so at
-    100 TB the shuffle carries O(groups × sketch) instead of every value —
-    the scale path that the exact agg_percentile op trades away; the unit
-    suite asserts the sketch lands within 1%% of the exact quantiles.
+    approx_percentile keeps a bounded-size mergeable sketch per group, so
+    at 100 TB the shuffle carries O(groups × sketch) instead of every
+    value; the exact companions exist for the gate, not the scale path.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
-             .alias("ap50_price"),
+             .alias("_ap50"),
              F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000))
-             .alias("ap95_price"),
+             .alias("_ap95"),
+             F.percentile("l_extendedprice",
+                          F.array(F.lit(0.5), F.lit(0.95))).alias("_pq"),
              F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "l_returnflag", "n_rows",
+            F.round(F.element_at("_pq", 1), 4).alias("p50_exact"),
+            F.round(F.element_at("_pq", 2), 4).alias("p95_exact"),
+            (F.abs(F.col("_ap50") - F.element_at("_pq", 1))
+             <= 0.01 * F.element_at("_pq", 1)).alias("p50_within_1pct"),
+            (F.abs(F.col("_ap95") - F.element_at("_pq", 2))
+             <= 0.01 * F.element_at("_pq", 2)).alias("p95_within_1pct"))
         .orderBy("l_returnflag")
     )
 
@@ -1510,22 +1535,32 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches as first-class aggregation state (rows-only:
-    sketch internals are engine-specific).
+    """Mergeable HLL sketches as first-class aggregation state, with a
+    tolerance-banded oracle (round-3 verdict #3): sketch internals are
+    engine-specific, so the comparable output is the exact distinct-user
+    count (DuckDB recomputes it) plus a boolean asserting the merged
+    DataSketches estimate landed within 5% (lgK 12 → rsd ≈ 1.6%, 3σ band).
 
     Per-group DataSketches HLL via hll_sketch_agg, then a second-level
     hll_union_agg over the per-group sketches — the two-level rollup that
     makes 100 TB distinct-count dashboards incremental: partial sketches
-    are tiny, mergeable, and never rescan history.
+    are tiny, mergeable, and never rescan history.  The exact companion
+    exists for the gate, not the production path.
     """
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"))
-    return per_type.agg(
+    merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-         .cast("bigint").alias("approx_total_users"),
+         .cast("bigint").alias("_approx"),
         F.count(F.lit(1)).alias("n_groups"),
     )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+    return (merged.crossJoin(F.broadcast(exact))
+            .select(
+                "n_groups", "n_users_exact",
+                (F.abs(F.col("_approx") - F.col("n_users_exact"))
+                 <= 0.05 * F.col("n_users_exact")).alias("within_band")))
 
 
 
@@ -2437,6 +2472,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    # Tolerance-banded oracles for the sketch aggregates (round-3 verdict
+    # #3): DuckDB verifies the EXACT companion values; the within-band
+    # booleans (computed Spark-side against the declared error) must
+    # hash-match literal TRUE.
+    "agg_approx_count_distinct": """
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+               COUNT(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS orders_within_band, TRUE AS parts_within_band
+        FROM lineitem
+    """,
+    "agg_approx_percentile": """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+               TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_hll_sketch_merge": """
+        SELECT COUNT(DISTINCT event_type) AS n_groups,
+               COUNT(DISTINCT user_id) AS n_users_exact,
+               TRUE AS within_band
+        FROM events
+    """,
     "join_bloom_semi_reduction": """
         SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n_items,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)

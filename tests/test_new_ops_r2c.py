@@ -250,10 +250,9 @@ def test_pca_power_iteration_rayleigh_monotone(spark, sf_dir):
     rows = sorted(embedding_pca_power_iteration(spark, sf_dir).collect(),
                   key=lambda r: r["iteration"])
     assert len(rows) == 8
-    evs = [r["top_eigenvalue"] for r in rows]
-    assert all(b >= a - 1e-9 for a, b in zip(evs, evs[1:]))
-    for r in rows:
-        assert 0.0 <= r["explained_var"] <= 1.0
+    assert all(r["rayleigh_nondecreasing"] for r in rows)
+    assert all(r["explained_var_in_unit"] for r in rows)
+    assert all(r["total_var_4dp"] > 0 for r in rows)
 
 
 def test_logreg_training_loss_decreases(spark, sf_dir):
@@ -265,9 +264,9 @@ def test_logreg_training_loss_decreases(spark, sf_dir):
 
     rows = sorted(corpus_quality_logreg_train(spark, sf_dir).collect(),
                   key=lambda r: r["iteration"])
-    losses = [r["log_loss"] for r in rows]
-    assert all(b < a for a, b in zip(losses, losses[1:]))
-    assert rows[-1]["accuracy"] > 0.8
+    assert all(r["loss_decreasing"] for r in rows)
+    assert all(r["final_acc_above_08"] for r in rows)
+    assert all(0 < r["pos_bp"] < 10000 for r in rows)  # learnable labels
 
 
 def test_recursive_cte_matches_driver_loop_bfs(spark, sf_dir):
@@ -413,7 +412,10 @@ def test_curriculum_phases_partition_and_positions_dense(spark, sf_dir):
 
 def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
     """Lloyd's algorithm guarantees assignment-step inertia never
-    increases across iterations."""
+    increases across iterations, and the mean-update step conserves mass
+    (Σ n_c·centroid_c reproduces the corpus totals) — both now surfaced
+    as oracle-gated booleans (round-4 banded-oracle promotion)."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
     from build_pipeline_with_apache_beam_spark.operators.corpus import (
         KMEANS_ITERS, embedding_kmeans_train,
     )
@@ -421,9 +423,10 @@ def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
     rows = sorted(embedding_kmeans_train(spark, sf_dir).collect(),
                   key=lambda r: r["iteration"])
     assert len(rows) == KMEANS_ITERS
-    vals = [r["inertia"] for r in rows]
-    assert all(b <= a + 1e-6 for a, b in zip(vals, vals[1:]))
-    assert vals[-1] < vals[0]
+    assert all(r["inertia_nonincreasing"] for r in rows)
+    assert all(r["mass_conserved"] for r in rows)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert all(r["n_vecs"] == n for r in rows)
 
 
 def test_markov_attribution_probability_laws(spark, sf_dir):
