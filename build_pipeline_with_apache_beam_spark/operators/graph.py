@@ -19,10 +19,39 @@ like ``dedup_connected_groups``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+# Size-aware iteration layout (round-3 verdict #2): below this many rows a
+# graph-iteration state collapses to ONE partition (one task per round, no
+# scheduling of 31 empty tasks); above it, state is hash-partitioned on its
+# join key so a 10⁸-vertex supplier graph never becomes a one-task
+# straggler.  Env override exists so tests/probes can force the partitioned
+# path at small sf.
+GRAPH_ROWS_PER_PARTITION = 250_000
+
+
+def _graph_small_limit() -> int:
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_SMALL_LIMIT",
+                              GRAPH_ROWS_PER_PARTITION))
+
+
+def _iter_layout(df: DataFrame, n_rows: int, *keys: str) -> DataFrame:
+    """Lay out an iteration-state DataFrame by size: one partition while
+    the state fits comfortably in a single task, hash-partitioned on the
+    iteration join key once it doesn't.  Both paths are plan-gated in
+    tests/test_plans.py."""
+    limit = _graph_small_limit()
+    if n_rows <= limit:
+        return df.coalesce(1)  # small-bounded
+    n_parts = min(
+        max(2, -(-n_rows // max(1, GRAPH_ROWS_PER_PARTITION))),
+        df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(n_parts, *[F.col(k) for k in keys])
 
 
 def _part_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,7 +171,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
              # every branch would re-run the full lineitem join.  The
              # edge list is bounded by |nation|² — one partition, so the
              # five iteration stages don't schedule 64 empty tasks each
-             .coalesce(1)
+             .coalesce(1)  # small-bounded
              .persist())
     outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
     trans = (edges.join(outw, "src")
@@ -181,12 +210,16 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric edge list (the same shape dedup_connected_groups uses); the
     driver composes k plans, never holds vertices.  Each hop's frontier
     joins edges once — cost is O(frontier × avg-degree) per hop, the BFS
-    optimum."""
+    optimum.  The edge list's layout is size-aware (``_iter_layout``):
+    one partition while supplier-bounded, hash-partitioned on ``src`` when
+    the entity set grows with the corpus — never a one-task straggler."""
     strong = _strong_co_supply(spark, sf_dir)
-    sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-           .unionAll(strong.select(F.col("v").alias("src"),
-                                   F.col("u").alias("dst")))
-           .coalesce(1).persist())
+    n_sym = 2 * strong.count()  # driver-bounded: one count of the edge list
+    sym = _iter_layout(
+        strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(strong.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst"))),
+        n_sym, "src").persist()
     seed = sym.agg(F.min("src").alias("node"))
     # each frontier is localCheckpoint-ed so hop k's plan joins a
     # materialized node list instead of re-planning (and re-running) the
@@ -248,21 +281,24 @@ def graph_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a small-join — at 100 TB of facts the component math never touches
     the fact table again."""
     strong = _strong_co_supply(spark, sf_dir)
-    # the strong graph is |supplier|-bounded — collapse it to ONE partition
-    # so each iteration schedules one task, not 32 mostly-empty ones (the
-    # same small-graph discipline graph_pagerank_trade uses)
-    sym = (strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-           .unionAll(strong.select(F.col("v").alias("src"),
-                                   F.col("u").alias("dst")))
-           .coalesce(1).persist())
+    # size-aware layout (_iter_layout): ONE partition while the strong
+    # graph is small (one task per round, not 32 mostly-empty ones —
+    # the small-graph discipline graph_pagerank_trade uses), hash-
+    # partitioned on the join key once the entity set outgrows a task
+    n_sym = 2 * strong.count()  # driver-bounded: one count of the edge list
+    sym = _iter_layout(
+        strong.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(strong.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst"))),
+        n_sym, "dst").persist()
     nodes = (sym.select(F.col("src").alias("node")).distinct())
     # localCheckpoint (not persist) each round: the label state is
     # self-referential, so without lineage truncation the logical plan
     # doubles every iteration and Catalyst re-analysis — not the data —
     # dominates the runtime.  At cluster scale this becomes a reliable
     # checkpoint to cut both lineage and recovery cost.
-    labels = (nodes.withColumn("group_id", F.col("node"))
-              .coalesce(1).localCheckpoint())
+    labels = _iter_layout(nodes.withColumn("group_id", F.col("node")),
+                          n_sym // 2, "node").localCheckpoint()
     # propagate + POINTER-JUMP each round: adopting the neighbor minimum
     # alone needs diameter iterations (a path graph would need |V|); the
     # extra self-join label := label(label) halves the remaining distance
@@ -276,13 +312,14 @@ def graph_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (F.col("nmin") < F.col("group_id")).alias("chg")))
         parent = stepped.select(F.col("node").alias("p_node"),
                                 F.col("group_id").alias("p_label"))
-        new_labels = (stepped.join(parent,
-                                   stepped.group_id == parent.p_node, "left")
-                      .select("node",
-                              F.least("group_id",
-                                      F.coalesce("p_label", "group_id"))
-                              .alias("group_id"), "chg")
-                      .coalesce(1).localCheckpoint())
+        new_labels = _iter_layout(
+            stepped.join(parent,
+                         stepped.group_id == parent.p_node, "left")
+            .select("node",
+                    F.least("group_id",
+                            F.coalesce("p_label", "group_id"))
+                    .alias("group_id"), "chg"),
+            n_sym // 2, "node").localCheckpoint()
         changed = new_labels.where("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:

@@ -227,9 +227,9 @@ def q_stream_upsert_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
-    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(  # fixture-only
         os.path.join(src_dir, "batch_a"))
-    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(  # fixture-only
         os.path.join(src_dir, "batch_b"))
 
     schema = ev.schema

@@ -221,7 +221,8 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         # 4 time-ordered slices => 4 micro-batches (two-phase quantile
         # slicing; cached across invocations — only sink/ckpt reset per run)
         (_time_sliced(ev, 4)
-         .repartition(1).sortWithinPartitions("ts")
+         .repartition(1)  # fixture-only
+         .sortWithinPartitions("ts")
          .write.mode("overwrite").partitionBy("part").parquet(src_dir))
 
     schema = spark.read.parquet(src_dir).schema
@@ -279,7 +280,8 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     for etype, path in (("click", dirs["click"]), ("purchase", dirs["purch"])):
         if not os.path.exists(path):
             (_time_sliced(ev.where(F.col("event_type") == etype), 2)
-             .repartition(1).sortWithinPartitions("ts")
+             .repartition(1)  # fixture-only
+             .sortWithinPartitions("ts")
              .write.mode("overwrite").partitionBy("part").parquet(path))
 
     def read_stream(path: str, prefix: str) -> DataFrame:
@@ -341,7 +343,8 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
         ev = load_table(spark, sf_dir, "events").where(
             F.col("event_type") == "purchase")
         (_time_sliced(ev, 3)
-         .repartition(1).sortWithinPartitions("ts")
+         .repartition(1)  # fixture-only
+         .sortWithinPartitions("ts")
          .write.mode("overwrite").partitionBy("part").parquet(src_dir))
 
     schema = spark.read.parquet(src_dir).schema
@@ -464,7 +467,8 @@ def q_stream_cep_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(src_dir):
         ev = load_table(spark, sf_dir, "events")
         (_time_sliced(ev, 3)
-         .repartition(1).sortWithinPartitions("ts")
+         .repartition(1)  # fixture-only
+         .sortWithinPartitions("ts")
          .write.mode("overwrite").partitionBy("part").parquet(src_dir))
 
     schema = spark.read.parquet(src_dir).schema

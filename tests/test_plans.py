@@ -504,6 +504,79 @@ def test_bloom_prefilter_sits_below_the_join_shuffle(spark, sf_dir, registry):
     assert "array<int>" not in analyzed.lower(), analyzed[:2000]
 
 
+def test_no_unmarked_single_partition_in_package():
+    """No-single-partition discipline, assertable globally (round-3 verdict
+    #8): every ``repartition(1)`` / ``coalesce(1)`` in the engine package
+    must carry an explicit marker — ``# fixture-only`` (deterministic
+    stream-fixture writers, never a query path) or ``# small-bounded``
+    (cardinality provably bounded by a tiny entity set, e.g. |nation|², or
+    the size-gated small path of _iter_layout).  Anything unmarked is a
+    one-task straggler waiting to happen at 100 TB."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "build_pipeline_with_apache_beam_spark")
+    offenders = []
+    pat = re.compile(r"\.(repartition|coalesce)\(1\)")
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as fh:
+                for i, line in enumerate(fh, 1):
+                    if (pat.search(line)
+                            and not line.strip().startswith("#")
+                            and "# fixture-only" not in line
+                            and "# small-bounded" not in line):
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, \
+        "unmarked single-partition sites:\n" + "\n".join(offenders)
+
+
+def test_graph_iter_layout_small_is_single_partition(spark):
+    """Below the size threshold, graph-iteration state collapses to ONE
+    partition — one task per round instead of 31 empty ones."""
+    from build_pipeline_with_apache_beam_spark.operators.graph import (
+        _iter_layout,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id").alias("src"))
+    out = _iter_layout(df, 100, "src")
+    assert out.rdd.getNumPartitions() == 1
+
+
+def test_graph_iter_layout_large_hash_partitions_on_key(spark):
+    """Above the threshold the state is hash-partitioned on the iteration
+    join key — a 10⁸-vertex graph must never be a one-task straggler
+    (round-3 verdict #2)."""
+    from build_pipeline_with_apache_beam_spark.operators.graph import (
+        _iter_layout,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(F.col("id").alias("src"))
+    out = _iter_layout(df, 10_000_000, "src")
+    assert out.rdd.getNumPartitions() > 1
+    assert "hashpartitioning(src" in plan_of(out), plan_of(out)
+
+
+def test_graph_partitioned_path_matches_small_path(
+        spark, sf_dir, registry, monkeypatch):
+    """Forcing the hash-partitioned iteration layout at test sf must give
+    byte-identical results to the small-graph single-partition path."""
+    for op in ("graph_khop_reachability", "graph_component_size_dist"):
+        base = {tuple(r) for r in registry[op](spark, sf_dir).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_SMALL_LIMIT", "0")
+        forced = {tuple(r) for r in registry[op](spark, sf_dir).collect()}
+        monkeypatch.delenv("SPARK_GRAFT_GRAPH_SMALL_LIMIT")
+        assert forced == base, op
+
+
 def test_lpa_windows_are_partitioned_by_node(spark, sf_dir, registry):
     """Every per-round label pick in LPA must be a node-partitioned window
     — no global sort of the vote table on one reducer."""
