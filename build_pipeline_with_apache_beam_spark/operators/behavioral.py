@@ -1115,6 +1115,30 @@ def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_matches") > 0))
 
 
+# Candidate bucket widths for the interval-overlap join, all divisors of a
+# day in seconds: the epoch grid then aligns with UTC day boundaries (the
+# session timezone), so to_date(bucket(overlap_start)) == to_date(start) and
+# the auto-tuned width can never change the op's day-keyed output.
+_OVERLAP_WIDTHS_S = (60, 300, 900, 1800, 3600, 7200, 14400, 43200, 86400)
+
+
+def _overlap_bucket_width_s(sess: DataFrame) -> int:
+    """Auto-tuned bucket width (round-3 verdict #6): the observed p95
+    interval span, snapped UP to the next day-divisor width.  Width ≥ the
+    typical span caps explode fan-out at ~2 buckets per interval, while the
+    smallest such width minimizes the in-bucket quadratic term — the two
+    sides of the decomposed-interval-join trade-off.  One extra
+    sessions-level aggregate pays for it (never a fact-table pass)."""
+    p95 = sess.agg(F.percentile(
+        F.unix_timestamp("s1") - F.unix_timestamp("s0"),
+        F.lit(0.95)).alias("p")).collect()[0]["p"]  # driver-bounded: 1 row
+    p95 = 0.0 if p95 is None else float(p95)
+    for w in _OVERLAP_WIDTHS_S:
+        if w >= p95:
+            return w
+    return _OVERLAP_WIDTHS_S[-1]
+
+
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join without an equi key: which user sessions were
     concurrently active?  The canonical temporal/genomic overlap-join shape
@@ -1124,10 +1148,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploding each session over its touched buckets turns it into an EQUI
     join on the bucket with the exact overlap predicate as an in-bucket
     residual — work drops from N² to Σ|bucket|².  The bucket width is the
-    tuning knob: it should track the typical interval span (sessions are
-    minutes-long), not the reporting grain — HOUR buckets hold ~25× fewer
-    sessions than day buckets at test density, so the in-bucket quadratic
-    term shrinks ~600× for the same answer.  Double counting (a pair
+    tuning knob, and it is AUTO-TUNED from the observed span distribution
+    (``_overlap_bucket_width_s``: p95 span snapped up to a day-divisor
+    width) instead of a hard-coded reporting grain — tight buckets on
+    minutes-long sessions shrink the in-bucket quadratic term ~600× vs day
+    buckets, while span-sized buckets cap the explode fan-out at ~2 per
+    interval even if a corpus has hours-long intervals.  Double counting
+    (a pair
     meeting in several buckets) is eliminated WITHOUT a distinct: a pair
     is emitted only in the bucket that contains the overlap's start,
     `greatest(a_start, b_start)` — the standard dedup trick for decomposed
@@ -1139,22 +1166,29 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize_events(spark, sf_dir).select(
         "user_id", "session_seq",
         F.col("session_start").alias("s0"), F.col("session_end").alias("s1"))
-    hour = F.expr("interval 1 hour")
+    w_s = _overlap_bucket_width_s(sess)
+    step = F.expr(f"interval {w_s} seconds")
+
+    def snap(col):
+        """Floor a timestamp onto the epoch-aligned w_s grid (UTC session
+        tz + day-divisor width ⇒ day boundaries stay aligned)."""
+        return F.timestamp_seconds(
+            F.expr(f"unix_timestamp({col}) div {w_s}") * w_s)
+
     a = (sess.select(F.col("user_id").alias("ua"), F.col("s0").alias("a0"),
                      F.col("s1").alias("a1"))
          .withColumn("bkt", F.explode(F.sequence(
-             F.date_trunc("hour", "a0"), F.date_trunc("hour", "a1"), hour))))
+             snap("a0"), snap("a1"), step))))
     b = (sess.select(F.col("user_id").alias("ub"), F.col("s0").alias("b0"),
                      F.col("s1").alias("b1"))
          .withColumn("bkt_b", F.explode(F.sequence(
-             F.date_trunc("hour", "b0"), F.date_trunc("hour", "b1"), hour))))
+             snap("b0"), snap("b1"), step))))
     pairs = (a.join(b, (F.col("bkt") == F.col("bkt_b"))
                     & (F.col("ua") < F.col("ub"))
                     & (F.col("a0") <= F.col("b1"))
                     & (F.col("b0") <= F.col("a1"))
                     # emit once: only in the bucket holding the overlap start
-                    & (F.date_trunc("hour", F.greatest("a0", "b0"))
-                       == F.col("bkt")))
+                    & (snap("greatest(a0, b0)") == F.col("bkt")))
              .select("bkt", "ua", "ub"))
     return (pairs.groupBy(F.to_date("bkt").alias("day"))
             .agg(F.count(F.lit(1)).alias("n_overlaps"),

@@ -360,3 +360,36 @@ def test_bloom_semi_reduction_filters_without_false_negatives(spark, sf_dir):
                                 * (1 - F.col("l_discount"))), 4)
                   .alias("revenue"))).collect()}
     assert got == want and len(got) > 0
+
+
+def test_overlap_bucket_width_rule(spark):
+    """The auto-tuned bucket width (round-4) is the p95 span snapped UP to
+    a day-divisor width — skewed span mixes must follow the tail, not the
+    mean, and degenerate inputs fall back to the bounds."""
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        _OVERLAP_WIDTHS_S,
+        _overlap_bucket_width_s,
+    )
+
+    assert all(86400 % w == 0 for w in _OVERLAP_WIDTHS_S)
+
+    def sess_of(spans_s):
+        rows = ", ".join(
+            f"(timestamp'2024-01-01 00:00:00', "
+            f"timestamp'2024-01-01 00:00:00' + interval {s} seconds)"
+            for s in spans_s)
+        return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(s0, s1)")
+
+    # skewed mix: 95% short (2 min), 5% long (3 h) -> interpolated p95
+    # (~654 s) stays near the short mass, snapping to 15 min, not hours
+    assert _overlap_bucket_width_s(
+        sess_of([120] * 95 + [10800] * 5)) == 900
+    # heavy tail crossing p95 -> width follows the tail
+    assert _overlap_bucket_width_s(
+        sess_of([120] * 80 + [10800] * 20)) == 14400
+    # zero-length sessions -> smallest width
+    assert _overlap_bucket_width_s(sess_of([0, 0, 0])) == 60
+    # beyond-a-day spans -> capped at one day
+    assert _overlap_bucket_width_s(sess_of([200000] * 3)) == 86400
