@@ -586,3 +586,25 @@ def test_lpa_windows_are_partitioned_by_node(spark, sf_dir, registry):
     n_partitioned = plan.count("windowspecdefinition(node#")
     assert n_specs == n_partitioned, plan
     assert "CartesianProduct" not in plan
+
+
+def test_declared_small_broadcasts_stay_under_bound(spark, sf_dir, registry):
+    """Round-4 gate (verdict #7): every broadcast in this engine is by
+    design bounded by model/dimension size, never corpus size.  Execute the
+    broadcast-heaviest op families and read the ACTUAL BroadcastExchange
+    "data size" metric from the SQL status store — the same measurement
+    ``tools/broadcast_audit.py`` applies to the full registry at sf1 — and
+    fail if any broadcast exceeds the declared 256 MiB bound (at test sf
+    they must be well under 64 MiB)."""
+    from tools.broadcast_audit import BROADCAST_BOUND_BYTES, _broadcast_sizes
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsList().size()
+    for op in ("join_broadcast", "join_bloom_semi_reduction",
+               "sim_cosine_topk", "text_unigram_logprob",
+               "corpus_mixture_temperature_sampling", "agg_count_min_sketch"):
+        registry[op](spark, sf_dir).write.format(
+            "noop").mode("overwrite").save()
+    sizes = _broadcast_sizes(spark, before)
+    assert sizes, "expected at least one BroadcastExchange metric"
+    assert max(sizes) <= min(BROADCAST_BOUND_BYTES, 64 * 1024 * 1024), sizes
