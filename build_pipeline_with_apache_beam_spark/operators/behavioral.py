@@ -1203,7 +1203,107 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: the Theil–Sen estimator — median of
+    all pairwise slopes of daily revenue vs day index — plus the classic
+    median-residual intercept.  Unlike OLS (``agg_linear_regression``),
+    one outlier day cannot move the fit; it is the standard robust trend
+    readout for noisy operational metrics.
+
+    Scale shape: the fact table collapses to one row per (event_type,
+    day) FIRST (two-phase hash aggregate), so the pair self-join runs on
+    a table bounded by the CALENDAR (types × days), never by event rows
+    — C(days, 2) slope pairs per type regardless of sf.  Both medians are
+    distributed percentile aggregates (no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                        .alias("day"))
+             .agg(F.sum("value").alias("rev")))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                     & (F.col("a.day") < F.col("b.day")))
+              .select(F.col("a.event_type").alias("event_type"),
+                      ((F.col("b.rev") - F.col("a.rev"))
+                       / (F.col("b.day") - F.col("a.day"))).alias("slope")))
+    med = (slopes.groupBy("event_type")
+           .agg(F.percentile("slope", 0.5).alias("m"),
+                F.count(F.lit(1)).alias("n_pairs")))
+    return (daily.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.max("n_pairs").alias("n_pairs"),
+                 F.round(F.max("m"), 4).alias("theil_sen_slope"),
+                 F.round(F.percentile(
+                     F.col("rev") - F.col("m") * F.col("day"), 0.5), 4)
+                 .alias("intercept"))
+            .orderBy("event_type"))
+
+
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric two-sample test: Mann–Whitney U over purchase values
+    between the deterministic md5 A/B arms (same split as
+    ``events_ab_test_lift``), with midrank tie handling and the
+    tie-corrected normal approximation z — the robust companion to the
+    parametric z-test when value distributions are skewed.
+
+    Scale shape: values collapse to one row per DISTINCT value (hash
+    aggregate) carrying per-arm counts; the rank prefix sums use the
+    two-phase ordinal scheme (``corpus_global_shuffle``): integer
+    floor(value) range-buckets (order-consistent with value order),
+    per-bucket cumulative windows, and a broadcast bucket-offset table —
+    never a single-reducer global sort.  The offset window runs over the
+    bucket table, bounded by the VALUE RANGE, not the corpus.  Every rank
+    term is an exact multiple of 0.5 well under 2^53, so the double sums
+    are exact and order-independent on any engine."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        _bucket_64k,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    is_a = (_bucket_64k(F.col("user_id").cast("string")) < 32768
+            ).cast("long")
+    dv = (ev.select("value", is_a.alias("is_a"))
+          .groupBy("value")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("is_a").alias("n_a"))
+          .withColumn("bkt", F.floor("value").cast("int")))
+    local = dv.withColumn(
+        "cum_in_bkt",
+        F.sum("n").over(W.partitionBy("bkt").orderBy("value")
+                        .rowsBetween(W.unboundedPreceding, -1)))
+    offsets = (dv.groupBy("bkt").agg(F.sum("n").alias("bn"))
+               .withColumn("off", F.coalesce(
+                   F.sum("bn").over(W.orderBy("bkt").rowsBetween(
+                       W.unboundedPreceding, -1)), F.lit(0)))
+               .select("bkt", "off"))
+    ranked = (local.join(F.broadcast(offsets), "bkt")
+              .select("n", "n_a",
+                      (F.coalesce(F.col("cum_in_bkt"), F.lit(0))
+                       + F.col("off")).alias("lt")))
+    stats = ranked.agg(
+        F.sum("n_a").alias("n_a_tot"),
+        F.sum(F.col("n") - F.col("n_a")).alias("n_b_tot"),
+        F.sum(F.col("n_a") * (F.col("lt") + (F.col("n") + 1) / 2.0))
+        .alias("r_a"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .alias("tie_term"),
+        F.sum("n").alias("n_tot"))
+    u = F.col("r_a") - F.col("n_a_tot") * (F.col("n_a_tot") + 1) / 2.0
+    mu = F.col("n_a_tot") * F.col("n_b_tot") / 2.0
+    sig2 = (F.col("n_a_tot") * F.col("n_b_tot") / 12.0
+            * ((F.col("n_tot") + 1)
+               - F.col("tie_term")
+               / (F.col("n_tot") * (F.col("n_tot") - 1.0))))
+    return stats.select(
+        F.col("n_a_tot").alias("n_a"), F.col("n_b_tot").alias("n_b"),
+        F.round(u, 4).alias("u_a"),
+        F.round((u - mu) / F.sqrt(sig2), 4).alias("z_score"))
+
+
 QUERIES = {
+    "agg_theil_sen_slope": agg_theil_sen_slope,
+    "agg_mannwhitney_u": agg_mannwhitney_u,
     "events_pattern_match_cep": events_pattern_match_cep,
     "join_interval_overlap": join_interval_overlap,
     "agg_kmv_distinct_intersect": agg_kmv_distinct_intersect,
@@ -1258,6 +1358,62 @@ _KMV_EST = ("CASE WHEN {n} < 64 THEN {n}"
             " ELSE (63 * CAST(281474976710656 AS BIGINT)) // {hk} END")
 
 ORACLE = {
+    "agg_theil_sen_slope": """
+        WITH daily AS (
+            SELECT event_type,
+                   DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   SUM(value) AS rev
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   (b.rev - a.rev) / (b.day - a.day) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ), med AS (
+            SELECT event_type, QUANTILE_CONT(slope, 0.5) AS m,
+                   COUNT(*) AS n_pairs
+            FROM slopes GROUP BY 1
+        )
+        SELECT d.event_type, COUNT(*) AS n_days,
+               CAST(MAX(med.n_pairs) AS BIGINT) AS n_pairs,
+               ROUND(MAX(med.m), 4) AS theil_sen_slope,
+               ROUND(QUANTILE_CONT(d.rev - med.m * d.day, 0.5), 4)
+                   AS intercept
+        FROM daily d JOIN med ON d.event_type = med.event_type
+        GROUP BY d.event_type
+        ORDER BY 1
+    """,
+    "agg_mannwhitney_u": f"""
+        WITH p AS (
+            SELECT value,
+                   CASE WHEN ({_B64K}) < 32768 THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type = 'purchase'
+        ), dv AS (
+            SELECT value, COUNT(*) AS n, SUM(is_a) AS n_a
+            FROM p GROUP BY value
+        ), r AS (
+            SELECT n, n_a,
+                   COALESCE(SUM(n) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS lt
+            FROM dv
+        ), s AS (
+            SELECT SUM(n_a) AS n_a_tot, SUM(n - n_a) AS n_b_tot,
+                   SUM(n_a * (lt + (n + 1) / 2.0)) AS r_a,
+                   SUM(n * n * n - n) AS tie_term, SUM(n) AS n_tot
+            FROM r
+        )
+        SELECT CAST(n_a_tot AS BIGINT) AS n_a,
+               CAST(n_b_tot AS BIGINT) AS n_b,
+               ROUND(r_a - n_a_tot * (n_a_tot + 1) / 2.0, 4) AS u_a,
+               ROUND((r_a - n_a_tot * (n_a_tot + 1) / 2.0
+                      - n_a_tot * n_b_tot / 2.0)
+                     / SQRT(n_a_tot * n_b_tot / 12.0 * ((n_tot + 1)
+                            - tie_term / (n_tot * (n_tot - 1.0)))), 4)
+                   AS z_score
+        FROM s
+    """,
     # Tolerance-banded oracle (round-3 verdict #3): DuckDB replays the
     # first-purchase journey truncation to re-derive the channel set; the
     # probability-law booleans must hash-match literal TRUE.

@@ -419,7 +419,49 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("community"))
 
 
+def graph_shortest_paths_weighted(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (Bellman–Ford, 4 relaxation
+    rounds) from the lowest-id supplier of the strong co-supply graph.
+    Edge length is inversely proportional to tie strength —
+    ``max(1, round(10000 / co_parts))`` — so strong ties are short, and
+    the integer weights make every distance byte-identical on any engine.
+
+    Iteration discipline matches ``graph_khop_reachability``: the fact
+    table collapses to the size-aware (``_iter_layout``) symmetric edge
+    list ONCE; each round joins it to the broadcast vertex-bounded
+    distance table, localCheckpoints (round k's plan is O(1), not O(k)),
+    and a two-phase min-aggregate closes the round — never a one-task
+    straggler, never a driver-side frontier."""
+    pairs = _co_supply_pairs(spark, sf_dir).persist()
+    cut = pairs.agg(F.expr("percentile(co_parts, 0.95)").alias("cut"))
+    w = F.greatest(F.lit(1).cast("long"),
+                   F.round(F.lit(10000.0) / F.col("co_parts")).cast("long"))
+    strong = (pairs.crossJoin(F.broadcast(cut))
+              .where(F.col("co_parts") >= F.col("cut"))
+              .select("u", "v", w.alias("w")))
+    n_sym = 2 * strong.count()  # driver-bounded: one count of the edge list
+    sym = _iter_layout(
+        strong.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(strong.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst"), "w")),
+        n_sym, "src").persist()
+    dist = (sym.agg(F.min("src").alias("node"))
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint())
+    for _ in range(4):
+        relax = (sym.join(F.broadcast(dist), sym.src == dist.node)
+                 .select(F.col("dst").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.select("node", "dist").unionAll(relax)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return (dist.select(F.col("node").alias("supplier"), "dist")
+            .orderBy("supplier"))
+
+
 QUERIES = {
+    "graph_shortest_paths_weighted": graph_shortest_paths_weighted,
     "graph_label_propagation": graph_label_propagation,
     "graph_component_size_dist": graph_component_size_dist,
     "graph_link_prediction_scores": graph_link_prediction_scores,
@@ -475,6 +517,53 @@ FROM r5 ORDER BY nation
 """)
 
 ORACLE = {
+    "graph_shortest_paths_weighted": """
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
+            FROM e a JOIN e b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS (
+            SELECT u, v,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(ROUND(10000.0 / co_parts) AS BIGINT)) AS w
+            FROM pairs CROSS JOIN cut WHERE co_parts >= cut
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst, w FROM strong
+            UNION ALL
+            SELECT v AS src, u AS dst, w FROM strong
+        ),
+        d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM sym),
+        d1 AS (SELECT node, MIN(dist) AS dist FROM (
+                   SELECT node, dist FROM d0
+                   UNION ALL
+                   SELECT sym.dst, d0.dist + sym.w
+                   FROM sym JOIN d0 ON sym.src = d0.node
+               ) GROUP BY node),
+        d2 AS (SELECT node, MIN(dist) AS dist FROM (
+                   SELECT node, dist FROM d1
+                   UNION ALL
+                   SELECT sym.dst, d1.dist + sym.w
+                   FROM sym JOIN d1 ON sym.src = d1.node
+               ) GROUP BY node),
+        d3 AS (SELECT node, MIN(dist) AS dist FROM (
+                   SELECT node, dist FROM d2
+                   UNION ALL
+                   SELECT sym.dst, d2.dist + sym.w
+                   FROM sym JOIN d2 ON sym.src = d2.node
+               ) GROUP BY node),
+        d4 AS (SELECT node, MIN(dist) AS dist FROM (
+                   SELECT node, dist FROM d3
+                   UNION ALL
+                   SELECT sym.dst, d3.dist + sym.w
+                   FROM sym JOIN d3 ON sym.src = d3.node
+               ) GROUP BY node)
+        SELECT node AS supplier, dist FROM d4 ORDER BY supplier
+    """,
     "graph_label_propagation": """
         WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         pairs AS (

@@ -113,15 +113,11 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution across file generations: an old file set without a
-    column and a new one with it, read as ONE table via ``mergeSchema``.
-
-    This is how a 100 TB lake absorbs schema change without rewriting
-    history: the merged read null-fills the missing column for old files.
-    (The reference's answer was a fixed 13-key whitelist,
-    normalization.py:91-92 — additive evolution was impossible.)
-    """
+def _stage_evo_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf) two file generations of orders: an old set
+    without ``o_orderpriority`` and a new set with it — the
+    schema-evolution fixture shared by ``scan_schema_evolution_merge``
+    and ``dq_schema_drift``."""
     import os
 
     from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
@@ -136,6 +132,19 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (orders.where(F.col("o_orderkey") % 2 == 1)
          .select("o_orderkey", "o_totalprice", "o_orderpriority")
          .write.mode("overwrite").parquet(os.path.join(path, "gen=new")))
+    return path
+
+
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: an old file set without a
+    column and a new one with it, read as ONE table via ``mergeSchema``.
+
+    This is how a 100 TB lake absorbs schema change without rewriting
+    history: the merged read null-fills the missing column for old files.
+    (The reference's answer was a fixed 13-key whitelist,
+    normalization.py:91-92 — additive evolution was impossible.)
+    """
+    path = _stage_evo_orders(spark, sf_dir)
     merged = (spark.read.option("mergeSchema", True)
               .option("recursiveFileLookup", True).parquet(path))
     return (
@@ -149,6 +158,45 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("total"))
         .orderBy("priority")
     )
+
+
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report between two file generations of the same
+    table: per column — presence on each side and the null fraction on
+    each side (−1.0 marks "column absent from this generation").  The
+    check a lake team runs before flipping readers to a new producer
+    version; the reference's fixed 13-key whitelist
+    (/root/reference/normalization.py:91-92) made additive drift
+    invisible.
+
+    Scale shape: column presence comes from the parquet FOOTER schemas
+    (driver metadata, no data read); null fractions are ONE algebraic
+    aggregate pass per generation, unpivoted with ``stack`` — the output
+    is |columns| rows regardless of sf."""
+    import os
+
+    path = _stage_evo_orders(spark, sf_dir)
+    old = spark.read.parquet(os.path.join(path, "gen=old"))
+    new = spark.read.parquet(os.path.join(path, "gen=new"))
+    cols = sorted(set(old.columns) | set(new.columns))
+
+    def null_profile(df: DataFrame, suffix: str) -> DataFrame:
+        present = set(df.columns)
+        aggs = [
+            (F.round(F.avg(F.col(c).isNull().cast("double")), 4)
+             if c in present else F.lit(-1.0)).alias(c)
+            for c in cols]
+        stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+        return df.agg(*aggs).selectExpr(
+            f"stack({len(cols)}, {stack}) AS (col_name, null_frac_{suffix})")
+
+    return (null_profile(old, "old").join(null_profile(new, "new"),
+                                          "col_name")
+            .select("col_name",
+                    (F.col("null_frac_old") >= 0).alias("in_old"),
+                    (F.col("null_frac_new") >= 0).alias("in_new"),
+                    "null_frac_old", "null_frac_new")
+            .orderBy("col_name"))
 
 
 def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +553,7 @@ QUERIES = {
     "scan_json_lines": scan_json_lines,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_schema_evolution_merge": scan_schema_evolution_merge,
+    "dq_schema_drift": dq_schema_drift,
     "scan_partition_pruning": scan_partition_pruning,
 }
 
@@ -584,6 +633,39 @@ ORACLE = {
         SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal,
                c_mktsegment
         FROM customer WHERE c_acctbal > 1000.0
+    """,
+    # the oracle re-derives both staged generations from the base orders
+    # table with the identical %2 split (same trick the evolution-merge
+    # oracle uses) — no dependency on scratch paths
+    "dq_schema_drift": """
+        WITH old_g AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+        ), new_g AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+            WHERE o_orderkey % 2 = 1
+        )
+        SELECT 'o_orderkey' AS col_name, TRUE AS in_old, TRUE AS in_new,
+               (SELECT ROUND(AVG(CASE WHEN o_orderkey IS NULL
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+                FROM old_g) AS null_frac_old,
+               (SELECT ROUND(AVG(CASE WHEN o_orderkey IS NULL
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+                FROM new_g) AS null_frac_new
+        UNION ALL
+        SELECT 'o_orderpriority', FALSE, TRUE, CAST(-1.0 AS DOUBLE),
+               (SELECT ROUND(AVG(CASE WHEN o_orderpriority IS NULL
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+                FROM new_g)
+        UNION ALL
+        SELECT 'o_totalprice', TRUE, TRUE,
+               (SELECT ROUND(AVG(CASE WHEN o_totalprice IS NULL
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+                FROM old_g),
+               (SELECT ROUND(AVG(CASE WHEN o_totalprice IS NULL
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+                FROM new_g)
+        ORDER BY col_name
     """,
     "scan_schema_evolution_merge": """
         SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,

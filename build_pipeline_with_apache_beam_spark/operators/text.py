@@ -846,7 +846,38 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick") audit per source: tokens map
+    to a fixed 4096-dim feature space via a 12-bit md5 bucket, and the
+    report quantifies what the fixed dimensionality costs — bucket load,
+    collision rate (distinct tokens sharing a bucket), and the heaviest
+    bucket — the numbers a training pipeline checks before committing to
+    a hashed bag-of-words featurization.
+
+    Scale shape: token explosion collapses immediately into a
+    (source, bucket) hash aggregate (4096 × sources rows max), with the
+    distinct-token count two-phase inside it; nothing downstream sees
+    token rows.  The md5 bucket is portable SQL, so the feature space is
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10).cast("int")
+    per_bucket = (toks.groupBy("source", bucket.alias("bucket"))
+                  .agg(F.countDistinct("tok").alias("n_toks"),
+                       F.count(F.lit(1)).alias("mass")))
+    return (per_bucket.groupBy("source")
+            .agg(F.sum("mass").alias("n_tokens"),
+                 F.sum("n_toks").alias("n_distinct_tokens"),
+                 F.count(F.lit(1)).alias("n_buckets_used"),
+                 F.max("n_toks").alias("max_bucket_collisions"),
+                 F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("n_toks"), 4)
+                 .alias("collision_rate"))
+            .orderBy("source"))
+
+
 QUERIES = {
+    "text_feature_hashing": text_feature_hashing,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_coverage": text_vocab_coverage,
@@ -893,7 +924,31 @@ _MD5_8BIT = ("((STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 1, 1)) - 1)"
              " + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 2, 1))"
              " - 1))")
 
+_MD5_12BIT = (
+    "(  (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 1, 1)) - 1) * 256"
+    " + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 2, 1)) - 1) * 16"
+    " + (STRPOS('0123456789abcdef', SUBSTRING(MD5({c}), 3, 1)) - 1))")
+
 ORACLE = {
+    "text_feature_hashing": f"""
+        WITH toks AS (
+            SELECT source, UNNEST(str_split(text, ' ')) AS tok
+            FROM documents
+        ), pb AS (
+            SELECT source, {_MD5_12BIT.format(c="tok")} AS bucket,
+                   COUNT(DISTINCT tok) AS n_toks, COUNT(*) AS mass
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(mass) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_toks) AS BIGINT) AS n_distinct_tokens,
+               COUNT(*) AS n_buckets_used,
+               MAX(n_toks) AS max_bucket_collisions,
+               ROUND(CAST(1 AS DOUBLE)
+                     - COUNT(*) / CAST(SUM(n_toks) AS DOUBLE), 4)
+                   AS collision_rate
+        FROM pb GROUP BY source ORDER BY source
+    """,
     "text_bigram_lm_quality": f"""
         WITH t AS (
             SELECT doc_id, str_split(LOWER(text), ' ') AS toks
