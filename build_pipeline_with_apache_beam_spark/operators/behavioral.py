@@ -1301,9 +1301,110 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((u - mu) / F.sqrt(sig2), 4).alias("z_score"))
 
 
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the md5 A/B arms'
+    purchase-value distributions: D = max |F_A(v) − F_B(v)| over the
+    pooled support, plus the one-term asymptotic p-value — the
+    distribution-shape companion to ``agg_mannwhitney_u`` (which only
+    sees location).
+
+    Scale shape: identical skeleton to Mann–Whitney — distinct-value
+    collapse carrying per-arm counts, two-phase ordinal prefix sums
+    (floor-value range buckets + broadcast offsets) for the empirical
+    CDFs, then one max-aggregate.  Counts are exact integers, so the
+    CDF steps are the same rationals on any engine."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        _bucket_64k,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    is_a = (_bucket_64k(F.col("user_id").cast("string")) < 32768
+            ).cast("long")
+    dv = (ev.select("value", is_a.alias("is_a"))
+          .groupBy("value")
+          .agg(F.sum("is_a").alias("na"),
+               (F.count(F.lit(1)) - F.sum("is_a")).alias("nb"))
+          .withColumn("bkt", F.floor("value").cast("int")))
+    cum = W.partitionBy("bkt").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0)
+    local = dv.select(
+        "bkt", "value",
+        F.sum("na").over(cum).alias("ca_in"),
+        F.sum("nb").over(cum).alias("cb_in"))
+    offsets = (dv.groupBy("bkt")
+               .agg(F.sum("na").alias("ban"), F.sum("nb").alias("bbn"))
+               .select(
+                   "bkt",
+                   F.coalesce(F.sum("ban").over(
+                       W.orderBy("bkt").rowsBetween(
+                           W.unboundedPreceding, -1)), F.lit(0))
+                   .alias("offa"),
+                   F.coalesce(F.sum("bbn").over(
+                       W.orderBy("bkt").rowsBetween(
+                           W.unboundedPreceding, -1)), F.lit(0))
+                   .alias("offb")))
+    tot = (dv.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b")))
+    d = (local.join(F.broadcast(offsets), "bkt")
+         .crossJoin(F.broadcast(tot))
+         .select("n_a", "n_b",
+                 F.abs((F.col("ca_in") + F.col("offa")) / F.col("n_a")
+                       - (F.col("cb_in") + F.col("offb")) / F.col("n_b"))
+                 .alias("gap")))
+    en = F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    return (d.groupBy("n_a", "n_b")
+            .agg(F.max("gap").alias("ks_d"))
+            .select("n_a", "n_b", F.round("ks_d", 4).alias("ks_d"),
+                    F.round(F.least(
+                        F.lit(1.0),
+                        2 * F.exp(-2 * F.col("ks_d") * F.col("ks_d") * en)),
+                        4).alias("p_value")))
+
+
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and the md5
+    A/B arm: one contingency-table aggregate, expected counts from the
+    broadcast marginals, Σ(o−e)²/e and the degrees of freedom — the
+    categorical-mix guardrail an experimentation pipeline runs before
+    trusting any per-arm metric (sample-ratio mismatch shows up here).
+
+    Scale shape: the fact table collapses to the (type × arm)
+    contingency table map-side; marginals and the statistic are computed
+    on that tiny table — nothing downstream of the first aggregate sees
+    event rows."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        _bucket_64k,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(_bucket_64k(F.col("user_id").cast("string")) < 32768,
+                 "A").otherwise("B")
+    cell = (ev.select(F.col("event_type").alias("et"), arm.alias("arm"))
+            .groupBy("et", "arm").agg(F.count(F.lit(1)).alias("o")))
+    row_m = cell.groupBy("et").agg(F.sum("o").alias("rn"))
+    col_m = cell.groupBy("arm").agg(F.sum("o").alias("cn"))
+    tot = cell.agg(F.sum("o").alias("n"),
+                   F.countDistinct("et").alias("r"),
+                   F.countDistinct("arm").alias("c"))
+    e = (cell.join(F.broadcast(row_m), "et")
+         .join(F.broadcast(col_m), "arm")
+         .crossJoin(F.broadcast(tot))
+         .select("n", "r", "c",
+                 ((F.col("o") - F.col("rn") * F.col("cn") / F.col("n"))
+                  * (F.col("o") - F.col("rn") * F.col("cn") / F.col("n"))
+                  / (F.col("rn") * F.col("cn") / F.col("n")))
+                 .alias("term")))
+    return (e.groupBy("n", "r", "c")
+            .agg(F.round(F.sum("term"), 4).alias("chi2"))
+            .select("n", F.round("chi2", 4).alias("chi2"),
+                    ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof")))
+
+
 QUERIES = {
     "agg_theil_sen_slope": agg_theil_sen_slope,
     "agg_mannwhitney_u": agg_mannwhitney_u,
+    "agg_ks_test": agg_ks_test,
+    "agg_chisq_independence": agg_chisq_independence,
     "events_pattern_match_cep": events_pattern_match_cep,
     "join_interval_overlap": join_interval_overlap,
     "agg_kmv_distinct_intersect": agg_kmv_distinct_intersect,
@@ -1383,6 +1484,52 @@ ORACLE = {
         FROM daily d JOIN med ON d.event_type = med.event_type
         GROUP BY d.event_type
         ORDER BY 1
+    """,
+    "agg_ks_test": f"""
+        WITH p AS (
+            SELECT value,
+                   CASE WHEN ({_B64K}) < 32768 THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type = 'purchase'
+        ), dv AS (
+            SELECT value, SUM(is_a) AS na, COUNT(*) - SUM(is_a) AS nb
+            FROM p GROUP BY value
+        ), c AS (
+            SELECT SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb
+            FROM dv
+            WINDOW w AS (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), tot AS (
+            SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM dv
+        ), d AS (
+            SELECT MAX(ABS(ca / CAST(n_a AS DOUBLE)
+                           - cb / CAST(n_b AS DOUBLE))) AS ks_d
+            FROM c CROSS JOIN tot
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(ks_d, 4) AS ks_d,
+               ROUND(LEAST(CAST(1 AS DOUBLE),
+                     2 * EXP(-2 * ks_d * ks_d
+                             * (n_a * n_b / CAST(n_a + n_b AS DOUBLE)))), 4)
+                   AS p_value
+        FROM d CROSS JOIN tot
+    """,
+    "agg_chisq_independence": f"""
+        WITH cell AS (
+            SELECT event_type AS et,
+                   CASE WHEN ({_B64K}) < 32768 THEN 'A' ELSE 'B' END AS arm,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ), rm AS (SELECT et, SUM(o) AS rn FROM cell GROUP BY et),
+        cm AS (SELECT arm, SUM(o) AS cn FROM cell GROUP BY arm),
+        tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT et) AS r,
+                       COUNT(DISTINCT arm) AS c FROM cell)
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(SUM((o - rn * cn / CAST(n AS DOUBLE))
+                         * (o - rn * cn / CAST(n AS DOUBLE))
+                         / (rn * cn / CAST(n AS DOUBLE))), 4) AS chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof
+        FROM cell JOIN rm USING (et) JOIN cm USING (arm) CROSS JOIN tot
+        GROUP BY n, r, c
     """,
     "agg_mannwhitney_u": f"""
         WITH p AS (

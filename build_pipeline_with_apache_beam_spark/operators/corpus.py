@@ -1385,7 +1385,38 @@ def corpus_reservoir_sample_per_source(spark: SparkSession,
             .orderBy("source", "sample_rank"))
 
 
+def corpus_weighted_sample_exact(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling with INTEGER-EXACT
+    inclusion: a document is kept iff ``hash48(doc_id) % 10⁶ <
+    (10⁶ · n_chars) div max_chars`` — inclusion probability proportional
+    to length, decided entirely in 64-bit integer arithmetic, so the
+    sampled set is byte-identical on any engine and stable under
+    backfills (no float transcendentals, unlike Efraimidis–Spirakis
+    keys whose pow/ln can differ in the last ulp across libm builds).
+
+    Scale shape: one max-aggregate broadcast, then a single stateless
+    projection + per-source hash aggregate — no shuffle carries document
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mx"))
+    h48 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                 16, 10).cast("long")
+    keep = ((h48 % 1000000)
+            < F.expr("(1000000 * n_chars) div mx")).cast("long")
+    return (docs.crossJoin(F.broadcast(mx))
+            .select("source", "n_chars", keep.alias("k"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("k").alias("n_kept"),
+                 F.round(F.sum(F.col("k") * F.col("n_chars"))
+                         / F.sum("n_chars"), 4).alias("kept_char_share"),
+                 F.round(F.avg("k"), 4).alias("realized_rate"))
+            .orderBy("source"))
+
+
 QUERIES = {
+    "corpus_weighted_sample_exact": corpus_weighted_sample_exact,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_reservoir_sample_per_source": corpus_reservoir_sample_per_source,
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
@@ -1440,6 +1471,23 @@ _MD5_48B_SQL = " + ".join(
     for i in range(12))
 
 ORACLE = {
+    "corpus_weighted_sample_exact": f"""
+        WITH mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+        k AS (
+            SELECT source, n_chars,
+                   CASE WHEN ({_MD5_48B_SQL.format(
+                            c="CAST(doc_id AS VARCHAR)")}) % 1000000
+                        < (1000000 * n_chars) // mx
+                        THEN 1 ELSE 0 END AS k
+            FROM documents CROSS JOIN mx
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(k) AS BIGINT) AS n_kept,
+               ROUND(SUM(k * n_chars) / CAST(SUM(n_chars) AS DOUBLE), 4)
+                   AS kept_char_share,
+               ROUND(AVG(CAST(k AS DOUBLE)), 4) AS realized_rate
+        FROM k GROUP BY source ORDER BY source
+    """,
     # Tolerance-banded trainer oracles (round-3 verdict #3): DuckDB
     # re-derives the exact companions (corpus size, label base rate,
     # total variance); the invariant booleans computed Spark-side must

@@ -194,3 +194,93 @@ def test_schema_drift_report_shape(spark, sf_dir):
         r = rows[c]
         assert r["in_old"] and r["in_new"]
         assert r["null_frac_old"] == 0.0 and r["null_frac_new"] == 0.0
+
+
+def test_ks_matches_python_replay(spark, sf_dir):
+    """D must equal max |F_A − F_B| over the pooled support replayed in
+    Python, and the p-value must follow the one-term asymptotic formula
+    from the unrounded D."""
+    import math
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        agg_ks_test,
+    )
+
+    rows = (load_table(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", "value").collect())
+    a = sorted(r["value"] for r in rows
+               if _bucket64k(str(r["user_id"])) < 32768)
+    b = sorted(r["value"] for r in rows
+               if _bucket64k(str(r["user_id"])) >= 32768)
+    support = sorted(set(a) | set(b))
+    import bisect
+    d = max(abs(bisect.bisect_right(a, v) / len(a)
+                - bisect.bisect_right(b, v) / len(b)) for v in support)
+    en = len(a) * len(b) / (len(a) + len(b))
+    p = min(1.0, 2 * math.exp(-2 * d * d * en))
+    out = agg_ks_test(spark, sf_dir).collect()[0]
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["ks_d"] - d) < 5.1e-5      # output is rounded to 4dp
+    assert abs(out["p_value"] - p) < 1e-3
+    assert 0.0 <= out["ks_d"] <= 1.0 and 0.0 <= out["p_value"] <= 1.0
+
+
+def test_chisq_matches_python_replay(spark, sf_dir):
+    """Chi-square statistic must equal the contingency-table definition
+    replayed in Python over (event_type × md5 arm)."""
+    from collections import Counter
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.behavioral import (
+        agg_chisq_independence,
+    )
+
+    rows = (load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type").collect())
+    cells = Counter((r["event_type"],
+                     "A" if _bucket64k(str(r["user_id"])) < 32768 else "B")
+                    for r in rows)
+    n = sum(cells.values())
+    rt = Counter(); ct = Counter()
+    for (et, arm), o in cells.items():
+        rt[et] += o
+        ct[arm] += o
+    chi2 = sum((o - rt[et] * ct[arm] / n) ** 2 / (rt[et] * ct[arm] / n)
+               for (et, arm), o in cells.items())
+    out = agg_chisq_independence(spark, sf_dir).collect()[0]
+    assert out["n"] == n
+    assert out["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(out["chi2"] - chi2) < 1e-3
+    assert out["chi2"] >= 0.0
+
+
+def test_weighted_sample_rate_tracks_length(spark, sf_dir):
+    """Inclusion probability is w/max_w, so across sources the realized
+    rate must track mean(n_chars)/max(n_chars); the kept-char share must
+    exceed the kept-doc rate (long docs are favored); and the decision
+    must replay exactly in Python integer arithmetic."""
+    import hashlib
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_weighted_sample_exact,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars").collect())
+    mx = max(r["n_chars"] for r in docs)
+    kept = {}
+    per_src: dict[str, list] = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16)
+        k = (h % 1000000) < (1000000 * r["n_chars"]) // mx
+        per_src.setdefault(r["source"], []).append((r["n_chars"], k))
+    for r in corpus_weighted_sample_exact(spark, sf_dir).collect():
+        rows = per_src[r["source"]]
+        n_kept = sum(1 for _, k in rows if k)
+        assert r["n_docs"] == len(rows)
+        assert r["n_kept"] == n_kept          # exact integer replay
+        if 0 < n_kept < len(rows):
+            assert r["kept_char_share"] >= n_kept / len(rows) - 0.05
