@@ -20,6 +20,15 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Spill to a per-process temp dir: concurrent oracle processes sharing
+    # DuckDB's cwd-default ".tmp" overwrite each other's numbered
+    # duckdb_temp_storage-N.tmp files (observed during the round-4 sf1
+    # sweep: disk-fill + IOException when two sweeps ran side by side).
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"ducktmp-{os.getpid()}")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):
