@@ -746,7 +746,7 @@ ORACLE = {
         WITH t AS (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
             FROM documents WHERE doc_id % 4 = 0
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
                    len(list_intersect(a.toks, b.toks)) AS n_common,
                    len(a.toks) AS n_a, len(b.toks) AS n_b
@@ -764,7 +764,7 @@ ORACLE = {
         WITH t AS (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
             FROM documents WHERE doc_id % 4 = 0
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
                          / len(list_distinct(list_concat(a.toks, b.toks))), 4)
@@ -804,16 +804,16 @@ ORACLE = {
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
     """,
     "dedup_connected_groups": """
-        WITH RECURSIVE t AS (
+        WITH RECURSIVE t AS MATERIALIZED (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
             FROM documents WHERE doc_id % 4 = 0
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM t a JOIN t b
               ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks)) * 1.0
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT doc_a, doc_b FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
@@ -825,16 +825,16 @@ ORACLE = {
         SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
     """,
     "dedup_cluster_canonical": """
-        WITH RECURSIVE t AS (
+        WITH RECURSIVE t AS MATERIALIZED (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
             FROM documents WHERE doc_id % 4 = 0
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM t a JOIN t b
               ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks)) * 1.0
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT doc_a, doc_b FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs

@@ -473,7 +473,7 @@ QUERIES = {
 }
 
 _PR_EDGES = """
-edges AS (
+edges AS MATERIALIZED (
     SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -483,17 +483,17 @@ edges AS (
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     GROUP BY 1, 2
 ),
-outw AS (SELECT src, SUM(w) AS tot FROM edges GROUP BY 1),
-trans AS (
+outw AS MATERIALIZED (SELECT src, SUM(w) AS tot FROM edges GROUP BY 1),
+trans AS MATERIALIZED (
     SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.tot AS p
     FROM edges e JOIN outw o ON e.src = o.src
 ),
-nodes AS (
+nodes AS MATERIALIZED (
     SELECT DISTINCT src AS n FROM edges
     UNION
     SELECT DISTINCT dst AS n FROM edges
 ),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes)
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes)
 """
 
 _PR_STEP = """
@@ -518,39 +518,39 @@ FROM r5 ORDER BY nation
 
 ORACLE = {
     "graph_shortest_paths_weighted": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        pairs AS (
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v,
                    GREATEST(CAST(1 AS BIGINT),
                             CAST(ROUND(10000.0 / co_parts) AS BIGINT)) AS w
             FROM pairs CROSS JOIN cut WHERE co_parts >= cut
         ),
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT u AS src, v AS dst, w FROM strong
             UNION ALL
             SELECT v AS src, u AS dst, w FROM strong
         ),
-        d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM sym),
-        d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        d0 AS MATERIALIZED (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM sym),
+        d1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
                    SELECT node, dist FROM d0
                    UNION ALL
                    SELECT sym.dst, d0.dist + sym.w
                    FROM sym JOIN d0 ON sym.src = d0.node
                ) GROUP BY node),
-        d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        d2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
                    SELECT node, dist FROM d1
                    UNION ALL
                    SELECT sym.dst, d1.dist + sym.w
                    FROM sym JOIN d1 ON sym.src = d1.node
                ) GROUP BY node),
-        d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        d3 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
                    SELECT node, dist FROM d2
                    UNION ALL
                    SELECT sym.dst, d2.dist + sym.w
@@ -565,16 +565,16 @@ ORACLE = {
         SELECT node AS supplier, dist FROM d4 ORDER BY supplier
     """,
     "graph_label_propagation": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        pairs AS (
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
-        ), cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        ), cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT u AS src, v AS dst FROM strong
             UNION ALL
             SELECT v AS src, u AS dst FROM strong
@@ -611,21 +611,21 @@ ORACLE = {
         FROM l3 GROUP BY 1 ORDER BY 1
     """,
     "graph_component_size_dist": """
-        WITH RECURSIVE e AS (
+        WITH RECURSIVE e AS MATERIALIZED (
             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
-        ), cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        ), cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT u AS src, v AS dst FROM strong
             UNION ALL
             SELECT v AS src, u AS dst FROM strong
-        ), nodes AS (SELECT DISTINCT src AS node FROM sym),
+        ), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
         reach AS (
             SELECT node, node AS r FROM nodes
             UNION
@@ -641,24 +641,24 @@ ORACLE = {
         FROM sizes GROUP BY 1 ORDER BY 1
     """,
     "graph_degree_distribution": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         d AS (SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1)
         SELECT degree, COUNT(*) AS n_parts
         FROM d GROUP BY 1 ORDER BY 1
     """,
     "graph_assortativity": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        pairs AS (
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
         ),
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT u AS a, v AS b FROM strong
             UNION ALL
             SELECT v AS a, u AS b FROM strong
@@ -671,28 +671,28 @@ ORACLE = {
         JOIN deg db ON sym.b = db.node
     """,
     "graph_khop_reachability": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        pairs AS (
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
         ),
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT u AS src, v AS dst FROM strong
             UNION ALL
             SELECT v AS src, u AS dst FROM strong
         ),
-        seed AS (SELECT MIN(src) AS node FROM sym),
-        h1 AS (SELECT DISTINCT dst AS node
+        seed AS MATERIALIZED (SELECT MIN(src) AS node FROM sym),
+        h1 AS MATERIALIZED (SELECT DISTINCT dst AS node
                FROM sym JOIN seed ON sym.src = seed.node),
-        h2 AS (SELECT DISTINCT dst AS node
+        h2 AS MATERIALIZED (SELECT DISTINCT dst AS node
                FROM sym JOIN h1 ON sym.src = h1.node),
-        h3 AS (SELECT DISTINCT dst AS node
+        h3 AS MATERIALIZED (SELECT DISTINCT dst AS node
                FROM sym JOIN h2 ON sym.src = h2.node),
         all_h AS (
             SELECT node, 0 AS hops FROM seed
@@ -706,15 +706,15 @@ ORACLE = {
         ORDER BY node
     """,
     "graph_triangle_count": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        pairs AS (
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
         ),
         deg AS (
@@ -744,23 +744,23 @@ ORACLE = {
     """,
     "graph_pagerank_trade": _PR_SQL,
     "graph_link_prediction_scores": """
-        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        pairs AS (
+        WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS co_parts
             FROM e a JOIN e b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        cut AS (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
-        strong AS (
+        cut AS MATERIALIZED (SELECT QUANTILE_CONT(co_parts, 0.95) AS cut FROM pairs),
+        strong AS MATERIALIZED (
             SELECT u, v FROM pairs CROSS JOIN cut WHERE co_parts >= cut
         ),
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT u AS src, v AS dst FROM strong
             UNION ALL
             SELECT v AS src, u AS dst FROM strong
         ),
-        deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
         aa AS (
             -- deg >= 2 guard mirrors the Spark side: under IEEE float
             -- semantics (DuckDB >= 1.1) 10000/LN(1) is inf and the CAST
