@@ -155,6 +155,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(SALT_BUCKETS)).cast("int"))
     replicated = orders.withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])))
+    # shuffle_hash: the whole point of salting is a co-partitioned shuffle
+    # join on (key, salt); Catalyst's size estimate undershoots the
+    # broadcast threshold and would BROADCAST the ×SALT_BUCKETS-replicated
+    # orders side (measured 1448 MiB at sf1 by tools/broadcast_audit.py),
+    # defeating the mitigation and tracking the corpus
+    replicated = replicated.hint("shuffle_hash")
     return (salted.join(replicated,
                         (F.col("l_orderkey") == F.col("o_orderkey"))
                         & (salted["salt"] == replicated["salt"]))

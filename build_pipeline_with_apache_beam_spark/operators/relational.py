@@ -1737,7 +1737,13 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = basket.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders"))
     a, b = basket.alias("a"), basket.alias("b")
-    pair = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+    # shuffle_hash: the self-join's build side is the full basket table
+    # (corpus-sized) — Catalyst's post-distinct size estimate undershoots
+    # the 64 MiB broadcast threshold and would BROADCAST it (measured
+    # 267 MiB at sf1 by tools/broadcast_audit.py); co-partitioning both
+    # sides on l_orderkey is the linear-cost plan at any scale
+    pair = (a.join(b.hint("shuffle_hash"),
+                   (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
             .groupBy(F.col("a.l_partkey").alias("part_x"),
                      F.col("b.l_partkey").alias("part_y"))

@@ -39,7 +39,11 @@ def flagship_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-          AND EXISTS (SELECT 1 FROM lineitem
+          -- MERGE hint: the semi join's build side is corpus-sized
+          -- lineitem; the post-filter size estimate undershoots the
+          -- broadcast threshold (measured 267 MiB broadcast at sf1 by
+          -- tools/broadcast_audit.py) — sort-merge on l_orderkey scales
+          AND EXISTS (SELECT /*+ MERGE(lineitem) */ 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority

@@ -358,10 +358,14 @@ def flagship_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         WHERE o_orderstatus = 'F'
           AND n_regionkey = 1
           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (SELECT 1 FROM lineitem l2
+          -- MERGE hints: both correlated self-joins build against
+          -- corpus-sized lineitem; size estimates undershoot the
+          -- broadcast threshold (measured 267 MiB broadcast at sf1 by
+          -- tools/broadcast_audit.py) — sort-merge on l_orderkey scales
+          AND EXISTS (SELECT /*+ MERGE(l2) */ 1 FROM lineitem l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          AND NOT EXISTS (SELECT /*+ MERGE(l3) */ 1 FROM lineitem l3
                           JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
