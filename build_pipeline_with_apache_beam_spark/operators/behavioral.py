@@ -1196,7 +1196,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("s1").alias("b1"))
          .withColumn("bkt_b", F.explode(F.sequence(
              snap("b0"), snap("b1"), step))))
-    pairs = (a.join(b, (F.col("bkt") == F.col("bkt_b"))
+    # shuffle_hash: both sides are corpus-sized session lists — Catalyst's
+    # estimate undershoots the broadcast threshold and broadcast the right
+    # side (184 MiB at sf1, tools/broadcast_audit.py); bucket-partitioned
+    # shuffle is the linear plan at any scale
+    pairs = (a.join(b.hint("shuffle_hash"), (F.col("bkt") == F.col("bkt_b"))
                     & (F.col("ua") < F.col("ub"))
                     & (F.col("a0") <= F.col("b1"))
                     & (F.col("b0") <= F.col("a1"))

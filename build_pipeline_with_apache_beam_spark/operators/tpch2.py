@@ -231,11 +231,15 @@ def flagship_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFram
     """
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT l_linestatus,
+        SELECT /*+ MERGE(orders, lineitem) */ l_linestatus,
                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                         THEN 1 ELSE 0 END) AS high_line_count,
                SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                         THEN 1 ELSE 0 END) AS low_line_count
+        -- MERGE hint: fact-fact join (the docstring's "one fact-fact
+        -- shuffle") — Catalyst's estimate undershoots the broadcast
+        -- threshold and broadcast ORDERS (139 MiB at sf1,
+        -- tools/broadcast_audit.py); sort-merge on the key scales
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
