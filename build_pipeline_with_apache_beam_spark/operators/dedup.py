@@ -380,11 +380,15 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup clusters are shallow, but convergence is made O(log diameter)
     # anyway by POINTER-JUMPING after each neighbor-min step
     # (label := label(label), the classic hash-join CC accelerator)
+    # shuffle_hash on the iteration joins: edge list and label state are
+    # both corpus-sized, but AQE's runtime estimate broadcast the edge
+    # side (128 MiB at sf1, tools/broadcast_audit.py) — key-partitioned
+    # shuffles are the GraphX-style linear plan at any scale
     for _ in range(12):
-        neighbor_min = (edges.join(labels,
+        neighbor_min = (edges.join(labels.hint("shuffle_hash"),
                                    edges["doc_b"] == labels["doc_id"])
                         .groupBy("doc_a").agg(F.min("group_id").alias("nmin")))
-        stepped = (labels.join(neighbor_min,
+        stepped = (labels.join(neighbor_min.hint("shuffle_hash"),
                                labels["doc_id"] == neighbor_min["doc_a"],
                                "left")
                    .select("doc_id",

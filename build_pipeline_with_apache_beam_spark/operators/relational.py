@@ -875,7 +875,10 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr(f"t1 div {_RANGE_W_US}") + 1))))
     b = ev.select(F.col("event_id").alias("e2_id"), us.alias("t2"),
                   F.expr(f"unix_micros(ts) div {_RANGE_W_US}").alias("bkt2"))
-    return (a.join(b, (F.col("bkt") == F.col("bkt2"))
+    # shuffle_hash: fact-fact bucket join — same estimate-undershoot
+    # broadcast risk as join_range_gap_histogram (129 MiB at sf1,
+    # tools/broadcast_audit.py); bucket-partitioned shuffle scales
+    return (a.join(b.hint("shuffle_hash"), (F.col("bkt") == F.col("bkt2"))
                    & (F.col("t2") >= F.col("t1"))
                    & (F.col("t2") <= F.col("t1") + _RANGE_W_US)
                    & (F.col("e1_id") != F.col("e2_id")))
