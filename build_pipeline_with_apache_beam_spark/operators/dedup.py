@@ -808,7 +808,7 @@ ORACLE = {
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
     """,
     "dedup_connected_groups": """
-        WITH RECURSIVE t AS MATERIALIZED (
+        WITH t AS MATERIALIZED (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
             FROM documents WHERE doc_id % 4 = 0
         ), pairs AS MATERIALIZED (
@@ -821,15 +821,99 @@ ORACLE = {
             SELECT doc_a, doc_b FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
-        ), reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM t
-            UNION
-            SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+        -- min-label propagation with pointer jumping, unrolled:
+        -- l' = least(own, min over neighbours, label-of-label) per
+        -- round — jumping halves label depth, so 10 rounds cover
+        -- component diameter 2^10.  Replaces the recursive
+        -- transitive closure, whose working set is quadratic in
+        -- cluster size on dense dup graphs (35-48 min at sf1).
+        ), l0 AS MATERIALIZED (
+            SELECT doc_id AS n, doc_id AS l FROM t
+        ), l1 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l0 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l0 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l0 j ON p.l = j.n
+        ), l2 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l1 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l1 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l1 j ON p.l = j.n
+        ), l3 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l2 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l2 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l2 j ON p.l = j.n
+        ), l4 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l3 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l3 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l3 j ON p.l = j.n
+        ), l5 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l4 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l4 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l4 j ON p.l = j.n
+        ), l6 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l5 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l5 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l5 j ON p.l = j.n
+        ), l7 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l6 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l6 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l6 j ON p.l = j.n
+        ), l8 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l7 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l7 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l7 j ON p.l = j.n
+        ), l9 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l8 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l8 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l8 j ON p.l = j.n
+        ), l10 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l9 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l9 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l9 j ON p.l = j.n
         )
-        SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+        SELECT n AS doc_id, l AS group_id FROM l10 ORDER BY doc_id
     """,
     "dedup_cluster_canonical": """
-        WITH RECURSIVE t AS MATERIALIZED (
+        WITH t AS MATERIALIZED (
             SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
             FROM documents WHERE doc_id % 4 = 0
         ), pairs AS MATERIALIZED (
@@ -842,12 +926,96 @@ ORACLE = {
             SELECT doc_a, doc_b FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
-        ), reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM t
-            UNION
-            SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
-        ), labels AS (
-            SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+        -- min-label propagation with pointer jumping, unrolled:
+        -- l' = least(own, min over neighbours, label-of-label) per
+        -- round — jumping halves label depth, so 10 rounds cover
+        -- component diameter 2^10.  Replaces the recursive
+        -- transitive closure, whose working set is quadratic in
+        -- cluster size on dense dup graphs (35-48 min at sf1).
+        ), l0 AS MATERIALIZED (
+            SELECT doc_id AS n, doc_id AS l FROM t
+        ), l1 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l0 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l0 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l0 j ON p.l = j.n
+        ), l2 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l1 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l1 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l1 j ON p.l = j.n
+        ), l3 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l2 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l2 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l2 j ON p.l = j.n
+        ), l4 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l3 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l3 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l3 j ON p.l = j.n
+        ), l5 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l4 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l4 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l4 j ON p.l = j.n
+        ), l6 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l5 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l5 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l5 j ON p.l = j.n
+        ), l7 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l6 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l6 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l6 j ON p.l = j.n
+        ), l8 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l7 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l7 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l7 j ON p.l = j.n
+        ), l9 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l8 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l8 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l8 j ON p.l = j.n
+        ), l10 AS MATERIALIZED (
+            SELECT p.n,
+                   LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(j.l, p.l)) AS l
+            FROM l9 p
+            LEFT JOIN (SELECT e.doc_a AS n, MIN(x.l) AS m
+                       FROM edges e JOIN l9 x ON e.doc_b = x.n
+                       GROUP BY e.doc_a) nm ON p.n = nm.n
+            LEFT JOIN l9 j ON p.l = j.n
+        ), labels AS MATERIALIZED (
+            SELECT n AS doc_id, l AS group_id FROM l10
         ), m AS (
             SELECT l.doc_id, l.group_id, LENGTH(d.text) AS n_len
             FROM labels l JOIN documents d USING (doc_id)

@@ -596,10 +596,13 @@ def test_declared_small_broadcasts_stay_under_bound(spark, sf_dir, registry):
     ``tools/broadcast_audit.py`` applies to the full registry at sf1 — and
     fail if any broadcast exceeds the declared 256 MiB bound (at test sf
     they must be well under 64 MiB)."""
-    from tools.broadcast_audit import BROADCAST_BOUND_BYTES, _broadcast_sizes
+    from tools.broadcast_audit import (
+        BROADCAST_BOUND_BYTES,
+        _broadcast_sizes,
+        _latest_exec_id,
+    )
 
-    store = spark._jsparkSession.sharedState().statusStore()
-    before = store.executionsList().size()
+    before = _latest_exec_id(spark)
     for op in ("join_broadcast", "join_bloom_semi_reduction",
                "sim_cosine_topk", "text_unigram_logprob",
                "corpus_mixture_temperature_sampling", "agg_count_min_sketch"):

@@ -40,14 +40,26 @@ def _parse_size(s: str) -> int:
     return best
 
 
-def _broadcast_sizes(spark, n_execs_before: int) -> list[int]:
+def _latest_exec_id(spark) -> int:
+    """Largest SQL execution id currently retained (-1 if none).  Use this
+    as the watermark for ``_broadcast_sizes`` — positional indices break
+    once the status store trims past spark.sql.ui.retainedExecutions."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    return max((execs.apply(i).executionId()
+                for i in range(execs.size())), default=-1)
+
+
+def _broadcast_sizes(spark, after_exec_id: int) -> list[int]:
     """data-size metric of every BroadcastExchange node in the SQL
-    executions recorded since ``n_execs_before``."""
+    executions with id > ``after_exec_id`` (id-based, trim-safe)."""
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
     sizes: list[int] = []
-    for ei in range(n_execs_before, execs.size()):
+    for ei in range(execs.size()):
         ex = execs.apply(ei)
+        if ex.executionId() <= after_exec_id:
+            continue
         vals = store.executionMetrics(ex.executionId())
         graph = store.planGraph(ex.executionId())
         nodes = graph.allNodes()
@@ -77,7 +89,6 @@ def main() -> int:
     only = set(args[2:])
 
     spark = get_spark("broadcast-audit")
-    store = spark._jsparkSession.sharedState().statusStore()
     qs = registry.queries()
 
     ops: dict[str, dict] = {}
@@ -85,7 +96,7 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
-        before = store.executionsList().size()
+        before = _latest_exec_id(spark)
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             sizes = _broadcast_sizes(spark, before)
