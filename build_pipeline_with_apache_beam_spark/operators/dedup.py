@@ -646,8 +646,13 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > SHINGLE_DF_CAP).select("h"))
     inv = inv.join(F.broadcast(hot), "h", "left_anti")
+    # shuffle_hash: the inverted index is corpus-sized (docs × shingles
+    # rows); the explode-side estimate undershoots the broadcast threshold
+    # and AQE broadcast one side of the self-join (192 MiB at sf1,
+    # tools/broadcast_audit.py) — shingle-partitioned shuffle scales
     common = (inv.alias("a")
-              .join(inv.alias("b"), (F.col("a.h") == F.col("b.h"))
+              .join(inv.alias("b").hint("shuffle_hash"),
+                    (F.col("a.h") == F.col("b.h"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
               .groupBy(F.col("a.doc_id").alias("doc_a"),
                        F.col("b.doc_id").alias("doc_b"))
