@@ -866,6 +866,14 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     N² to Σ|bucket|² — at 100 TB this is the difference between impossible
     and one shuffle.  (join_theta_range demonstrates the broadcast-NLJ
     fallback for when one side is tiny.)
+
+    GROUND-TRUTH-ONLY at high density: the OUTPUT is every pair within Δt,
+    so at a fixed time span the result cardinality itself is quadratic in
+    event density — wall time tracking the output is the optimal algorithm.
+    The op is excluded by name from the scale-probe linear gate
+    (tools/bench_scale.py NOT_GATED / tests/test_scale_gate.py); the
+    production form with bounded output AND capped work is
+    join_range_gap_histogram (per-bucket pair budget + reported drop mass).
     """
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
@@ -886,16 +894,28 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("t2") - F.col("t1")).alias("gap_us")))
 
 
+_RANGE_PAIR_BUDGET = 20_000  # max candidate pairs per 2-min bucket
+
+
 def join_range_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketized big-to-big range join with a BOUNDED output: instead
     of materializing every event pair within 2 minutes (quadratic-ish rows
     that no driver should collect), aggregate the pairspace into a 10-second
     gap histogram — pair count and distinct left events per gap bin.
 
-    Same join physics as join_range_bucketized (time-bucket equi-join +
-    residual predicate); the aggregation collapses map-side, so the output
-    is 13 rows at any scale factor — this is the form the sf1 oracle sweep
-    can verify exactly where the raw pair dump cannot be compared.
+    Bounded output, capped work.  At a FIXED time span the pairspace is
+    quadratic in event density, so an uncapped version has the scale-killer
+    shape (13-row output, unbounded join work).  The fix is the same pair
+    budget the LSH band join uses: per 2-min bucket, admit at most
+    ``_RANGE_PAIR_BUDGET / |right-rows-in-bucket|`` left rows, chosen
+    DETERMINISTICALLY by md5 rank (portable to the DuckDB oracle, so the
+    kept mass is still verified exactly), and report the dropped mass in
+    ``dropped_left_rows`` / ``kept_left_rows`` columns — never silently.
+    Per-bucket join work is then ≤ the budget at any density: 10× denser
+    data grows the work ~linearly (more rows ranked) instead of 100×.
+
+    The bucket-size table joined for admission is span-bounded (one row per
+    2-min bucket — 21.6k rows / 30 days, ~263k / year), hence broadcast.
     """
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
@@ -905,18 +925,34 @@ def join_range_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr(f"t1 div {_RANGE_W_US}") + 1))))
     b = ev.select(F.col("event_id").alias("e2_id"), us.alias("t2"),
                   F.expr(f"unix_micros(ts) div {_RANGE_W_US}").alias("bkt2"))
+    bkt_sz = (b.groupBy(F.col("bkt2").alias("bkt"))
+              .agg(F.count(F.lit(1)).alias("bkt_n")))
+    admit = (a.join(F.broadcast(bkt_sz), "bkt")  # span-bounded dim, see doc
+             .withColumn("rk", F.row_number().over(
+                 W.partitionBy("bkt").orderBy(
+                     F.md5(F.concat_ws("|", F.col("e1_id").cast("string"),
+                                       F.col("bkt").cast("string"))),
+                     "e1_id")))
+             .withColumn("kept", F.col("rk") <= F.greatest(
+                 F.lit(1).cast("long"),
+                 F.floor(F.lit(_RANGE_PAIR_BUDGET) / F.col("bkt_n")))))
+    mass = admit.agg(
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("dropped_left_rows"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_left_rows"))
+    kept = admit.filter("kept").select("e1_id", "t1", "bkt")
     # shuffle_hash: fact-fact bucket join — Catalyst's estimate undershoots
     # the broadcast threshold and broadcast the exploded left side (129 MiB
     # at sf1, tools/broadcast_audit.py); bucket-partitioned shuffle scales
-    pairs = (a.join(b.hint("shuffle_hash"), (F.col("bkt") == F.col("bkt2"))
-                    & (F.col("t2") >= F.col("t1"))
-                    & (F.col("t2") <= F.col("t1") + _RANGE_W_US)
-                    & (F.col("e1_id") != F.col("e2_id")))
+    pairs = (kept.join(b.hint("shuffle_hash"), (F.col("bkt") == F.col("bkt2"))
+                       & (F.col("t2") >= F.col("t1"))
+                       & (F.col("t2") <= F.col("t1") + _RANGE_W_US)
+                       & (F.col("e1_id") != F.col("e2_id")))
              .select("e1_id", (F.col("t2") - F.col("t1")).alias("gap_us")))
-    return (pairs.groupBy(F.expr("gap_us div 10000000").alias("gap_10s_bin"))
+    hist = (pairs.groupBy(F.expr("gap_us div 10000000").alias("gap_10s_bin"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 F.countDistinct("e1_id").alias("n_left_events"))
-            .orderBy("gap_10s_bin"))
+                 F.countDistinct("e1_id").alias("n_left_events")))
+    # 1-row × 13-row cross join: attaches the drop report to every bin
+    return hist.crossJoin(F.broadcast(mass)).orderBy("gap_10s_bin")
 
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3444,19 +3480,44 @@ ORACLE = {
         FROM events GROUP BY 1
     """,
     "join_range_gap_histogram": """
-        WITH e AS (
-            SELECT event_id, epoch_us(ts) AS t FROM events
+        WITH b AS (
+            SELECT event_id AS e2_id, epoch_us(ts) AS t2,
+                   epoch_us(ts) // 120000000 AS bkt2
+            FROM events
+        ), bsz AS (
+            SELECT bkt2 AS bkt, COUNT(1) AS bkt_n FROM b GROUP BY 1
+        ), a0 AS (
+            SELECT event_id AS e1_id, epoch_us(ts) AS t1,
+                   epoch_us(ts) // 120000000 + d.off AS bkt
+            FROM events, (VALUES (0), (1)) d(off)
+        ), admit AS (
+            SELECT a0.*, bkt_n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a0.bkt
+                       ORDER BY md5(CAST(e1_id AS VARCHAR) || '|' ||
+                                    CAST(a0.bkt AS VARCHAR)), e1_id) AS rk
+            FROM a0 JOIN bsz ON a0.bkt = bsz.bkt
+        ), flagged AS (
+            SELECT *, rk <= GREATEST(1, FLOOR(20000 / bkt_n)) AS kept
+            FROM admit
+        ), mass AS (
+            SELECT SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS dropped_left_rows,
+                   SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_left_rows
+            FROM flagged
         ), pairs AS (
-            SELECT a.event_id AS e1_id, b.t - a.t AS gap_us
-            FROM e a JOIN e b
-              ON b.t >= a.t AND b.t <= a.t + 120000000
-             AND a.event_id <> b.event_id
+            SELECT a.e1_id, b.t2 - a.t1 AS gap_us
+            FROM (SELECT * FROM flagged WHERE kept) a JOIN b
+              ON a.bkt = b.bkt2
+             AND b.t2 >= a.t1 AND b.t2 <= a.t1 + 120000000
+             AND a.e1_id <> b.e2_id
         )
         SELECT gap_us // 10000000 AS gap_10s_bin,
                COUNT(1) AS n_pairs,
-               CAST(COUNT(DISTINCT e1_id) AS BIGINT) AS n_left_events
-        FROM pairs
-        GROUP BY 1
+               CAST(COUNT(DISTINCT e1_id) AS BIGINT) AS n_left_events,
+               CAST(dropped_left_rows AS BIGINT) AS dropped_left_rows,
+               CAST(kept_left_rows AS BIGINT) AS kept_left_rows
+        FROM pairs, mass
+        GROUP BY 1, 4, 5
         ORDER BY gap_10s_bin
     """,
     "timeseries_ewma": """
