@@ -57,9 +57,45 @@ def main() -> int:
             max_rows = int(os.environ.get("CHECK_MAX_ROWS", "0"))
             # limit+count: the cap probe stops as soon as max_rows+1 rows
             # exist instead of executing the full pipeline a second time
-            if max_rows and sdf.limit(max_rows + 1).count() > max_rows:
-                print(f"SKIP-LARGE {name}: > {max_rows} rows "
-                      f"({time.time()-t0:.1f}s)")
+            large = (max_rows
+                     and sdf.limit(max_rows + 1).count() > max_rows)
+            if large:
+                if name in oracles:
+                    # round-4 verdict #5: too big to row-dump, still
+                    # value-checked — in-engine order-insensitive checksum
+                    # (Spark agg vs streamed DuckDB agg, no driver dump)
+                    from build_pipeline_with_apache_beam_spark.oracle_checksum import (  # noqa: E501
+                        compare_checksum,
+                    )
+
+                    stats = {}
+                    ok, msg = compare_checksum(sdf, con, oracles[name],
+                                               stats=stats)
+                    results[name] = {
+                        "rows_match": ok or "rowcount" not in msg,
+                        "schema_match": ok or "columns" not in msg,
+                        "hash_match": ok,
+                        "spark_rows": stats.get("spark_rows"),
+                        "oracle_rows": stats.get("oracle_rows"),
+                        "mode": "checksum", "err": None}
+                    if ok:
+                        print(f"PASS(checksum) {name}: {msg} "
+                              f"({time.time()-t0:.1f}s)")
+                        n_pass += 1
+                    else:
+                        print(f"FAIL(checksum) {name}: {msg}")
+                        n_fail += 1
+                else:
+                    # rows-only op too big to dump: record the in-engine
+                    # count (an aggregate, not a driver materialization)
+                    n = sdf.count()
+                    print(f"ROWS-ONLY(large) {name}: {n} rows "
+                          f"({time.time()-t0:.1f}s)")
+                    n_rows_only += 1
+                    results[name] = {
+                        "rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": n,
+                        "oracle_rows": None, "err": "no_oracle"}
                 continue
             if name not in oracles:
                 n = sdf.count()
