@@ -26,6 +26,25 @@ from build_pipeline_with_apache_beam_spark.catalog import load_table
 TIME_RANGE = ("2024-01-01 02:00:00", "2024-01-01 08:00:00")
 
 
+def resolve_filesystem(path: str):
+    """(pyarrow.fs.FileSystem, fs-local path) for a path or URI.
+
+    The seam that keeps footer-introspection ops off the shared-filesystem
+    assumption: a scheme-qualified URI (``file://``, ``s3://``, ``hdfs://``,
+    ``gs://``) resolves through ``pyarrow.fs.FileSystem.from_uri`` — the
+    same call works on an executor that cannot see the driver's disk —
+    and a bare path falls back to the local filesystem.  Module-level so
+    executors import-and-resolve it themselves instead of unpickling a
+    driver-created handle (object-store handles hold sockets/credentials
+    that must be constructed where they are used).
+    """
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def scan_parquet_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection-pruned parquet scan (R1/N1; ReadSchema shows 3 columns)."""
     return (
@@ -495,14 +514,27 @@ def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     (normalization.py:53-79), which pulled every blob's metadata through
     the driver one HTTP call at a time.
     """
-    import glob
     import os
 
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
-             if os.path.isdir(path) else [path])
+    path = sf_dir.rstrip("/") + "/lineitem.parquet"
+    fs, fs_path = resolve_filesystem(path)
+    from pyarrow import fs as pafs
+
+    info = fs.get_file_info(fs_path)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(fs_path)
+        files = sorted(
+            f.path for f in fs.get_file_info(sel)
+            if f.is_file and f.path.endswith(".parquet"))
+    elif info.type == pafs.FileType.File:
+        files = [fs_path]
+    else:
+        files = []
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
+    # carry the original scheme so executors re-resolve the same FS
+    scheme = path.split("://", 1)[0] + "://" if "://" in path else ""
+    files = [scheme + f if not f.startswith(scheme) else f for f in files]
     # Parameterized VALUES, not string interpolation: paths with quotes
     # stay intact and an empty list fails loudly above instead of
     # producing invalid SQL (round-3 ADVICE).  Named-parameter binding
@@ -518,10 +550,18 @@ def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         import pandas as pd
         import pyarrow.parquet as pq
 
+        from build_pipeline_with_apache_beam_spark.operators.scans import (
+            resolve_filesystem,
+        )
+
         for pdf in batches:
             out = []
             for p in pdf["path"]:
-                md = pq.ParquetFile(p).metadata
+                # re-resolve the FS on the EXECUTOR from the path scheme:
+                # no shared-filesystem assumption, no pickled driver handle
+                efs, ep = resolve_filesystem(p)
+                with efs.open_input_file(ep) as fh:
+                    md = pq.ParquetFile(fh).metadata
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
                     out.append((
