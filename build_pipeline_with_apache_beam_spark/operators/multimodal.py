@@ -102,12 +102,59 @@ def _png_decode_gray(payload: bytes) -> bytes:
 FRAME_STRIDE = 16  # frame-sample stride over the payload, bytes per "frame"
 
 
+def _make_png_gray(pixels: list[list[int]]) -> bytes:
+    """Encode an 8-bit grayscale, non-interlaced PNG from a pixel grid —
+    the writer twin of :func:`_png_decode_gray`, used to plant
+    deterministic real-image fixtures into the media table."""
+    import struct
+    import zlib
+
+    height, width = len(pixels), len(pixels[0])
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b""))
+
+
+def _planted_assets() -> list[tuple[int, bytes]]:
+    """Three deterministic real-PNG assets planted into every media table
+    (round-4 verdict #4: the sf0.01 sweep never saw phash_neardup's
+    positive path — the synthetic text payloads are correctly NOT pixel
+    near-dups, so its 0-row result proved only that it doesn't crash).
+
+    ids -1/-2 are a true near-dup pair (same gradient, two pixels nudged
+    — dHash Hamming distance in (0, 6]); id -3 is the inverted-gradient
+    control that must NOT pair with them.  Negative ids can never collide
+    with real doc_ids at any scale factor.
+    """
+    side = 24
+    grad = [[(c * 10) % 256 for c in range(side)] for _ in range(side)]
+    nudged = [row[:] for row in grad]
+    # perturb three pixels the 9x8 dHash grid actually samples (byte
+    # position (r*9+c)*n//72) so the pair is NEAR (Hamming 3), not equal
+    for cell_r, cell_c in [(0, 1), (3, 4), (6, 2)]:
+        pos = (cell_r * 9 + cell_c) * (side * side) // 72
+        row, col = divmod(pos, side)
+        nudged[row][col] = (grad[row][col] + 120) % 256
+    inverted = [[255 - v for v in row] for row in grad]
+    return [(-1, _make_png_gray(grad)), (-2, _make_png_gray(nudged)),
+            (-3, _make_png_gray(inverted))]
+
+
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table: documents' text bytes stand in for an
     encoded payload; metadata is a typed struct, exactly as a real ingest
-    would carry (content_type, n_bytes, source)."""
+    would carry (content_type, n_bytes, source).  Three deterministic
+    real-PNG assets (:func:`_planted_assets`) ride along under
+    source='planted' so the image decode path and the phash positive path
+    run in every registry sweep, not just in unit tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    synthetic = docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
@@ -116,6 +163,20 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("source"),
         ).alias("meta"),
     )
+    # SQL VALUES with hex literals: a JVM-side LocalRelation, never a
+    # Python-RDD build side (those stall broadcasts — see verify notes)
+    rows = ", ".join(
+        f"({i}, unhex('{payload.hex()}'))" for i, payload in _planted_assets())
+    planted = (spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(doc_id, payload)")
+               .select(
+                   F.col("doc_id").cast("long").alias("doc_id"),
+                   "payload",
+                   F.struct(
+                       F.lit("image/png").alias("content_type"),
+                       F.length("payload").cast("long").alias("n_bytes"),
+                       F.lit("planted").alias("source"),
+                   ).alias("meta")))
+    return synthetic.unionByName(planted)
 
 
 def _decode(payload: bytes, content_type: str, codec: str) -> bytes:
@@ -328,9 +389,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`phash_neardup_pipeline` over the synthetic
     media table.  The synthetic text-byte payloads are deliberately NOT
     near-duplicates at the pixel level (token insertions shift every
-    sampled grid position), so an empty result here is the correct
-    answer; the positive path — near-identical real PNGs colliding at
-    Hamming ≤ 6 — is exercised in tests/test_llm_ops.py."""
+    sampled grid position); the planted real-PNG pair (-1, -2) from
+    :func:`_planted_assets` guarantees the positive path — near-identical
+    PNGs through the real decoder colliding at Hamming ≤ 6 — executes in
+    every sweep at every scale factor (round-4 verdict #4).  The inverted
+    control (-3) must never pair."""
     return phash_neardup_pipeline(_media_table(spark, sf_dir))
 
 
@@ -346,23 +409,36 @@ QUERIES = {
 # design, and the Spark-side plumbing (fan-out counts, byte sizes) is
 # reconciled against SQL in tests/test_llm_ops.py.  The metadata-stats op
 # IS oracle-checked — it never leaves the metadata columns.
+# the planted-PNG rows are deterministic module constants, so their byte
+# sizes can be interpolated into the static oracle strings
+_PLANTED = [(i, len(p)) for i, p in _planted_assets()]
+_PLANTED_VALUES = ", ".join(f"({i}, {n})" for i, n in _PLANTED)
+
 ORACLE = {
     # OCTET_LENGTH(ENCODE(...)) measures UTF-8 BYTES like the binary payload
     # on the Spark side; LENGTH() would count characters and silently diverge
     # on any non-ASCII testdata drop.
-    "multimodal_resize": """
+    "multimodal_resize": f"""
         SELECT doc_id,
                CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS orig_bytes,
                CAST(256 AS BIGINT) AS resized_bytes,
                OCTET_LENGTH(ENCODE(text)) > 256 AS was_truncated
         FROM documents
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(n AS BIGINT),
+               CAST(256 AS BIGINT), n > 256
+        FROM (VALUES {_PLANTED_VALUES}) t(doc_id, n)
     """,
-    "multimodal_metadata_stats": """
+    "multimodal_metadata_stats": f"""
         SELECT source, 'application/x-fake-media' AS content_type,
                COUNT(1) AS n_assets,
                CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT)
                    AS total_bytes,
                MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
         FROM documents GROUP BY source
+        UNION ALL
+        SELECT 'planted', 'image/png', COUNT(1),
+               CAST(SUM(n) AS BIGINT), MAX(n)
+        FROM (VALUES {_PLANTED_VALUES}) t(doc_id, n)
     """,
 }

@@ -110,7 +110,10 @@ def test_multimodal_sizes_reconcile(spark, sf_dir, duck):
     want = dict(duck.execute(
         "SELECT doc_id, length(text) FROM documents").fetchall())
     got = {r["doc_id"]: r["n_bytes"] for r in feats.collect()}
-    assert got == want
+    planted = {i: n for i, n in got.items() if i < 0}
+    assert {i: n for i, n in got.items() if i >= 0} == want
+    # the planted PNGs decode to their 24x24 pixel grids, not payload size
+    assert planted == {-1: 576, -2: 576, -3: 576}
     sums = feats.select(
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 2)
         .alias("s")).distinct().collect()

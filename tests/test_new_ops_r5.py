@@ -89,6 +89,21 @@ def test_range_gap_histogram_reports_drop_mass_columns(spark, sf_dir):
     assert kept + dropped == expected
 
 
+def test_phash_neardup_sweep_positive_path(spark, sf_dir):
+    """The registry op itself (not just a unit-test pipeline) must surface
+    the planted real-PNG near-dup pair at every sf: (-1, -2) found at
+    0 < Hamming <= 6, the inverted control (-3) never paired."""
+    from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+        multimodal_phash_neardup,
+    )
+
+    rows = multimodal_phash_neardup(spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert (-2, -1) in pairs
+    assert 0 < pairs[(-2, -1)] <= 6
+    assert not any(-3 in p for p in pairs)
+
+
 def test_range_gap_histogram_cap_engages_deterministically(spark, sf_dir):
     """Force a tiny budget by monkeypatching and check (a) drops happen,
     (b) the result is identical across two runs (admission is md5-ranked,
