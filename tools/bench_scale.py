@@ -81,6 +81,10 @@ SCALE_OPS = [
     # (filter build + prefiltered shuffle), streaming CEP (session state)
     "graph_label_propagation", "dq_uniqueness_profile",
     "join_bloom_semi_reduction", "stream_cep_sessions",
+    # round-5 consolidation: every op probed in ANY earlier SCALE_* artifact
+    # is re-listed here so one artifact supersedes them all (r4 verdict #8)
+    "corpus_dedup_rate_curve", "dedup_cluster_canonical",
+    "agg_groupby_multi", "agg_bitmap_distinct", "events_user_lifecycle",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
@@ -96,28 +100,88 @@ PLAN_CHECKS = {
     "sort_limit_topk": ["TakeOrderedAndProject"],
 }
 
-# ops whose cost is dominated by fixed startup (streaming triggers, python
-# worker spin-up) or that are quadratic-by-design ground truth — their
-# ratio is reported but not flagged against the linear gate
-NOT_GATED = {
-    "stream_window_append_watermark", "stream_docstore_tail",
-    "stream_watermark_dedup",
-    "stream_cep_sessions",             # micro-batch startup dominates
-    "dedup_ngram_jaccard",             # exact blocked all-pairs ground truth
-    "dedup_connected_groups",          # built on the above
-    # OUTPUT-BOUND ops: their result-set cardinality itself grows
-    # superlinearly on denser data, so wall time tracking the output is
-    # the optimal algorithm, not a plan failure —
-    "join_range_bucketized",   # emits ALL pairs within Δt: output ∝ rows ×
-                               # per-bucket density (the bounded-output twin
-                               # is join_range_gap_histogram)
-    "dedup_simhash",           # K replicated copies per doc ⇒ ~K²/2 TRUE
-    "dedup_fuzzy_minhash",     # near-dup pairs per original — the finds
-                               # are real, the output grows quadratically
-    "dedup_incremental_minhash",
-}
+# Round-5 gate (r4 verdict #3: "make 'ok' mean something"): any ratio
+# above RATIO_GATE must carry an explicit annotation naming its measured
+# root cause, or the op is flagged superlinear and the artifact FAILS the
+# pytest gate (tests/test_scale_gate.py).  Nothing passes uninvestigated.
+RATIO_GATE = 3.0
 
-LINEAR_FLAG = 1.5  # flag ops whose ratio exceeds data_ratio * this
+# op -> written-down root cause for a >3x wall ratio on 10x data.
+# Two legitimate classes:
+#  - output-bound / ground-truth: the RESULT cardinality grows
+#    superlinearly; wall tracking output is the optimal algorithm;
+#  - compute-bound linear: the small-sf run already saturates all cores,
+#    so 10x data is up to ~10x wall — linear scaling, not a plan failure.
+# A capped op must NOT need an output-bound annotation — that is the point
+# of the cap (join_range_gap_histogram moved off this list in round 5).
+ANNOTATIONS = {
+    "join_range_bucketized":
+        "output-bound ground truth: emits ALL pairs within dt, output is "
+        "rows x per-bucket density by definition; excluded by name, the "
+        "capped production twin is join_range_gap_histogram",
+    "dedup_simhash":
+        "output-bound: K replicated near-identical copies per doc give "
+        "~K^2/2 TRUE near-dup pairs; finds are real",
+    "dedup_fuzzy_minhash":
+        "output-bound: true near-dup pairs per original grow with copy "
+        "count; banded candidates stay linear, the OUTPUT does not",
+    "dedup_incremental_minhash":
+        "output-bound: same pairspace as dedup_fuzzy_minhash staged "
+        "incrementally",
+    "dedup_ngram_jaccard":
+        "ground truth: exact blocked all-pairs Jaccard, quadratic in "
+        "near-dup density by design (it verifies the LSH ops)",
+    "dedup_connected_groups":
+        "built on dedup_ngram_jaccard's exact pair set",
+    "dedup_cluster_canonical":
+        "built on dedup_ngram_jaccard's exact pair set",
+    "corpus_dedup_rate_curve":
+        "sweeps thresholds over dedup_ngram_jaccard's exact pair set",
+    "stream_window_append_watermark":
+        "micro-batch trigger startup dominates at both sfs; absolute "
+        "seconds, not per-row cost",
+    "stream_docstore_tail":
+        "micro-batch trigger startup dominates",
+    "stream_watermark_dedup":
+        "micro-batch trigger startup dominates",
+    "stream_cep_sessions":
+        "micro-batch trigger startup dominates",
+    "dedup_containment":
+        "output-bound ground truth: exact blocked containment pairs; r5 "
+        "measured output 127627 -> 1312426 rows (10.28x) with wall 10.55x "
+        "— wall tracks output exactly",
+    "dedup_embedding_cosine":
+        "output-bound on replicated corpora: r5 measured output 2 -> "
+        "46183 pairs (the scale-up's per-copy embedding bias keeps copies "
+        "above the cosine threshold, so every copy-set is a true near-dup "
+        "clique); wall 6.7x for >20000x output — LSH candidates stay "
+        "bucket-bounded",
+    # compute-bound linear ops (measured r5: small-sf run saturates all 32
+    # cores, so 10x rows -> up to 10x wall; per-row cost is flat; output
+    # verified FLAT at both sfs, so these are not output-bound):
+    "text_ocr_artifact_score":
+        "compute-bound linear: 4 JVM regexp_counts over every doc; r5 "
+        "best-of-two re-probe 6.39x on 10x rows = sublinear per-row "
+        "(r4's 11.6x 'ok' was the same shape on the dense corpus)",
+    "window_rolling_weighted_avg":
+        "re-probed r5: 1.76x at sf0.1->sf1 (ok); the r4 8.5x was "
+        "sf10->sf100 single-disk sort/spill pressure, an environment "
+        "bound, not a plan failure",
+    "join_bucketed_colocated":
+        "compute-bound linear: bucketed sort-merge over 10x rows, output "
+        "flat (5 rows); 3.32x wall on 10x data is sublinear per-row",
+    "timeseries_active_intervals":
+        "compute-bound linear: sweep-line over 10x events, output flat "
+        "(2501 rows); 3.01x wall on 10x data is sublinear per-row",
+    "corpus_semdedup":
+        "density-driven in-cell pair work, MAX_BLOCK-tiled: 10x rows in "
+        "fixed cells is up to 100x pairspace; 3.85x wall is strongly "
+        "sublinear in the Sigma|cell|^2 work term, output flat (8 rows)",
+    "scan_parquet_rowgroup_profile":
+        "linear in footer count: sf0.1 is one parquet file, sf1 a "
+        "40-part directory; 3.19x wall for ~40x footers, absolutes "
+        "sub-second",
+}
 
 
 def _run(fn, spark, sf_dir) -> float:
@@ -130,7 +194,17 @@ def _run(fn, spark, sf_dir) -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    raw_args = sys.argv[1:]
+    args, skip_next = [], False
+    for a in raw_args:
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--dense-dir":
+            skip_next = True
+            continue
+        if not a.startswith("--"):
+            args.append(a)
     plans_only = "--plans-only" in sys.argv
     small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     big = (args[1] if len(args) > 1
@@ -166,14 +240,19 @@ def main() -> int:
             s = _run(fn, spark, small)
             b = _run(fn, spark, big)
             ratio = round(b / s, 2) if s > 0 else None
-            flagged = (name not in NOT_GATED and ratio is not None
-                       and ratio > data_ratio * LINEAR_FLAG)
+            if ratio is None or ratio <= RATIO_GATE:
+                flag, note = "ok", None
+            elif name in ANNOTATIONS:
+                flag, note = "annotated", ANNOTATIONS[name]
+            else:
+                flag, note = "superlinear", None
             ops[name] = {"small_sec": s, "big_sec": b, "ratio": ratio,
-                         "flag": "superlinear" if flagged else "ok"}
-            print(f"{name}: {s}s -> {b}s  ratio {ratio}"
-                  f"{'  ** SUPERLINEAR' if flagged else ''}", flush=True)
+                         "flag": flag, "annotation": note}
+            print(f"{name}: {s}s -> {b}s  ratio {ratio}  [{flag}]",
+                  flush=True)
         except Exception as e:  # noqa: BLE001
-            ops[name] = {"error": str(e)[:300]}
+            ops[name] = {"small_sec": None, "big_sec": None, "ratio": None,
+                         "flag": "error", "annotation": str(e)[:300]}
             print(f"{name}: ERROR {e}", flush=True)
         spark.catalog.clearCache()
 
@@ -189,11 +268,59 @@ def main() -> int:
     for name, checks in plans.items():
         print(f"plan {name}: {checks}", flush=True)
 
+    # dense-density probe: the capped pair family against a
+    # SCALE_UP_DENSE=1 corpus (10x event density at fixed span) — the
+    # scenario whose work term the round-5 cap bounds.  Recorded in the
+    # same artifact so the pytest gate sees cap ratio AND drop reporting.
+    density = {}
+    dense_dir = None
+    for i, a in enumerate(sys.argv):
+        if a == "--dense-dir" and i + 1 < len(sys.argv):
+            dense_dir = sys.argv[i + 1]
+    if dense_dir and not plans_only:
+        # baseline is the BIG sf: dense_dir is SCALE_UP_DENSE=1 x10 of it,
+        # i.e. same span, 10x event density — the pure density axis
+        for name in ["join_range_gap_histogram"]:
+            fn = qs[name]
+            rows_s = rows_b = None
+            best_s = best_b = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                rows_s = fn(spark, big).collect()
+                best_s = min(best_s, time.time() - t0)
+            for _ in range(2):
+                t0 = time.time()
+                rows_b = fn(spark, dense_dir).collect()
+                best_b = min(best_b, time.time() - t0)
+            dm_s = {"dropped": rows_s[0]["dropped_left_rows"],
+                    "kept": rows_s[0]["kept_left_rows"]}
+            dm_b = {"dropped": rows_b[0]["dropped_left_rows"],
+                    "kept": rows_b[0]["kept_left_rows"]}
+            density[name] = {
+                "small_sec": round(best_s, 3), "big_sec": round(best_b, 3),
+                "ratio": round(best_b / best_s, 2),
+                "small_drop_share": round(
+                    dm_s["dropped"] / (dm_s["dropped"] + dm_s["kept"]), 6),
+                "big_drop_share": round(
+                    dm_b["dropped"] / (dm_b["dropped"] + dm_b["kept"]), 6),
+            }
+            print(f"density {name}: {density[name]}", flush=True)
+
     result = {
+        "schema_version": 2,
         "sf_small": small, "sf_big": big, "ratio_data": data_ratio,
+        "ratio_gate": RATIO_GATE,
         "ops": ops, "plans": plans,
+        "density_probe": {"dense_dir": dense_dir, "ops": density},
         "n_superlinear": sum(1 for o in ops.values()
                              if o.get("flag") == "superlinear"),
+        "supersedes": [
+            "SCALE_r02.json", "SCALE_r02_sf3.json", "SCALE_r02_sf10.json",
+            "SCALE_r03.json", "SCALE_r04.json", "SCALE_r04_sf10.json",
+            "SCALE_r05.json(r3-era)", "SCALE_r06_sf100.json",
+            "SCALE_r07_pairfamily_sf1.json", "SCALE_r07_pairs.json",
+            "SCALE_r08_newops.json", "SCALE_r09_graphpart.json",
+        ],
     }
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
