@@ -3479,7 +3479,7 @@ ORACLE = {
                ROUND(MAX(value), 4) AS hi_seen
         FROM events GROUP BY 1
     """,
-    "join_range_gap_histogram": """
+    "join_range_gap_histogram": f"""
         WITH b AS (
             SELECT event_id AS e2_id, epoch_us(ts) AS t2,
                    epoch_us(ts) // 120000000 AS bkt2
@@ -3498,7 +3498,7 @@ ORACLE = {
                                     CAST(a0.bkt AS VARCHAR)), e1_id) AS rk
             FROM a0 JOIN bsz ON a0.bkt = bsz.bkt
         ), flagged AS (
-            SELECT *, rk <= GREATEST(1, FLOOR(20000 / bkt_n)) AS kept
+            SELECT *, rk <= GREATEST(1, FLOOR({_RANGE_PAIR_BUDGET} / bkt_n)) AS kept
             FROM admit
         ), mass AS (
             SELECT SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS dropped_left_rows,

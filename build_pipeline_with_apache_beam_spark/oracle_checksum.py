@@ -69,9 +69,58 @@ def spark_family(dtype: str) -> str:
     return "str"  # string/decimal/array/struct: hash of str() rendering
 
 
+def _canon_render(x) -> str:
+    """Engine-neutral rendering for non-scalar values.
+
+    Spark's mapInPandas hands array columns over as numpy ndarrays
+    (``str()`` -> '[1 2]', and silently elides >1000 elements with '...')
+    while DuckDB's to_pandas yields Python lists ('[1, 2]') — ``str()``
+    on either is NOT a canonical form.  Recursively render via tolist()
+    so both engines hash the identical byte string, with no elision.
+    """
+    if isinstance(x, np.ndarray):
+        x = x.tolist()
+    if isinstance(x, (list, tuple)):
+        return "[" + ",".join(_canon_render(v) for v in x) + "]"
+    if isinstance(x, dict):
+        return ("{" + ",".join(f"{k}:{_canon_render(v)}"
+                               for k, v in sorted(x.items())) + "}")
+    if isinstance(x, (bytes, bytearray)):
+        return "0x" + bytes(x).hex()
+    if isinstance(x, np.generic):      # numpy scalar inside a container
+        x = x.item()
+    return repr(x) if isinstance(x, float) else str(x)
+
+
+def _scalar_null(x) -> bool:
+    """Per-element null test that is safe for container values."""
+    import pandas as pd
+
+    if isinstance(x, (np.ndarray, list, tuple, dict, set)):
+        return False
+    try:
+        return bool(pd.isna(x))
+    except (TypeError, ValueError):
+        return False
+
+
 def _col_u64(col, family: str) -> np.ndarray:
     """Vectorized value->uint64 for one pandas Series; nulls -> sentinel."""
     import pandas as pd
+
+    if family == "str":
+        # str family covers string/decimal/array/struct/binary.  Null mask
+        # and rendering are per-element: pd.isna() on a Series holding
+        # ndarrays is elementwise-ambiguous, and str() is engine-dependent
+        # for containers (see _canon_render).
+        null_mask = np.fromiter((_scalar_null(x) for x in col),
+                                dtype=bool, count=len(col))
+        out = np.fromiter(
+            (0 if m else _md5_u64(_canon_render(x))
+             for m, x in zip(null_mask, col)),
+            dtype=np.uint64, count=len(col))
+        out[null_mask] = _NULL_SENTINEL
+        return out
 
     null_mask = pd.isna(col).to_numpy()
     if family == "float":
@@ -81,25 +130,30 @@ def _col_u64(col, family: str) -> np.ndarray:
         bits[np.isnan(v)] = _NAN_BITS
         out = bits
     elif family == "int":
-        # int col that came through pandas as float (null-padding) is
-        # exact below 2^53 — the capped ops' keys are all well below
-        v = col.fillna(0).to_numpy()
-        out = v.astype(np.int64, copy=False).view(np.uint64).copy()
+        if col.dtype.kind == "f":
+            # int col null-padded to float64 by pandas: exact only below
+            # 2^53 — ENFORCE it rather than round silently (advice r5).
+            v = col.fillna(0.0).to_numpy(dtype="float64")
+            if v.size and np.max(np.abs(v)) >= 2.0 ** 53:
+                raise ValueError(
+                    "int64 column exceeded 2^53 after float null-padding; "
+                    "checksum would be lossy — route through nullable Int64")
+            out = v.astype(np.int64).view(np.uint64).copy()
+        else:
+            # masked nullable Int64 or plain int64 — both exact
+            v = pd.array(col, dtype="Int64").fillna(0)
+            out = (v.to_numpy(dtype="int64", na_value=0)
+                   .view(np.uint64).copy())
     elif family == "bool":
         out = col.fillna(False).to_numpy().astype(np.uint64)
     elif family == "timestamp":
         v = pd.to_datetime(col).fillna(pd.Timestamp(0))
         out = (v.to_numpy(dtype="datetime64[us]").view(np.int64)
                .view(np.uint64).copy())
-    elif family == "date":
+    else:  # date
         v = pd.to_datetime(pd.Series(col)).fillna(pd.Timestamp(0))
         out = (v.to_numpy(dtype="datetime64[D]").view(np.int64)
                .view(np.uint64).copy())
-    else:  # str and everything rendered as str
-        out = np.fromiter(
-            (0 if m else _md5_u64(str(x))
-             for m, x in zip(null_mask, col)),
-            dtype=np.uint64, count=len(col))
     out[null_mask] = _NULL_SENTINEL
     return out
 

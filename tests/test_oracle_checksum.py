@@ -103,3 +103,42 @@ def test_spark_checksum_is_distributed_partials(spark, sf_dir):
     the input must not change the checksum (sum mod 2^64 is associative)."""
     sdf = QUERIES["scan_parquet_project"](spark, sf_dir)
     assert spark_checksum(sdf) == spark_checksum(sdf.repartition(7))
+
+
+def test_batch_rowhash_array_canonical_across_engines():
+    """Spark batches hold ndarrays, DuckDB batches hold Python lists — the
+    str-family kernel must hash them identically (advice r5), and must not
+    let numpy's >1000-element '...' summarization collapse distinct long
+    arrays to one hash."""
+    fams = [("v", "str")]
+    nd = pd.DataFrame({"v": [np.array([1, 2, 3], dtype=np.int64)]})
+    py = pd.DataFrame({"v": [[1, 2, 3]]})
+    assert batch_rowhash(nd, fams) == batch_rowhash(py, fams)
+
+    long_a = np.arange(2000, dtype=np.int64)
+    long_b = long_a.copy()
+    long_b[1500] += 1  # differs only inside the '...'-elided middle
+    assert (batch_rowhash(pd.DataFrame({"v": [long_a]}), fams)
+            != batch_rowhash(pd.DataFrame({"v": [long_b]}), fams))
+
+    # float arrays: numpy float64 scalars and Python floats render alike
+    ndf = pd.DataFrame({"v": [np.array([0.1, 2.5])]})
+    pyf = pd.DataFrame({"v": [[0.1, 2.5]]})
+    assert batch_rowhash(ndf, fams) == batch_rowhash(pyf, fams)
+
+
+def test_batch_rowhash_null_padded_bigint_guard():
+    """Int columns that pandas null-padded to float64 are exact only below
+    2^53 — the kernel must raise rather than hash a rounded value, and a
+    masked nullable Int64 path must stay exact above 2^53."""
+    fams = [("a", "int")]
+    big = 2**60 + 1
+    with pytest.raises(ValueError, match="2\\^53"):
+        batch_rowhash(pd.DataFrame({"a": pd.Series([float(big), None])}),
+                      fams)
+    # nullable Int64 (masked) keeps full precision with nulls present
+    n1, h1 = batch_rowhash(
+        pd.DataFrame({"a": pd.array([big, None], dtype="Int64")}), fams)
+    n2, h2 = batch_rowhash(
+        pd.DataFrame({"a": pd.array([big + 1, None], dtype="Int64")}), fams)
+    assert n1 == n2 == 2 and h1 != h2

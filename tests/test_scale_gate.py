@@ -1,4 +1,4 @@
-"""CI gate over the consolidated scale-probe artifact (SCALE_r05.json,
+"""CI gate over the consolidated scale-probe artifact (SCALE_r06.json,
 r4 verdict #3/#8): a superlinear ratio without a written-down root cause
 fails the suite, not just the judge's eyeball.
 
@@ -16,13 +16,13 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(REPO, "SCALE_r05.json")
+ARTIFACT = os.path.join(REPO, "SCALE_r06.json")
 
 
 @pytest.fixture(scope="module")
 def scale():
     if not os.path.exists(ARTIFACT):
-        pytest.skip("SCALE_r05.json not generated in this checkout")
+        pytest.skip("SCALE_r06.json not generated in this checkout")
     d = json.load(open(ARTIFACT))
     if d.get("schema_version") != 2:
         pytest.fail("SCALE artifact is not the consolidated v2 schema")
@@ -42,6 +42,13 @@ def test_every_gated_ratio_has_nonempty_root_cause(scale):
         if o.get("flag") == "annotated":
             assert o.get("annotation"), f"{name}: empty annotation"
             assert o["ratio"] is not None and o["ratio"] > scale["ratio_gate"]
+            # advice r5: an annotation is a BOUND, not an exemption — the
+            # artifact must carry the per-op max_ratio and honor it
+            assert o.get("max_ratio") is not None, \
+                f"{name}: annotated without a max_ratio bound"
+            assert o["ratio"] <= o["max_ratio"], \
+                f"{name}: ratio {o['ratio']} over its own bound " \
+                f"{o['max_ratio']} yet flagged annotated"
         if o.get("flag") == "ok" and o.get("ratio") is not None:
             assert o["ratio"] <= scale["ratio_gate"], \
                 f"{name}: flag ok but ratio {o['ratio']} over gate"
@@ -58,6 +65,30 @@ def test_plan_markers_hold_at_big_sf(scale):
         assert "error" not in checks, f"{name}: {checks['error']}"
         for marker, present in checks.items():
             assert present, f"{name}: plan marker {marker} lost at big sf"
+
+
+def test_density_probe_family(scale):
+    """r5 verdict #8: the 10x-density corpus probes EVERY density-sensitive
+    shape — capped pair join, interval overlap, semdedup in-cell tiling,
+    and the LSH band join — each either bounded by a hard wall-ratio gate
+    or proven output-bound (wall <= slack x output growth).  The probe
+    runner records flag per op; none may be superlinear or error."""
+    probe = scale.get("density_probe", {}).get("ops", {})
+    if not probe:
+        pytest.skip("density probe not run in this artifact")
+    expected = {"join_range_gap_histogram", "join_interval_overlap",
+                "corpus_semdedup", "dedup_fuzzy_minhash"}
+    assert expected <= set(probe), \
+        f"density family incomplete: missing {expected - set(probe)}"
+    bad = {k: v for k, v in probe.items()
+           if v.get("flag") in ("superlinear", "error")}
+    assert not bad, f"density probes failed their bounds: {bad}"
+    for name, o in probe.items():
+        assert o.get("annotation"), f"{name}: no root-cause annotation"
+        # every probed op carries one kind of bound
+        assert (o.get("max_ratio") is not None
+                or o.get("output_slack") is not None), \
+            f"{name}: neither wall gate nor output-bound contract"
 
 
 def test_capped_pair_family_density_probe(scale):
@@ -79,7 +110,7 @@ def test_superseded_artifacts_are_gone():
     """Every retired SCALE_* file must actually be removed from the repo
     root so there is exactly one probe artifact of record."""
     if not os.path.exists(ARTIFACT):
-        pytest.skip("SCALE_r05.json not generated in this checkout")
+        pytest.skip("SCALE_r06.json not generated in this checkout")
     leftovers = [f for f in os.listdir(REPO)
                  if f.startswith("SCALE_") and f.endswith(".json")
                  and f != os.path.basename(ARTIFACT)]

@@ -115,72 +115,79 @@ RATIO_GATE = 3.0
 # A capped op must NOT need an output-bound annotation — that is the point
 # of the cap (join_range_gap_histogram moved off this list in round 5).
 ANNOTATIONS = {
-    "join_range_bucketized":
+    # Each annotation carries a per-op max_ratio BOUND (advice r5): an
+    # annotated op is still gated — if its measured wall ratio exceeds its
+    # own bound it flags "superlinear" despite the annotation, so a real
+    # regression (a compute-bound-linear op jumping 3x -> 50x) cannot hide
+    # behind a stale root-cause string.  Bound semantics per class:
+    #  - compute-bound linear: bound = data ratio (10x data may cost up to
+    #    ~10x wall when the small sf already saturates all cores);
+    #  - output-bound / ground truth: bound set from the measured
+    #    output-growth envelope (wall must track output, with slack);
+    #  - startup-dominated streaming: absolute seconds are tiny; bound
+    #    allows trigger jitter but catches a real per-row regression.
+    "join_range_bucketized": {"max_ratio": 25.0, "note":
         "output-bound ground truth: emits ALL pairs within dt, output is "
         "rows x per-bucket density by definition; excluded by name, the "
-        "capped production twin is join_range_gap_histogram",
-    "dedup_simhash":
+        "capped production twin is join_range_gap_histogram"},
+    "dedup_simhash": {"max_ratio": 20.0, "note":
         "output-bound: K replicated near-identical copies per doc give "
-        "~K^2/2 TRUE near-dup pairs; finds are real",
-    "dedup_fuzzy_minhash":
+        "~K^2/2 TRUE near-dup pairs; finds are real"},
+    "dedup_fuzzy_minhash": {"max_ratio": 20.0, "note":
         "output-bound: true near-dup pairs per original grow with copy "
-        "count; banded candidates stay linear, the OUTPUT does not",
-    "dedup_incremental_minhash":
+        "count; banded candidates stay linear, the OUTPUT does not"},
+    "dedup_incremental_minhash": {"max_ratio": 20.0, "note":
         "output-bound: same pairspace as dedup_fuzzy_minhash staged "
-        "incrementally",
-    "dedup_ngram_jaccard":
+        "incrementally"},
+    "dedup_ngram_jaccard": {"max_ratio": 20.0, "note":
         "ground truth: exact blocked all-pairs Jaccard, quadratic in "
-        "near-dup density by design (it verifies the LSH ops)",
-    "dedup_connected_groups":
-        "built on dedup_ngram_jaccard's exact pair set",
-    "dedup_cluster_canonical":
-        "built on dedup_ngram_jaccard's exact pair set",
-    "corpus_dedup_rate_curve":
-        "sweeps thresholds over dedup_ngram_jaccard's exact pair set",
-    "stream_window_append_watermark":
+        "near-dup density by design (it verifies the LSH ops)"},
+    "dedup_connected_groups": {"max_ratio": 20.0, "note":
+        "built on dedup_ngram_jaccard's exact pair set"},
+    "dedup_cluster_canonical": {"max_ratio": 20.0, "note":
+        "built on dedup_ngram_jaccard's exact pair set"},
+    "corpus_dedup_rate_curve": {"max_ratio": 20.0, "note":
+        "sweeps thresholds over dedup_ngram_jaccard's exact pair set"},
+    "stream_window_append_watermark": {"max_ratio": 8.0, "note":
         "micro-batch trigger startup dominates at both sfs; absolute "
-        "seconds, not per-row cost",
-    "stream_docstore_tail":
-        "micro-batch trigger startup dominates",
-    "stream_watermark_dedup":
-        "micro-batch trigger startup dominates",
-    "stream_cep_sessions":
-        "micro-batch trigger startup dominates",
-    "dedup_containment":
+        "seconds, not per-row cost"},
+    "stream_docstore_tail": {"max_ratio": 8.0, "note":
+        "micro-batch trigger startup dominates"},
+    "stream_watermark_dedup": {"max_ratio": 8.0, "note":
+        "micro-batch trigger startup dominates"},
+    "stream_cep_sessions": {"max_ratio": 8.0, "note":
+        "micro-batch trigger startup dominates"},
+    "dedup_containment": {"max_ratio": 16.0, "note":
         "output-bound ground truth: exact blocked containment pairs; r5 "
-        "measured output 127627 -> 1312426 rows (10.28x) with wall 10.55x "
-        "— wall tracks output exactly",
-    "dedup_embedding_cosine":
-        "output-bound on replicated corpora: r5 measured output 2 -> "
-        "46183 pairs (the scale-up's per-copy embedding bias keeps copies "
-        "above the cosine threshold, so every copy-set is a true near-dup "
-        "clique); wall 6.7x for >20000x output — LSH candidates stay "
-        "bucket-bounded",
-    # compute-bound linear ops (measured r5: small-sf run saturates all 32
-    # cores, so 10x rows -> up to 10x wall; per-row cost is flat; output
-    # verified FLAT at both sfs, so these are not output-bound):
-    "text_ocr_artifact_score":
-        "compute-bound linear: 4 JVM regexp_counts over every doc; r5 "
-        "best-of-two re-probe 6.39x on 10x rows = sublinear per-row "
-        "(r4's 11.6x 'ok' was the same shape on the dense corpus)",
-    "window_rolling_weighted_avg":
-        "re-probed r5: 1.76x at sf0.1->sf1 (ok); the r4 8.5x was "
-        "sf10->sf100 single-disk sort/spill pressure, an environment "
-        "bound, not a plan failure",
-    "join_bucketed_colocated":
+        "measured wall tracking output 1:1 (10.55x wall on 10.28x output "
+        "rows); bound = output envelope + slack"},
+    "dedup_embedding_cosine": {"max_ratio": 15.0, "note":
+        "output-bound on replicated corpora: the scale-up's per-copy "
+        "embedding bias keeps copies above the cosine threshold, so every "
+        "copy-set is a true near-dup clique (r5: >20000x output for 6.7x "
+        "wall) — LSH candidates stay bucket-bounded"},
+    # compute-bound linear ops: the small-sf run saturates all 32 cores,
+    # so 10x rows -> up to 10x wall; per-row cost flat; output verified
+    # FLAT at both sfs (not output-bound).  Bound = data ratio.
+    "text_ocr_artifact_score": {"max_ratio": 10.0, "note":
+        "compute-bound linear: 4 JVM regexp_counts over every doc; "
+        "sublinear per-row in every probe to date"},
+    "window_rolling_weighted_avg": {"max_ratio": 10.0, "note":
+        "compute-bound linear at sf0.1->sf1; the r4 8.5x was sf10->sf100 "
+        "single-disk sort/spill pressure, an environment bound"},
+    "join_bucketed_colocated": {"max_ratio": 10.0, "note":
         "compute-bound linear: bucketed sort-merge over 10x rows, output "
-        "flat (5 rows); 3.32x wall on 10x data is sublinear per-row",
-    "timeseries_active_intervals":
+        "flat (5 rows); sublinear per-row"},
+    "timeseries_active_intervals": {"max_ratio": 10.0, "note":
         "compute-bound linear: sweep-line over 10x events, output flat "
-        "(2501 rows); 3.01x wall on 10x data is sublinear per-row",
-    "corpus_semdedup":
+        "(2501 rows); sublinear per-row"},
+    "corpus_semdedup": {"max_ratio": 12.0, "note":
         "density-driven in-cell pair work, MAX_BLOCK-tiled: 10x rows in "
-        "fixed cells is up to 100x pairspace; 3.85x wall is strongly "
-        "sublinear in the Sigma|cell|^2 work term, output flat (8 rows)",
-    "scan_parquet_rowgroup_profile":
+        "fixed cells is up to 100x pairspace; measured strongly sublinear "
+        "in the Sigma|cell|^2 work term, output flat (8 rows)"},
+    "scan_parquet_rowgroup_profile": {"max_ratio": 10.0, "note":
         "linear in footer count: sf0.1 is one parquet file, sf1 a "
-        "40-part directory; 3.19x wall for ~40x footers, absolutes "
-        "sub-second",
+        "40-part directory; absolutes sub-second"},
 }
 
 
@@ -240,14 +247,25 @@ def main() -> int:
             s = _run(fn, spark, small)
             b = _run(fn, spark, big)
             ratio = round(b / s, 2) if s > 0 else None
+            max_ratio = None
             if ratio is None or ratio <= RATIO_GATE:
                 flag, note = "ok", None
             elif name in ANNOTATIONS:
-                flag, note = "annotated", ANNOTATIONS[name]
+                ann = ANNOTATIONS[name]
+                max_ratio = ann["max_ratio"]
+                if ratio > max_ratio:
+                    # annotated ops keep a bound (advice r5): exceeding it
+                    # is a regression the root-cause string cannot excuse
+                    flag = "superlinear"
+                    note = (f"EXCEEDED annotated bound {max_ratio}x: "
+                            + ann["note"])
+                else:
+                    flag, note = "annotated", ann["note"]
             else:
                 flag, note = "superlinear", None
             ops[name] = {"small_sec": s, "big_sec": b, "ratio": ratio,
-                         "flag": flag, "annotation": note}
+                         "flag": flag, "annotation": note,
+                         "max_ratio": max_ratio}
             print(f"{name}: {s}s -> {b}s  ratio {ratio}  [{flag}]",
                   flush=True)
         except Exception as e:  # noqa: BLE001
@@ -272,6 +290,39 @@ def main() -> int:
     # SCALE_UP_DENSE=1 corpus (10x event density at fixed span) — the
     # scenario whose work term the round-5 cap bounds.  Recorded in the
     # same artifact so the pytest gate sees cap ratio AND drop reporting.
+    # ---- density probe family (r5 verdict #8) --------------------------
+    # One 10x-event/near-dup-density corpus (SCALE_UP_DENSE=1), four
+    # density-sensitive shapes.  Each op carries EITHER a hard wall-ratio
+    # gate (capped / tiled ops whose work term the cap bounds) OR an
+    # output-bound contract (wall may grow only as fast as output does,
+    # within slack) — test_scale_gate.py enforces both kinds.
+    DENSITY_OPS = {
+        "join_range_gap_histogram": {
+            "max_ratio": 12.0,
+            "drop_cols": ("dropped_left_rows", "kept_left_rows"),
+            "annotation": "capped: per-bucket md5-rank admission bounds "
+                          "pair work; drop mass reported in-result",
+        },
+        "join_interval_overlap": {
+            "max_ratio": 15.0,
+            "annotation": "auto-tuned bucket width shrinks in-bucket "
+                          "quadratic term; output is the bounded per-day "
+                          "concurrency audit, not the pairspace",
+        },
+        "corpus_semdedup": {
+            "max_ratio": 12.0,
+            "annotation": "MAX_BLOCK-tiled in-cell pairs: wall stays "
+                          "strongly sublinear in the Sigma|cell|^2 term",
+        },
+        "dedup_fuzzy_minhash": {
+            "max_ratio": None,  # output-bound: gate vs output growth
+            "output_slack": 3.0,
+            "annotation": "output-bound: dense corpus plants true "
+                          "near-dup copies, real pairs grow ~R^2; banded "
+                          "LSH keeps candidate work proportional to "
+                          "output — gate is wall <= slack x output growth",
+        },
+    }
     density = {}
     dense_dir = None
     for i, a in enumerate(sys.argv):
@@ -280,30 +331,67 @@ def main() -> int:
     if dense_dir and not plans_only:
         # baseline is the BIG sf: dense_dir is SCALE_UP_DENSE=1 x10 of it,
         # i.e. same span, 10x event density — the pure density axis
-        for name in ["join_range_gap_histogram"]:
+        for name, cfg in DENSITY_OPS.items():
             fn = qs[name]
-            rows_s = rows_b = None
-            best_s = best_b = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                rows_s = fn(spark, big).collect()
-                best_s = min(best_s, time.time() - t0)
-            for _ in range(2):
-                t0 = time.time()
-                rows_b = fn(spark, dense_dir).collect()
-                best_b = min(best_b, time.time() - t0)
-            dm_s = {"dropped": rows_s[0]["dropped_left_rows"],
-                    "kept": rows_s[0]["kept_left_rows"]}
-            dm_b = {"dropped": rows_b[0]["dropped_left_rows"],
-                    "kept": rows_b[0]["kept_left_rows"]}
-            density[name] = {
-                "small_sec": round(best_s, 3), "big_sec": round(best_b, 3),
-                "ratio": round(best_b / best_s, 2),
-                "small_drop_share": round(
-                    dm_s["dropped"] / (dm_s["dropped"] + dm_s["kept"]), 6),
-                "big_drop_share": round(
-                    dm_b["dropped"] / (dm_b["dropped"] + dm_b["kept"]), 6),
-            }
+            try:
+                best_s = best_b = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, big).write.format("noop").mode(
+                        "overwrite").save()
+                    best_s = min(best_s, time.time() - t0)
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, dense_dir).write.format("noop").mode(
+                        "overwrite").save()
+                    best_b = min(best_b, time.time() - t0)
+                out_s = fn(spark, big).count()
+                out_b = fn(spark, dense_dir).count()
+                entry = {
+                    "small_sec": round(best_s, 3),
+                    "big_sec": round(best_b, 3),
+                    "ratio": (round(best_b / best_s, 2)
+                              if best_s > 0 else None),
+                    "out_rows_small": out_s, "out_rows_big": out_b,
+                    "output_ratio": (round(out_b / out_s, 2)
+                                     if out_s > 0 else None),
+                    "max_ratio": cfg.get("max_ratio"),
+                    "output_slack": cfg.get("output_slack"),
+                    "annotation": cfg["annotation"],
+                }
+                if "drop_cols" in cfg:
+                    # drop-mass reporting ops: read the in-result columns,
+                    # guarding the empty-result corpus (0 pairs -> 0 rows)
+                    dcol, kcol = cfg["drop_cols"]
+                    rows_s = fn(spark, big).select(dcol, kcol).limit(
+                        1).collect()
+                    rows_b = fn(spark, dense_dir).select(dcol, kcol).limit(
+                        1).collect()
+                    for tag, rows in (("small", rows_s), ("big", rows_b)):
+                        if not rows:
+                            entry[f"{tag}_drop_share"] = None
+                            continue
+                        d, k = rows[0][dcol], rows[0][kcol]
+                        tot = (d or 0) + (k or 0)
+                        entry[f"{tag}_drop_share"] = (
+                            round((d or 0) / tot, 6) if tot else None)
+                    if entry.get("big_drop_share") is None:
+                        entry["flag"] = "error"
+                        entry["annotation"] = (
+                            "empty dense result — drop-mass columns "
+                            "unreadable; " + cfg["annotation"])
+                if "flag" not in entry:
+                    r, o = entry["ratio"], entry["output_ratio"]
+                    if cfg.get("max_ratio") is not None:
+                        bad = r is not None and r > cfg["max_ratio"]
+                    else:
+                        bad = (r is not None and o is not None
+                               and r > cfg["output_slack"] * max(o, 1.0))
+                    entry["flag"] = "superlinear" if bad else "ok"
+                density[name] = entry
+            except Exception as e:  # noqa: BLE001
+                density[name] = {"flag": "error",
+                                 "annotation": str(e)[:300]}
             print(f"density {name}: {density[name]}", flush=True)
 
     result = {
@@ -317,7 +405,7 @@ def main() -> int:
         "supersedes": [
             "SCALE_r02.json", "SCALE_r02_sf3.json", "SCALE_r02_sf10.json",
             "SCALE_r03.json", "SCALE_r04.json", "SCALE_r04_sf10.json",
-            "SCALE_r05.json(r3-era)", "SCALE_r06_sf100.json",
+            "SCALE_r05.json", "SCALE_r05.json(r3-era)", "SCALE_r06_sf100.json",
             "SCALE_r07_pairfamily_sf1.json", "SCALE_r07_pairs.json",
             "SCALE_r08_newops.json", "SCALE_r09_graphpart.json",
         ],
