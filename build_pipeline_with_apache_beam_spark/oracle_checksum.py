@@ -89,7 +89,15 @@ def _canon_render(x) -> str:
         return "0x" + bytes(x).hex()
     if isinstance(x, np.generic):      # numpy scalar inside a container
         x = x.item()
-    return repr(x) if isinstance(x, float) else str(x)
+    if isinstance(x, float):
+        # same normalization the scalar float kernel applies (advice r6):
+        # -0.0 and +0.0 must render alike, and every NaN payload collapses
+        # to one token — container elements get no IEEE-bit path, so the
+        # canonical form has to do it.
+        if x != x:
+            return "NaN"
+        return repr(x + 0.0)
+    return str(x)
 
 
 def _scalar_null(x) -> bool:
@@ -137,7 +145,8 @@ def _col_u64(col, family: str) -> np.ndarray:
             if v.size and np.max(np.abs(v)) >= 2.0 ** 53:
                 raise ValueError(
                     "int64 column exceeded 2^53 after float null-padding; "
-                    "checksum would be lossy — route through nullable Int64")
+                    "checksum would be lossy — both engine adapters ship "
+                    "masked Int64 exactly to keep values off this path")
             out = v.astype(np.int64).view(np.uint64).copy()
         else:
             # masked nullable Int64 or plain int64 — both exact
@@ -176,20 +185,41 @@ def batch_rowhash(pdf, families: list[tuple[str, str]]) -> tuple[int, int]:
 
 
 def spark_checksum(sdf) -> tuple[int, int]:
-    """Distributed (count, hashsum) of a Spark DataFrame."""
+    """Distributed (count, hashsum) of a Spark DataFrame.
+
+    Int columns ride to pandas exactly (advice r6): Spark's Arrow->pandas
+    conversion null-pads a nullable int64 to float64, which is lossy at
+    >=2^53 and would trip the kernel's fail-closed guard.  So the plan
+    ships ``coalesce(col, 0)`` (no nulls -> pandas keeps int64) plus a
+    boolean null-flag companion per int column, and the partials rebuild a
+    masked nullable Int64 before hashing — the exact path, any magnitude.
+    """
+    from pyspark.sql import functions as F
+
     families = sorted((c, spark_family(t)) for c, t in sdf.dtypes)
+    dtypes = dict(sdf.dtypes)
+    int_cols = [c for c, f in families if f == "int"]
+    nul = {c: f"__nul_{i}__" for i, c in enumerate(int_cols)}
+    proj = sdf
+    for c in int_cols:
+        proj = proj.withColumn(nul[c], F.col(c).isNull()).withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast(dtypes[c])))
 
     def _partials(it):
         import pandas as pd
 
         for pdf in it:
+            for c in int_cols:
+                vals = pd.array(pdf[c].to_numpy(dtype="int64"),
+                                dtype="Int64")
+                vals[pdf.pop(nul[c]).to_numpy(dtype=bool)] = pd.NA
+                pdf[c] = vals
             n, h = batch_rowhash(pdf, families)
             # split the uint64 so partials ride in signed longs
             yield pd.DataFrame({"n": [n], "h_hi": [h >> 32],
                                 "h_lo": [h & 0xFFFFFFFF]})
 
-    parts = sdf.mapInPandas(_partials, "n long, h_hi long, h_lo long")
-    from pyspark.sql import functions as F
+    parts = proj.mapInPandas(_partials, "n long, h_hi long, h_lo long")
 
     row = parts.agg(F.sum("n").alias("n"), F.sum("h_hi").alias("hi"),
                     F.sum("h_lo").alias("lo")).collect()[0]
@@ -199,13 +229,24 @@ def spark_checksum(sdf) -> tuple[int, int]:
     return int(row["n"]), total
 
 
+def _int64_mapper(t):
+    """Arrow types_mapper: integer columns -> masked nullable Int64 so
+    to_pandas never float-pads a nullable bigint (exact at any magnitude —
+    advice r6; the float64 detour loses bits at >=2^53)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    return pd.Int64Dtype() if pa.types.is_integer(t) else None
+
+
 def duck_checksum(con, sql: str,
                   families: list[tuple[str, str]]) -> tuple[int, int]:
     """Streamed (count, hashsum) of a DuckDB query — constant memory."""
     reader = con.execute(sql).fetch_record_batch(1 << 16)
     n_total, h_total = 0, 0
     for batch in reader:
-        n, h = batch_rowhash(batch.to_pandas(), families)
+        n, h = batch_rowhash(batch.to_pandas(types_mapper=_int64_mapper),
+                             families)
         n_total += n
         h_total = (h_total + h) & ((1 << 64) - 1)
     return n_total, h_total

@@ -142,3 +142,42 @@ def test_batch_rowhash_null_padded_bigint_guard():
     n2, h2 = batch_rowhash(
         pd.DataFrame({"a": pd.array([big + 1, None], dtype="Int64")}), fams)
     assert n1 == n2 == 2 and h1 != h2
+
+
+def test_checksum_large_nullable_bigint_end_to_end(spark, duck):
+    """Advice r6: both engine adapters must route nullable bigint through
+    the exact masked-Int64 path, so values >= 2^53 alongside NULLs
+    checksum-compare instead of tripping the fail-closed guard — and a
+    1-off value still mismatches (exactness, not float rounding)."""
+    big = 2**60 + 7
+    sdf = spark.sql(
+        f"SELECT * FROM VALUES (CAST({big} AS BIGINT), 1), "
+        f"(CAST(NULL AS BIGINT), 2) t(v, k)")
+    duck.execute(
+        "CREATE OR REPLACE VIEW _bigv AS SELECT * FROM (VALUES "
+        f"(CAST({big} AS BIGINT), 1), (NULL, 2)) t(v, k)")
+    ok, msg = compare_checksum(sdf, duck, "SELECT * FROM _bigv")
+    assert ok, msg
+    duck.execute(
+        "CREATE OR REPLACE VIEW _bigv AS SELECT * FROM (VALUES "
+        f"(CAST({big + 1} AS BIGINT), 1), (NULL, 2)) t(v, k)")
+    ok, msg = compare_checksum(sdf, duck, "SELECT * FROM _bigv")
+    assert not ok and "checksum" in msg
+
+
+def test_canon_render_container_float_normalization():
+    """Advice r6: floats INSIDE arrays/structs get the same -0.0 -> +0.0
+    and NaN-payload collapse the scalar float kernel applies."""
+    fams = [("v", "str")]
+    neg = batch_rowhash(pd.DataFrame({"v": [[-0.0, 1.5]]}), fams)
+    pos = batch_rowhash(pd.DataFrame({"v": [[0.0, 1.5]]}), fams)
+    assert neg == pos
+    nan1 = np.frombuffer(np.uint64(0x7FF8000000000001).tobytes(),
+                         dtype=np.float64)[0]
+    a = batch_rowhash(pd.DataFrame({"v": [[float("nan")]]}), fams)
+    b = batch_rowhash(pd.DataFrame({"v": [[nan1]]}), fams)
+    assert a == b
+    # distinct real values inside containers still hash apart
+    assert (batch_rowhash(pd.DataFrame({"v": [[1.5]]}), fams)
+            != batch_rowhash(pd.DataFrame({"v": [[1.5000000000000002]]}),
+                             fams))

@@ -1,4 +1,4 @@
-"""CI gate over the consolidated scale-probe artifact (SCALE_r06.json,
+"""CI gate over the consolidated scale-probe artifact (SCALE_r07.json,
 r4 verdict #3/#8): a superlinear ratio without a written-down root cause
 fails the suite, not just the judge's eyeball.
 
@@ -16,13 +16,13 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(REPO, "SCALE_r06.json")
+ARTIFACT = os.path.join(REPO, "SCALE_r07.json")
 
 
 @pytest.fixture(scope="module")
 def scale():
     if not os.path.exists(ARTIFACT):
-        pytest.skip("SCALE_r06.json not generated in this checkout")
+        pytest.skip("SCALE_r07.json not generated in this checkout")
     d = json.load(open(ARTIFACT))
     if d.get("schema_version") != 2:
         pytest.fail("SCALE artifact is not the consolidated v2 schema")
@@ -100,6 +100,10 @@ def test_capped_pair_family_density_probe(scale):
         pytest.skip("density probe not run in this artifact")
     gap = probe["join_range_gap_histogram"]
     assert gap["ratio"] <= 12, f"cap failed to bound density work: {gap}"
+    # advice r6: a None drop share (empty dense result) must read as a
+    # probe failure, not a TypeError inside the comparison below
+    assert gap.get("big_drop_share") is not None, \
+        f"drop-mass columns unreadable on the dense corpus: {gap}"
     assert gap["big_drop_share"] >= 0
     # the cap must have actually engaged somewhere on the dense corpus,
     # otherwise the probe proves nothing about the budget path
@@ -110,7 +114,7 @@ def test_superseded_artifacts_are_gone():
     """Every retired SCALE_* file must actually be removed from the repo
     root so there is exactly one probe artifact of record."""
     if not os.path.exists(ARTIFACT):
-        pytest.skip("SCALE_r06.json not generated in this checkout")
+        pytest.skip("SCALE_r07.json not generated in this checkout")
     leftovers = [f for f in os.listdir(REPO)
                  if f.startswith("SCALE_") and f.endswith(".json")
                  and f != os.path.basename(ARTIFACT)]

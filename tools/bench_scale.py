@@ -216,8 +216,15 @@ def main() -> int:
     small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     big = (args[1] if len(args) > 1
            else os.path.join(REPO, ".scratch", "sfscale", "sf1"))
-    out_path = (args[2] if len(args) > 2
-                else os.path.join(REPO, "SCALE_r02.json"))
+    if len(args) <= 2:
+        # no default artifact name (r6 verdict #2: a stale default both
+        # mislabels bare invocations and plants a file the
+        # superseded-artifacts gate rejects) — the caller must name the
+        # round's artifact of record explicitly.
+        print("usage: bench_scale.py <small_sf_dir> <big_sf_dir> <out.json>"
+              " [--dense-dir DIR] [--plans-only]", file=sys.stderr)
+        return 2
+    out_path = args[2]
     data_ratio = 10.0
 
     spark = get_spark("bench-scale")
@@ -384,10 +391,22 @@ def main() -> int:
                     r, o = entry["ratio"], entry["output_ratio"]
                     if cfg.get("max_ratio") is not None:
                         bad = r is not None and r > cfg["max_ratio"]
+                        entry["flag"] = "superlinear" if bad else "ok"
+                    elif o is None:
+                        # advice r6: an output-bound contract with no
+                        # measurable output growth (out_rows_small == 0 or
+                        # count error) must NOT vacuously pass — the wall
+                        # ratio would be ungated exactly when the probe
+                        # corpus failed to exercise the op.
+                        entry["flag"] = "error"
+                        entry["annotation"] = (
+                            "output-bound gate unmeasurable (output_ratio "
+                            "is None) — probe corpus produced no baseline "
+                            "output; " + cfg["annotation"])
                     else:
-                        bad = (r is not None and o is not None
+                        bad = (r is not None
                                and r > cfg["output_slack"] * max(o, 1.0))
-                    entry["flag"] = "superlinear" if bad else "ok"
+                        entry["flag"] = "superlinear" if bad else "ok"
                 density[name] = entry
             except Exception as e:  # noqa: BLE001
                 density[name] = {"flag": "error",
@@ -405,7 +424,8 @@ def main() -> int:
         "supersedes": [
             "SCALE_r02.json", "SCALE_r02_sf3.json", "SCALE_r02_sf10.json",
             "SCALE_r03.json", "SCALE_r04.json", "SCALE_r04_sf10.json",
-            "SCALE_r05.json", "SCALE_r05.json(r3-era)", "SCALE_r06_sf100.json",
+            "SCALE_r05.json", "SCALE_r05.json(r3-era)", "SCALE_r06.json",
+            "SCALE_r06_sf100.json",
             "SCALE_r07_pairfamily_sf1.json", "SCALE_r07_pairs.json",
             "SCALE_r08_newops.json", "SCALE_r09_graphpart.json",
         ],
