@@ -101,6 +101,274 @@ def _png_decode_gray(payload: bytes) -> bytes:
 
 FRAME_STRIDE = 16  # frame-sample stride over the payload, bytes per "frame"
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec twin (encoder + decoder), grayscale, zero native deps.
+#
+# Same rationale as the PNG pair above: the decode path must be REAL (pixel
+# values out, not container bytes), runnable in any container, and paired
+# with a writer so deterministic fixtures can be planted.  Scope: baseline
+# sequential DCT, single 8-bit component, one custom DHT per class (written
+# into the stream, so any conformant decoder — PIL included — reads these
+# files too).  r5 verdict #6 asked for a JPEG near-dup pair gated on PIL;
+# shipping the codec instead makes the JPEG positive path execute in EVERY
+# sweep, PIL or not.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_Q = 8          # flat quantization step (all 64 coefficients)
+# canonical Huffman spec: every symbol at code length 8 (canonical order);
+# 12 DC size categories, 162 AC run/size symbols — tiny constants, and the
+# all-ones 8-bit code stays unused as the standard requires.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                           for s in range(1, 11)]
+
+
+def _huff_canonical(counts: list[int], symbols: list[int]) -> dict:
+    """symbol -> (code, bitlength) from a DHT-style (counts, symbols) spec."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code, k = code + 1, k + 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_cos(u: int, x: int) -> float:
+    import math
+
+    return math.cos((2 * x + 1) * u * math.pi / 16.0)
+
+
+def _mag_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _make_jpeg_gray(pixels: list[list[int]]) -> bytes:
+    """Encode an 8-bit grayscale baseline JPEG from a pixel grid — the
+    writer twin of :func:`_jpeg_decode_gray`.  Flat quantization (step
+    _JPEG_Q) keeps DCT loss to a few grey levels, small enough that the
+    planted near-dup pair survives the round trip."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_codes = _huff_canonical([0] * 7 + [len(_DC_SYMS)] + [0] * 8, _DC_SYMS)
+    ac_codes = _huff_canonical([0] * 7 + [len(_AC_SYMS)] + [0] * 8, _AC_SYMS)
+
+    bits: list[int] = []
+
+    def put(code: int, n: int) -> None:
+        bits.extend((code >> (n - 1 - i)) & 1 for i in range(n))
+
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            # edge-replicated 8x8 block, level-shifted
+            blk = [[pixels[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)]
+                    - 128 for x in range(8)] for y in range(8)]
+            coef = [0] * 64
+            for u in range(8):
+                for v in range(8):
+                    s = sum(blk[y][x] * _jpeg_cos(u, x) * _jpeg_cos(v, y)
+                            for y in range(8) for x in range(8))
+                    cu = 0.7071067811865476 if u == 0 else 1.0
+                    cv = 0.7071067811865476 if v == 0 else 1.0
+                    q = int(round(0.25 * cu * cv * s / _JPEG_Q))
+                    coef[v * 8 + u] = max(-1023, min(1023, q))
+            zz = [coef[_ZIGZAG[i]] for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size = _mag_category(diff)
+            put(*dc_codes[size])
+            if size:
+                put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            for i in range(1, 64):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*ac_codes[0xF0])
+                    run -= 16
+                size = _mag_category(zz[i])
+                put(*ac_codes[(run << 4) | size])
+                put(zz[i] if zz[i] > 0 else zz[i] + (1 << size) - 1, size)
+                run = 0
+            if run:
+                put(*ac_codes[0x00])  # EOB
+
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per the standard
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i:i + 8])), 2)
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)  # byte stuffing
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes([_JPEG_Q] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = (seg(0xFFC4, bytes([0x00] + [0] * 7 + [len(_DC_SYMS)] + [0] * 8)
+               + bytes(_DC_SYMS))
+           + seg(0xFFC4, bytes([0x10] + [0] * 7 + [len(_AC_SYMS)] + [0] * 8)
+                 + bytes(_AC_SYMS)))
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9")
+
+
+def _jpeg_decode_gray(payload: bytes) -> bytes:
+    """Pure-stdlib baseline JPEG decode for single-component (grayscale)
+    streams: marker parse, DHT canonical Huffman, entropy decode with byte
+    unstuffing, dequantize, inverse zigzag, float IDCT, level shift.  A
+    REAL decode — pixel values out — with zero native dependencies."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, quant, huff, w, h = 2, {}, {}, 0, 0
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                n = 64 * (2 if pq else 1)
+                tbl = (list(struct.unpack(f">64H", body[i + 1:i + 1 + n]))
+                       if pq else list(body[i + 1:i + 1 + n]))
+                quant[tq] = tbl
+                i += 1 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("stdlib JPEG codec: 8-bit single-component "
+                                 "baseline only (install PIL for more)")
+            qtab_id = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("stdlib JPEG codec: baseline sequential only")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = list(body[i + 17:i + 17 + nsym])
+                huff[tc_th] = _huff_canonical(counts, syms)
+                i += 17 + nsym
+        elif marker == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if scan_start is None or not w:
+        raise ValueError("truncated JPEG: no scan")
+
+    # invert the canonical code maps for decoding: (length, code) -> symbol
+    dc_dec = {(ln, c): s for s, (c, ln) in huff[0x00 | dc_id].items()}
+    ac_dec = {(ln, c): s for s, (c, ln) in huff[0x10 | ac_id].items()}
+    qt = quant[qtab_id]
+
+    data = payload[scan_start:]
+
+    class _Bits:
+        def __init__(self) -> None:
+            self.i, self.bit, self.cur = 0, 0, None
+
+        def next(self) -> int:
+            if self.bit == 0:
+                b = data[self.i]
+                self.i += 1
+                if b == 0xFF:
+                    nxt = data[self.i]
+                    if nxt == 0x00:
+                        self.i += 1
+                    elif nxt == 0xD9:
+                        b = 0xFF  # padding into EOI
+                self.cur, self.bit = b, 8
+            self.bit -= 1
+            return (self.cur >> self.bit) & 1
+
+        def read(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.next()
+            return v
+
+        def symbol(self, table: dict) -> int:
+            code, ln = 0, 0
+            while ln < 16:
+                code, ln = (code << 1) | self.next(), ln + 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("bad Huffman code in scan")
+
+    def extend(v: int, size: int) -> int:
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    br = _Bits()
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    out = [bytearray(w) for _ in range(h)]
+    prev_dc = 0
+    cos = [[_jpeg_cos(u, x) for x in range(8)] for u in range(8)]
+    half_sqrt2 = 0.7071067811865476
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = [0] * 64
+            size = br.symbol(dc_dec)
+            prev_dc += extend(br.read(size), size) if size else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = br.symbol(ac_dec)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                zz[k] = extend(br.read(size), size)
+                k += 1
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = zz[i] * qt[i]
+            for y in range(min(8, h - by * 8)):
+                for x in range(min(8, w - bx * 8)):
+                    s = 0.0
+                    for v in range(8):
+                        cv = half_sqrt2 if v == 0 else 1.0
+                        inner = 0.0
+                        for u in range(8):
+                            cu = half_sqrt2 if u == 0 else 1.0
+                            inner += cu * coef[v * 8 + u] * cos[u][x]
+                        s += cv * inner * cos[v][y]
+                    val = int(round(0.25 * s)) + 128
+                    out[by * 8 + y][bx * 8 + x] = max(0, min(255, val))
+    return b"".join(bytes(r) for r in out)
+
 
 def _make_png_gray(pixels: list[list[int]]) -> bytes:
     """Encode an 8-bit grayscale, non-interlaced PNG from a pixel grid —
@@ -121,29 +389,50 @@ def _make_png_gray(pixels: list[list[int]]) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b""))
 
 
-def _planted_assets() -> list[tuple[int, bytes]]:
-    """Three deterministic real-PNG assets planted into every media table
+def _nudge_dhash_cells(base: list[list[int]],
+                       cells: list[tuple[int, int]]) -> list[list[int]]:
+    """Perturb exactly the pixels the 9x8 dHash grid samples (byte position
+    (r*9+c)*n//72) so a copy is NEAR its original (small Hamming), not
+    equal."""
+    side = len(base)
+    out = [row[:] for row in base]
+    for cell_r, cell_c in cells:
+        pos = (cell_r * 9 + cell_c) * (side * side) // 72
+        row, col = divmod(pos, side)
+        out[row][col] = (base[row][col] + 120) % 256
+    return out
+
+
+def _planted_assets() -> list[tuple[int, bytes, str]]:
+    """Deterministic real-image assets planted into every media table
     (round-4 verdict #4: the sf0.01 sweep never saw phash_neardup's
     positive path — the synthetic text payloads are correctly NOT pixel
     near-dups, so its 0-row result proved only that it doesn't crash).
 
-    ids -1/-2 are a true near-dup pair (same gradient, two pixels nudged
-    — dHash Hamming distance in (0, 6]); id -3 is the inverted-gradient
-    control that must NOT pair with them.  Negative ids can never collide
-    with real doc_ids at any scale factor.
+    PNG family: ids -1/-2 are a true near-dup pair (same gradient, three
+    sampled pixels nudged — dHash Hamming in (0, 6]); id -3 is the
+    inverted-gradient control that must NOT pair with anything.
+
+    JPEG family (r5 verdict #6): ids -4/-5 are a second near-dup pair on a
+    DIFFERENT base pattern (so the two families never cross-pair), encoded
+    with the stdlib baseline JPEG writer and decoded by the stdlib decoder
+    — the JPEG positive path runs in every sweep, with or without PIL.
+
+    Negative ids can never collide with real doc_ids at any scale factor.
     """
     side = 24
     grad = [[(c * 10) % 256 for c in range(side)] for _ in range(side)]
-    nudged = [row[:] for row in grad]
-    # perturb three pixels the 9x8 dHash grid actually samples (byte
-    # position (r*9+c)*n//72) so the pair is NEAR (Hamming 3), not equal
-    for cell_r, cell_c in [(0, 1), (3, 4), (6, 2)]:
-        pos = (cell_r * 9 + cell_c) * (side * side) // 72
-        row, col = divmod(pos, side)
-        nudged[row][col] = (grad[row][col] + 120) % 256
+    nudged = _nudge_dhash_cells(grad, [(0, 1), (3, 4), (6, 2)])
     inverted = [[255 - v for v in row] for row in grad]
-    return [(-1, _make_png_gray(grad)), (-2, _make_png_gray(nudged)),
-            (-3, _make_png_gray(inverted))]
+    # JPEG base: diagonal pattern, dHash-distant from both grad and inverted
+    diag = [[(r * 16 + (23 - c) * 9) % 256 for c in range(side)]
+            for r in range(side)]
+    diag_nudged = _nudge_dhash_cells(diag, [(1, 3), (4, 6), (7, 1)])
+    return [(-1, _make_png_gray(grad), "image/png"),
+            (-2, _make_png_gray(nudged), "image/png"),
+            (-3, _make_png_gray(inverted), "image/png"),
+            (-4, _make_jpeg_gray(diag), "image/jpeg"),
+            (-5, _make_jpeg_gray(diag_nudged), "image/jpeg")]
 
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,13 +455,15 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL VALUES with hex literals: a JVM-side LocalRelation, never a
     # Python-RDD build side (those stall broadcasts — see verify notes)
     rows = ", ".join(
-        f"({i}, unhex('{payload.hex()}'))" for i, payload in _planted_assets())
-    planted = (spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(doc_id, payload)")
+        f"({i}, unhex('{payload.hex()}'), '{ctype}')"
+        for i, payload, ctype in _planted_assets())
+    planted = (spark.sql(f"SELECT * FROM (VALUES {rows}) "
+                         "AS t(doc_id, payload, ctype)")
                .select(
                    F.col("doc_id").cast("long").alias("doc_id"),
                    "payload",
                    F.struct(
-                       F.lit("image/png").alias("content_type"),
+                       F.col("ctype").alias("content_type"),
                        F.length("payload").cast("long").alias("n_bytes"),
                        F.lit("planted").alias("source"),
                    ).alias("meta")))
@@ -198,6 +489,10 @@ def _decode(payload: bytes, content_type: str, codec: str) -> bytes:
 
             img = Image.open(io.BytesIO(payload)).convert("L")
             return np.asarray(img, dtype=np.uint8).tobytes()
+        # stdlib route: dispatch on the container magic, not just the
+        # declared type — misdeclared payloads fail loudly in the decoder
+        if payload[:2] == b"\xff\xd8":
+            return _jpeg_decode_gray(payload)
         return _png_decode_gray(payload)
     return payload  # fake media: decoded == encoded by construction
 
@@ -409,10 +704,10 @@ QUERIES = {
 # design, and the Spark-side plumbing (fan-out counts, byte sizes) is
 # reconciled against SQL in tests/test_llm_ops.py.  The metadata-stats op
 # IS oracle-checked — it never leaves the metadata columns.
-# the planted-PNG rows are deterministic module constants, so their byte
-# sizes can be interpolated into the static oracle strings
-_PLANTED = [(i, len(p)) for i, p in _planted_assets()]
-_PLANTED_VALUES = ", ".join(f"({i}, {n})" for i, n in _PLANTED)
+# the planted-image rows are deterministic module constants, so their byte
+# sizes and content types can be interpolated into the static oracle strings
+_PLANTED = [(i, len(p), c) for i, p, c in _planted_assets()]
+_PLANTED_VALUES = ", ".join(f"({i}, {n}, '{c}')" for i, n, c in _PLANTED)
 
 ORACLE = {
     # OCTET_LENGTH(ENCODE(...)) measures UTF-8 BYTES like the binary payload
@@ -427,7 +722,7 @@ ORACLE = {
         UNION ALL
         SELECT CAST(doc_id AS BIGINT), CAST(n AS BIGINT),
                CAST(256 AS BIGINT), n > 256
-        FROM (VALUES {_PLANTED_VALUES}) t(doc_id, n)
+        FROM (VALUES {_PLANTED_VALUES}) t(doc_id, n, ctype)
     """,
     "multimodal_metadata_stats": f"""
         SELECT source, 'application/x-fake-media' AS content_type,
@@ -437,8 +732,9 @@ ORACLE = {
                MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
         FROM documents GROUP BY source
         UNION ALL
-        SELECT 'planted', 'image/png', COUNT(1),
+        SELECT 'planted', ctype, COUNT(1),
                CAST(SUM(n) AS BIGINT), MAX(n)
-        FROM (VALUES {_PLANTED_VALUES}) t(doc_id, n)
+        FROM (VALUES {_PLANTED_VALUES}) t(doc_id, n, ctype)
+        GROUP BY ctype
     """,
 }
