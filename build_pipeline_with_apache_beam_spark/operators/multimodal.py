@@ -249,6 +249,9 @@ def _jpeg_decode_gray(payload: bytes) -> bytes:
             continue
         (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + length]
+        if marker == 0xDD:
+            raise ValueError("stdlib JPEG codec: restart intervals (DRI) "
+                             "unsupported (install PIL for more)")
         if marker == 0xDB:
             i = 0
             while i < len(body):
@@ -303,6 +306,10 @@ def _jpeg_decode_gray(payload: bytes) -> bytes:
                     nxt = data[self.i]
                     if nxt == 0x00:
                         self.i += 1
+                    elif 0xD0 <= nxt <= 0xD7:
+                        raise ValueError(
+                            "stdlib JPEG codec: restart marker in entropy "
+                            "stream unsupported (install PIL for more)")
                     elif nxt == 0xD9:
                         b = 0xFF  # padding into EOI
                 self.cur, self.bit = b, 8

@@ -199,7 +199,12 @@ def spark_checksum(sdf) -> tuple[int, int]:
     families = sorted((c, spark_family(t)) for c, t in sdf.dtypes)
     dtypes = dict(sdf.dtypes)
     int_cols = [c for c, f in families if f == "int"]
-    nul = {c: f"__nul_{i}__" for i, c in enumerate(int_cols)}
+    # null-flag companion names must not collide with source columns
+    # (a user column literally named __nul_0__ would corrupt the mask)
+    tag = "nul"
+    while any(c.startswith(f"__{tag}_") for c in sdf.columns):
+        tag += "_"
+    nul = {c: f"__{tag}_{i}__" for i, c in enumerate(int_cols)}
     proj = sdf
     for c in int_cols:
         proj = proj.withColumn(nul[c], F.col(c).isNull()).withColumn(

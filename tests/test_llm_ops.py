@@ -4,6 +4,7 @@ plumbing against SQL reconciliation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
@@ -112,8 +113,9 @@ def test_multimodal_sizes_reconcile(spark, sf_dir, duck):
     got = {r["doc_id"]: r["n_bytes"] for r in feats.collect()}
     planted = {i: n for i, n in got.items() if i < 0}
     assert {i: n for i, n in got.items() if i >= 0} == want
-    # the planted PNGs decode to their 24x24 pixel grids, not payload size
-    assert planted == {-1: 576, -2: 576, -3: 576}
+    # the planted PNGs (-1..-3) and JPEGs (-4, -5) decode to 24x24 grids,
+    # not payload size
+    assert planted == {-1: 576, -2: 576, -3: 576, -4: 576, -5: 576}
     sums = feats.select(
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 2)
         .alias("s")).distinct().collect()
@@ -412,3 +414,29 @@ def test_recall_eval_df_cap_is_conservative_and_reported(spark, sf_dir):
         dd.SHINGLE_DF_CAP = orig
     assert capped["n_truth_pairs"] <= base["n_truth_pairs"]
     assert capped["n_predicted_pairs"] == base["n_predicted_pairs"]
+
+
+def test_jpeg_decoder_rejects_restart_intervals():
+    """Advice r7: the stdlib JPEG decoder must fail LOUDLY on DRI/RSTn
+    (restart intervals) rather than treating restart markers as entropy
+    data and silently decoding garbage."""
+    from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _make_jpeg_gray,
+    )
+
+    good = _make_jpeg_gray([[x * 8 for x in range(24)] for _ in range(24)])
+    assert len(_jpeg_decode_gray(good)) == 576  # sane baseline
+
+    # splice a DRI segment (FFDD len=4 interval=8) right after SOI
+    with_dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    with pytest.raises(ValueError, match="restart"):
+        _jpeg_decode_gray(with_dri)
+
+    # splice a bare RST0 marker at the head of the entropy stream
+    sos = good.index(b"\xff\xda")
+    seg_len = int.from_bytes(good[sos + 2:sos + 4], "big")
+    scan = sos + 2 + seg_len
+    with_rst = good[:scan] + b"\xff\xd0" + good[scan:]
+    with pytest.raises(ValueError, match="restart"):
+        _jpeg_decode_gray(with_rst)

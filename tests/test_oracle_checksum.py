@@ -181,3 +181,18 @@ def test_canon_render_container_float_normalization():
     assert (batch_rowhash(pd.DataFrame({"v": [[1.5]]}), fams)
             != batch_rowhash(pd.DataFrame({"v": [[1.5000000000000002]]}),
                              fams))
+
+def test_spark_checksum_survives_nul_companion_name_collision(spark):
+    """Advice r7: a source column literally named __nul_0__ must not be
+    clobbered by the internal null-flag companions — the checksum of such a
+    frame must equal the direct pandas-kernel hash of the same data."""
+    sdf = spark.sql(
+        "SELECT * FROM VALUES (1, 10), (2, CAST(NULL AS INT)), "
+        "(CAST(NULL AS INT), 30) t(`__nul_0__`, x)")
+    n, h = spark_checksum(sdf)
+    pdf = pd.DataFrame({
+        "__nul_0__": pd.array([1, 2, None], dtype="Int64"),
+        "x": pd.array([10, None, 30], dtype="Int64"),
+    })
+    want = batch_rowhash(pdf, [("__nul_0__", "int"), ("x", "int")])
+    assert (n, h) == want
