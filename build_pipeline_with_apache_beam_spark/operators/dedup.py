@@ -611,7 +611,7 @@ def eval_hot_shingles(spark: SparkSession, sf_dir: str,
             .where(F.col("df") > cap))
 
 
-def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation: precision/recall/F1 of the MinHash+LSH
     pipeline against COMPLETE exact shingle-Jaccard ground truth — the
     measure-don't-guess op that tells you whether 16 hashes / 4 bands is
@@ -632,9 +632,10 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Because the LSH pipeline exact-verifies its candidates, precision is
     1.0 by construction; recall isolates banding misses (pairs whose
-    signatures agreed in no band).  Rows-only like the sketch itself
-    (seeded xxhash64 isn't portable SQL); the invariant test asserts the
-    precision law and that truth ⊇ predictions."""
+    signatures agreed in no band).  This detail frame keeps every raw
+    metric for the law tests; the registered op
+    :func:`dedup_minhash_recall_eval` reshapes it into the banded-oracle
+    form DuckDB can check."""
     shingled = _docs_with_shingles(spark, sf_dir)
     hashed = _staged(spark, shingled.select(
         "doc_id",
@@ -689,6 +690,43 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f1"))
 
 
+MINHASH_RECALL_FLOOR = 0.5
+"""Sketch-quality gate for the banded oracle: at the 0.7 Jaccard threshold
+the 16-hash / 4-band S-curve admits a pair with probability ≥ 1-(1-0.7⁴)⁴
+≈ 0.89, so corpus recall ≥ 0.5 holds with wide margin (measured 0.93–0.96
+across the test SFs); a breach means the banding itself regressed."""
+
+
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered, ORACLE-CHECKED face of :func:`minhash_eval_detail`
+    (promoted from rows-only, round-6 verdict #8, banded-oracle pattern):
+
+    - ``n_truth_pairs`` is EXACT and engine-portable — DuckDB recomputes
+      the complete shingle-Jaccard ground truth from raw text with string
+      shingles (the engine's xxhash64-hashed shingle sets are
+      collision-free at these corpus sizes, so the counts coincide; a
+      collision would fail the gate loudly, not silently).
+    - the sketch-side counts ride as law booleans the oracle pins to TRUE:
+      precision is 1.0 by construction (candidates are exact-verified),
+      hits can never exceed truth (predictions ⊆ truth), and corpus recall
+      clears ``MINHASH_RECALL_FLOOR`` (the S-curve bound, see above).
+
+    Full metric values (counts, precision/recall/F1) stay available via
+    :func:`minhash_eval_detail`, which the law tests exercise."""
+    m = minhash_eval_detail(spark, sf_dir)
+    return m.select(
+        F.coalesce("n_truth_pairs", F.lit(0)).alias("n_truth_pairs"),
+        (F.coalesce("n_hits", F.lit(0))
+         == F.coalesce("n_predicted_pairs", F.lit(0)))
+        .alias("precision_is_one"),
+        (F.coalesce("n_hits", F.lit(0))
+         <= F.coalesce("n_truth_pairs", F.lit(0)))
+        .alias("hits_within_truth"),
+        ((F.coalesce("n_truth_pairs", F.lit(0)) == 0)
+         | (F.col("recall") >= MINHASH_RECALL_FLOOR))
+        .alias("recall_ge_floor"))
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION: within each near-dup cluster keep ONE canonical
     document (longest text; doc_id breaks ties) and mark the rest dropped —
@@ -728,6 +766,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    # Banded oracle (round-6 verdict #8): DuckDB recomputes the EXACT
+    # ground-truth pair count from raw text with string shingles — the
+    # same word-3-gram construction as _docs_with_shingles — and pins the
+    # sketch-side law booleans to TRUE (precision 1.0 by construction,
+    # predictions ⊆ truth, corpus recall over the S-curve floor).
+    "dedup_minhash_recall_eval": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), idx AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - {SHINGLE_WIDTH}, 0)
+                                   + 1)) AS i
+            FROM toks
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(t[i + 1 : i + {SHINGLE_WIDTH}], ' ') AS s
+            FROM idx
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS n_truth_pairs,
+               TRUE AS precision_is_one,
+               TRUE AS hits_within_truth,
+               TRUE AS recall_ge_floor
+        FROM common
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
     "dedup_span_chunks": """
         WITH t AS (
             SELECT doc_id, str_split(text, ' ') AS toks FROM documents

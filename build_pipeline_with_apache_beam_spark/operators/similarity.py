@@ -119,12 +119,28 @@ def _bucket(vec_col) -> F.Column:
     return out.cast("int")
 
 
+def _bucket_sql(vec_expr: str) -> str:
+    """The DuckDB twin of :func:`_bucket` with the seeded hyperplanes
+    inlined as literals — what makes the LSH arm oracle-checkable (round-6
+    verdict #8).  The engine buckets on the UNIT vector, the oracle on the
+    raw one: sign(dot(v/|v|, p)) == sign(dot(v, p)) since |v| > 0, so the
+    two agree without replicating the normalize."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(v) for v in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_hyperplanes())
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: candidates restricted to the query's hyperplane bucket.
 
     Same output shape as sim_cosine_topk but approximate — per-query work
-    drops from N to ~N/2^planes.  (Rows-only: recall is probabilistic by
-    design; tests measure it against the exact baseline.)
+    drops from N to ~N/2^planes.  Fully deterministic (seeded hyperplanes),
+    so it carries an EXACT oracle: DuckDB recomputes the same buckets from
+    the inlined plane literals (:func:`_bucket_sql`) and the same rounded
+    cosine top-k (promoted from rows-only, round-6 verdict #8).
     """
     from pyspark.sql import Window as W
 
@@ -237,6 +253,19 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_BLOCK = 1024  # hot-bucket cap: bounds the per-block quadratic cost
 
+# Knuth multiplicative constant for the hot-bucket sub-split — chosen over
+# xxhash64 because BIGINT multiply/mod is engine-portable, which lets the
+# blocked self-join carry an exact DuckDB oracle at ANY scale (the split is
+# active at sf1).  The pre-mod keeps the product inside signed-64 range.
+_SPLIT_MUL = 2654435761
+_SPLIT_DOM = 2147483648  # 2^31
+
+
+def _sub_block(id_col, n_sub_col) -> F.Column:
+    """Deterministic, engine-portable sub-block id in [0, n_sub)."""
+    return F.pmod((id_col % F.lit(_SPLIT_DOM)) * F.lit(_SPLIT_MUL),
+                  n_sub_col)
+
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: blocked self-join on the LSH bucket,
@@ -251,13 +280,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the standard recall-for-boundedness trade (a production run
     tunes MAX_BLOCK or adds more planes instead).  Buckets under the cap
     are unaffected (ceil(B/MAX_BLOCK) = 1 → sub_block 0 for every row).
+
+    Exact oracle (round-6 verdict #8): every stage — plane buckets, the
+    multiplicative sub-split, the rounded cosine threshold — is replicated
+    in portable SQL, so DuckDB verifies the full pair set value-for-value.
     """
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
     bucketed = emb.select("vec_id", "vec").withColumn("bucket", _bucket(F.col("vec")))
     sizes = bucketed.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
     blocked = (bucketed.join(F.broadcast(sizes), "bucket")
-               .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub"))))
+               .withColumn("sub", _sub_block(F.col("vec_id"), F.col("n_sub"))))
     a = blocked.select(F.col("vec_id").alias("vec_a"),
                        F.col("vec").alias("va"), "bucket", "sub")
     b = blocked.select(F.col("vec_id").alias("vec_b"),
@@ -411,9 +444,11 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the vector side).
 
     Both top-k sets come from the registered ops; the comparison is one
-    join + per-query aggregate.  Rows-only (the LSH bucketing isn't
-    portable SQL); tests assert the recall law (0 ≤ r ≤ 1) and that
-    exact self-recall is 1."""
+    join + per-query aggregate.  Exact oracle (round-6 verdict #8): the LSH
+    bucketing IS portable SQL once the seeded hyperplanes are inlined as
+    literals (:func:`_bucket_sql`), so DuckDB replays both arms and the
+    recall values match value-for-value; tests additionally assert the
+    recall law (0 ≤ r ≤ 1) and that exact self-recall is 1."""
     exact = (sim_cosine_topk(spark, sf_dir)
              .select("query_id", F.col("cand_id").alias("e_cand")))
     ann = (sim_ann_lsh_topk(spark, sf_dir)
@@ -466,7 +501,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy("cell").agg(
         F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
     blocked = (assigned.join(F.broadcast(sizes), "cell")
-               .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")))
+               .withColumn("sub", _sub_block(F.col("vec_id"), F.col("n_sub")))
                .select("vec_id", "vec", "cell", "sub", "cent_sim"))
     a = blocked.select(F.col("vec_id").alias("xid"), F.col("vec").alias("xv"),
                        "cell", "sub", F.col("cent_sim").alias("xsim"))
@@ -543,5 +578,89 @@ ORACLE = {
                                       ORDER BY cosine DESC, cand_id) AS rank
             FROM pairs) t
         WHERE rank <= {TOP_K}
+    """,
+    # Exact ANN oracles (round-6 verdict #8): the seeded hyperplanes are
+    # literals, so DuckDB recomputes the SAME buckets (sign(dot(v/|v|, p))
+    # == sign(dot(v, p))) and the same rounded-cosine top-k.
+    "sim_ann_lsh_topk": f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ), pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(q.e, c.e), 4) AS cosine
+            FROM b c JOIN b q ON c.bucket = q.bucket
+            WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rank
+            FROM pairs) t
+        WHERE rank <= {TOP_K}
+    """,
+    "sim_ann_recall_eval": f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ), epairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(q.e, c.e), 4) AS cosine
+            FROM b c, b q
+            WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        ), exact AS (
+            SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, cand_id)
+                           AS rank
+                FROM epairs) t
+            WHERE rank <= {TOP_K}
+        ), apairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(q.e, c.e), 4) AS cosine
+            FROM b c JOIN b q ON c.bucket = q.bucket
+            WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        ), ann AS (
+            SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, cand_id)
+                           AS rank
+                FROM apairs) t
+            WHERE rank <= {TOP_K}
+        )
+        SELECT e.query_id, COUNT(*) AS n_exact,
+               COUNT(a.cand_id) AS n_hit,
+               ROUND(COUNT(a.cand_id) * 1.0 / COUNT(*), 4) AS recall_at_k
+        FROM exact e LEFT JOIN ann a
+          ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ), sz AS (
+            SELECT bucket,
+                   CAST(CEIL(COUNT(*) * 1.0 / {MAX_BLOCK}) AS BIGINT)
+                       AS n_sub
+            FROM b GROUP BY bucket
+        ), blk AS (
+            SELECT vec_id, e, b.bucket,
+                   ((vec_id % {_SPLIT_DOM}) * {_SPLIT_MUL}) % n_sub AS sub
+            FROM b JOIN sz USING (bucket)
+        )
+        SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.e, c.e), 4) AS cosine
+            FROM blk a JOIN blk c
+              ON a.bucket = c.bucket AND a.sub = c.sub
+                 AND a.vec_id < c.vec_id) t
+        WHERE cosine >= 0.5
     """,
 }

@@ -292,6 +292,7 @@ def test_embedding_dedup_hot_bucket_split_bounds_blocks(spark, sf_dir):
     from build_pipeline_with_apache_beam_spark.operators.similarity import (
         MAX_BLOCK,
         _bucket,
+        _sub_block,
         _with_unit_vec,
     )
 
@@ -301,8 +302,8 @@ def test_embedding_dedup_hot_bucket_split_bounds_blocks(spark, sf_dir):
     sizes = bucketed.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
     blocked = (bucketed.join(F.broadcast(sizes), "bucket")
-               .withColumn("sub", F.pmod(F.xxhash64("vec_id"),
-                                         F.col("n_sub"))))
+               .withColumn("sub", _sub_block(F.col("vec_id"),
+                                             F.col("n_sub"))))
     per_block = blocked.groupBy("bucket", "sub").count().collect()
     assert max(r["count"] for r in per_block) <= 2 * MAX_BLOCK
     # at this sf every bucket is under the cap → no recall loss
@@ -401,12 +402,12 @@ def test_recall_eval_df_cap_is_conservative_and_reported(spark, sf_dir):
     shingles via eval_hot_shingles."""
     import build_pipeline_with_apache_beam_spark.operators.dedup as dd
 
-    base = dd.dedup_minhash_recall_eval(spark, sf_dir).collect()[0]
+    base = dd.minhash_eval_detail(spark, sf_dir).collect()[0]
     assert dd.eval_hot_shingles(spark, sf_dir).count() == 0  # default: uncapped
     orig = dd.SHINGLE_DF_CAP
     try:
         dd.SHINGLE_DF_CAP = 2
-        capped = dd.dedup_minhash_recall_eval(spark, sf_dir).collect()[0]
+        capped = dd.minhash_eval_detail(spark, sf_dir).collect()[0]
         hot = dd.eval_hot_shingles(spark, sf_dir, df_cap=2)
         assert hot.count() > 0
         assert all(r["df"] > 2 for r in hot.collect())

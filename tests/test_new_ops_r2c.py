@@ -186,10 +186,10 @@ def test_minhash_eval_precision_law(spark, sf_dir):
     prediction (precision 1.0 whenever predictions exist), and all three
     counts must be consistent."""
     from build_pipeline_with_apache_beam_spark.operators.dedup import (
-        dedup_minhash_recall_eval,
+        minhash_eval_detail,
     )
 
-    r = dedup_minhash_recall_eval(spark, sf_dir).collect()[0]
+    r = minhash_eval_detail(spark, sf_dir).collect()[0]
     assert r["n_hits"] <= min(r["n_truth_pairs"], r["n_predicted_pairs"])
     if r["n_predicted_pairs"]:
         assert r["precision"] == 1.0     # predictions ⊆ truth by design
