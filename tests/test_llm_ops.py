@@ -441,3 +441,23 @@ def test_jpeg_decoder_rejects_restart_intervals():
     with_rst = good[:scan] + b"\xff\xd0" + good[scan:]
     with pytest.raises(ValueError, match="restart"):
         _jpeg_decode_gray(with_rst)
+
+
+def test_lsh_bucket_sql_matches_engine(spark, sf_dir, duck):
+    """The invariant the exact ANN oracles rest on: DuckDB's inlined-plane
+    bucket expression (_bucket_sql, raw vectors) assigns every vector the
+    same bucket as the engine (_bucket, unit vectors) — sign(dot(v/|v|, p))
+    == sign(dot(v, p))."""
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        _bucket,
+        _bucket_sql,
+        _with_unit_vec,
+    )
+
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    got = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", _bucket(F.col("vec")).alias("b")).collect()}
+    want = dict(duck.execute(
+        f"SELECT vec_id, {_bucket_sql('embedding::DOUBLE[]')} "
+        f"FROM embeddings").fetchall())
+    assert got == want
