@@ -263,16 +263,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two passes over the exploded tokens: (1) token frequencies — a
     map-side-combined count whose shuffle carries the vocabulary, not the
-    corpus; (2) re-join the (broadcast) frequency table and average per doc.
-    At 100 TB the vocab table is the only state that moves, and it is
-    reusable across corpus snapshots.
+    corpus; (2) re-join the frequency table and average per doc.  The
+    vocab join is hint-pinned to shuffle_hash, NOT broadcast (round-8
+    audit): a word vocabulary is unbounded under Heaps' law — typos,
+    numbers, URLs — so its broadcast would eventually OOM at 100 TB,
+    while the shuffle join reuses the hash partitioning the groupBy
+    already produced on the build side.  Only the one-row total stays a
+    broadcast (genuinely bounded).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     total = vocab.agg(F.sum("tf").alias("n_total"))
     scored = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab.hint("shuffle_hash"), "tok")
         .join(F.broadcast(total))
         .select("doc_id", (-F.log(F.col("tf") / F.col("n_total"))).alias("nll"))
     )
@@ -293,6 +297,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded distinct bigrams (shuffle carries the bigram vocabulary); the
     per-doc novelty re-joins that table.  Same two-pass shape as
     text_unigram_logprob, reusable as a persisted n-gram DF index.
+
+    The re-join is hint-pinned to shuffle_hash (round-8 audit: AQE chose
+    to BROADCAST the bigram-vocabulary table at sf1 — 288 MiB, over the
+    256 MiB bound — and a bigram vocab grows with the corpus, so the
+    broadcast plan dies at scale; the shuffle join reuses the groupBy's
+    hash partitioning on the build side).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -302,7 +312,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = doc_grams.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("doc_freq"))
     return (
-        doc_grams.join(df_counts, "bigram")
+        doc_grams.join(df_counts.hint("shuffle_hash"), "bigram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              F.round(F.avg((F.col("doc_freq") == 1).cast("double")), 4)
@@ -378,10 +388,12 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     term) — the classic salient-term extraction over a corpus.
 
     Three aggregates over one exploded token stream: term frequency per
-    (doc, term), document frequency per term (broadcast back — the
-    vocabulary is small relative to the corpus), corpus size as a one-row
-    broadcast; then a ranked window per doc takes the top-3.  Nothing
-    touches the driver, and the df table is the reusable index.
+    (doc, term), document frequency per term (shuffle-hash joined back —
+    a term vocabulary is Heaps'-law unbounded, so broadcasting it would
+    eventually OOM at 100 TB; the hint reuses the groupBy's hash
+    partitioning on the build side — round-8 audit), corpus size as a
+    one-row broadcast; then a ranked window per doc takes the top-3.
+    Nothing touches the driver, and the df table is the reusable index.
     """
     from pyspark.sql import Window as W
 
@@ -392,7 +404,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "tok")
+        tf.join(df_t.hint("shuffle_hash"), "tok")
         .join(F.broadcast(n_docs))
         .withColumn("tfidf",
                     F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
