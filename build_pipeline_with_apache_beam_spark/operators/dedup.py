@@ -580,7 +580,11 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", F.explode("spans").alias("span")))
     freq = (spans.groupBy("span")
             .agg(F.count_distinct("doc_id").alias("nd")))
-    return (spans.join(freq, "span")
+    # hint-pinned (round-8 audit): AQE broadcast the span-frequency table
+    # at sf1 (80 MiB) — a corpus-growing side, so that plan dies at scale;
+    # the shuffle join is the documented intent (freq is already
+    # hash-partitioned on span by its groupBy)
+    return (spans.join(freq.hint("shuffle_hash"), "span")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),
                  F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
