@@ -188,6 +188,12 @@ ANNOTATIONS = {
     "scan_parquet_rowgroup_profile": {"max_ratio": 10.0, "note":
         "linear in footer count: sf0.1 is one parquet file, sf1 a "
         "40-part directory; absolutes sub-second"},
+    "events_dau_mau_stickiness": {"max_ratio": 6.0, "note":
+        "two global distinct-user aggregates over day/month windows: 10x "
+        "events at a fixed user population densify per-day distinct work, "
+        "measured ~2.5-3.6x across rounds on a sub-second baseline (r7 "
+        "2.76x, r8 3.6x with a lucky-fast small pass) — genuinely "
+        "straddles the generic 3x gate, absolutes ~0.8 -> ~2.2 s"},
 }
 
 
@@ -317,9 +323,18 @@ def main() -> int:
                           "concurrency audit, not the pairspace",
         },
         "corpus_semdedup": {
-            "max_ratio": 12.0,
+            # re-anchored round 8: the portable multiplicative sub-split
+            # made the sf1 BASELINE ~40% faster (10.5 -> ~5.9 s measured
+            # 3x) while the dense-corpus wall was unchanged vs r7
+            # (93.8 -> 100.2 s, +-7%), so the same absolute dense budget
+            # is a larger ratio against the faster denominator.
+            "max_ratio": 20.0,
             "annotation": "MAX_BLOCK-tiled in-cell pairs: wall stays "
-                          "strongly sublinear in the Sigma|cell|^2 term",
+                          "strongly sublinear in the Sigma|cell|^2 term "
+                          "(10x density = up to 100x pairspace; bound "
+                          "re-anchored r8 after the sub-split hash made "
+                          "the sf1 baseline ~40% faster at unchanged "
+                          "dense-side wall)",
         },
         "dedup_fuzzy_minhash": {
             "max_ratio": None,  # output-bound: gate vs output growth
@@ -427,6 +442,7 @@ def main() -> int:
             "SCALE_r05.json", "SCALE_r05.json(r3-era)", "SCALE_r06.json",
             "SCALE_r06_sf100.json",
             "SCALE_r07_pairfamily_sf1.json", "SCALE_r07_pairs.json",
+            "SCALE_r07.json",
             "SCALE_r08_newops.json", "SCALE_r09_graphpart.json",
         ],
     }
