@@ -461,3 +461,36 @@ def test_lsh_bucket_sql_matches_engine(spark, sf_dir, duck):
         f"SELECT vec_id, {_bucket_sql('embedding::DOUBLE[]')} "
         f"FROM embeddings").fetchall())
     assert got == want
+
+
+def test_sub_block_split_engages_and_spreads_under_forced_cap(spark, sf_dir):
+    """At test SFs every bucket is under MAX_BLOCK, so the sub-split is
+    dormant in the other tests; force it with a tiny cap and assert the
+    portable multiplicative hash actually ENGAGES (multiple sub-blocks),
+    keeps ids in range, and spreads evenly enough to bound block size."""
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.operators.similarity import (
+        _bucket,
+        _sub_block,
+        _with_unit_vec,
+    )
+
+    cap = 16  # force n_sub > 1 in every occupied bucket
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select("vec_id", "vec").withColumn(
+        "bucket", _bucket(F.col("vec")))
+    sizes = bucketed.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / cap).alias("n_sub"))
+    blocked = (bucketed.join(F.broadcast(sizes), "bucket")
+               .withColumn("sub", _sub_block(F.col("vec_id"),
+                                             F.col("n_sub"))))
+    rows = (blocked.groupBy("bucket", "sub")
+            .count().join(sizes, "bucket").collect())
+    assert rows
+    subs_per_bucket: dict[int, set] = {}
+    for r in rows:
+        assert 0 <= r["sub"] < r["n_sub"], f"sub out of range: {r}"
+        assert r["count"] <= 2 * cap, f"uneven split: {r}"
+        subs_per_bucket.setdefault(r["bucket"], set()).add(r["sub"])
+    # the split must have engaged somewhere (multiple subs in hot buckets)
+    assert any(len(s) > 1 for s in subs_per_bucket.values())
