@@ -789,9 +789,19 @@ ORACLE = {
             FROM idx
         ), sz AS (
             SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        -- replicate the engine's SHINGLE_DF_CAP stop-shingle drop (round-8
+        -- ADVICE): the engine anti-joins shingles hotter than the cap out
+        -- of its inverted index before counting n_common, so the oracle
+        -- must too — set sizes (sz) stay UNCAPPED on both sides.  (String
+        -- vs xxhash64 df coincide absent collisions; a collision fails
+        -- the gate loudly, never silently.)
+        ), hot AS (
+            SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}
+        ), shc AS (
+            SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)
         ), common AS (
             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT COUNT(*) AS n_truth_pairs,

@@ -106,7 +106,15 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def _bucket(vec_col) -> F.Column:
-    """LSH bucket id: sign bit of the dot product with each hyperplane."""
+    """LSH bucket id: sign bit of the dot product with each hyperplane.
+
+    Callers pass the RAW double vector (``embedding`` cast, NOT the unit
+    vector): sign(dot(v, p)) == sign(dot(v/|v|, p)) in exact arithmetic,
+    but normalizing first multiplies every summand by a different 1/|v|
+    rounding, so a near-zero plane dot could flip sign between the engine
+    and the DuckDB oracle (which buckets the raw vector) — round-8 ADVICE.
+    Bucketing the raw vector makes both sides evaluate the SAME expression:
+    identical products, identical left-to-right double accumulation."""
     planes = _hyperplanes()
     bits = [
         F.when(_dot(vec_col, F.array(*[F.lit(v) for v in p])) >= 0,
@@ -122,9 +130,14 @@ def _bucket(vec_col) -> F.Column:
 def _bucket_sql(vec_expr: str) -> str:
     """The DuckDB twin of :func:`_bucket` with the seeded hyperplanes
     inlined as literals — what makes the LSH arm oracle-checkable (round-6
-    verdict #8).  The engine buckets on the UNIT vector, the oracle on the
-    raw one: sign(dot(v/|v|, p)) == sign(dot(v, p)) since |v| > 0, so the
-    two agree without replicating the normalize."""
+    verdict #8).  Both sides bucket the RAW double vector (round-8 ADVICE:
+    bucketing the unit vector on one side only risked a sign flip on
+    near-zero plane dots), so engine and oracle evaluate the same products
+    in the same left-to-right order.  Residual risk, accepted: DuckDB's
+    ``list_dot_product`` accumulation order is an implementation detail —
+    if it ever switches to pairwise/SIMD summation, a dot within double
+    epsilon of 0 could still bucket differently; no such vector exists in
+    the test corpora (min |dot| ≈ 1e-2)."""
     terms = [
         f"(CASE WHEN list_dot_product({vec_expr}, "
         f"[{', '.join(repr(v) for v in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
@@ -145,7 +158,8 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.withColumn("bucket", _bucket(F.col("vec")))
+    bucketed = emb.withColumn(
+        "bucket", _bucket(F.col("embedding").cast("array<double>")))
     q = (bucketed.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
                  F.col("bucket").alias("qbucket")))
@@ -286,7 +300,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in portable SQL, so DuckDB verifies the full pair set value-for-value.
     """
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.select("vec_id", "vec").withColumn("bucket", _bucket(F.col("vec")))
+    bucketed = (emb.select("vec_id", "vec", "embedding")
+                .withColumn("bucket",
+                            _bucket(F.col("embedding").cast("array<double>")))
+                .drop("embedding"))
     sizes = bucketed.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
     blocked = (bucketed.join(F.broadcast(sizes), "bucket")
@@ -651,8 +668,13 @@ ORACLE = {
                        AS n_sub
             FROM b GROUP BY bucket
         ), blk AS (
+            -- pmod-equivalent (round-8 ADVICE): DuckDB's % truncates toward
+            -- zero, so a negative vec_id would yield a negative sub while
+            -- the engine's F.pmod is always non-negative; the +n_sub fold
+            -- makes the two agree for every sign
             SELECT vec_id, e, b.bucket,
-                   ((vec_id % {_SPLIT_DOM}) * {_SPLIT_MUL}) % n_sub AS sub
+                   ((((vec_id % {_SPLIT_DOM}) * {_SPLIT_MUL}) % n_sub)
+                    + n_sub) % n_sub AS sub
             FROM b JOIN sz USING (bucket)
         )
         SELECT vec_a, vec_b, cosine FROM (

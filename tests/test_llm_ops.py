@@ -297,8 +297,10 @@ def test_embedding_dedup_hot_bucket_split_bounds_blocks(spark, sf_dir):
     )
 
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.select("vec_id", "vec").withColumn(
-        "bucket", _bucket(F.col("vec")))
+    bucketed = (emb.select("vec_id", "vec", "embedding")
+                .withColumn("bucket",
+                            _bucket(F.col("embedding").cast("array<double>")))
+                .drop("embedding"))
     sizes = bucketed.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
     blocked = (bucketed.join(F.broadcast(sizes), "bucket")
@@ -445,18 +447,19 @@ def test_jpeg_decoder_rejects_restart_intervals():
 
 def test_lsh_bucket_sql_matches_engine(spark, sf_dir, duck):
     """The invariant the exact ANN oracles rest on: DuckDB's inlined-plane
-    bucket expression (_bucket_sql, raw vectors) assigns every vector the
-    same bucket as the engine (_bucket, unit vectors) — sign(dot(v/|v|, p))
-    == sign(dot(v, p))."""
+    bucket expression (_bucket_sql) assigns every vector the same bucket
+    as the engine (_bucket) — both sides now evaluate the RAW double
+    vector (round-8 ADVICE: same products, same accumulation order)."""
     from build_pipeline_with_apache_beam_spark.operators.similarity import (
         _bucket,
         _bucket_sql,
-        _with_unit_vec,
     )
 
-    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     got = {r["vec_id"]: r["b"] for r in emb.select(
-        "vec_id", _bucket(F.col("vec")).alias("b")).collect()}
+        "vec_id",
+        _bucket(F.col("embedding").cast("array<double>")).alias("b"))
+        .collect()}
     want = dict(duck.execute(
         f"SELECT vec_id, {_bucket_sql('embedding::DOUBLE[]')} "
         f"FROM embeddings").fetchall())
@@ -477,8 +480,10 @@ def test_sub_block_split_engages_and_spreads_under_forced_cap(spark, sf_dir):
 
     cap = 16  # force n_sub > 1 in every occupied bucket
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.select("vec_id", "vec").withColumn(
-        "bucket", _bucket(F.col("vec")))
+    bucketed = (emb.select("vec_id", "vec", "embedding")
+                .withColumn("bucket",
+                            _bucket(F.col("embedding").cast("array<double>")))
+                .drop("embedding"))
     sizes = bucketed.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / cap).alias("n_sub"))
     blocked = (bucketed.join(F.broadcast(sizes), "bucket")
