@@ -503,11 +503,11 @@ def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     cluster the paths would be object-store URIs readable from any
     executor) and fan out over
     ``mapInPandas`` so a 100 TB lake's million footers are opened on
-    executors, ~8 KB each, no data pages touched.  Rows-only by design:
-    the DuckDB twin (``parquet_metadata()``) needs a literal path, which
-    a static oracle string cannot carry across scale factors —
-    tests/test_new_ops_r3.py checks parity against both DuckDB and
-    pyarrow at the test sf instead.
+    executors, ~8 KB each, no data pages touched.  Oracle-checked
+    (promoted round 9): both engines read the SAME footers, so DuckDB's
+    ``parquet_metadata()`` recomputes the profile exactly — the literal
+    path it needs is built per scale factor by ``ORACLE_DYNAMIC`` below
+    (tests/test_new_ops_r3.py additionally checks pyarrow parity).
 
     Reference parity: this is the engine-side replacement for the
     reference's GCS object listing + per-object stats loop
@@ -726,3 +726,33 @@ ORACLE = {
         ORDER BY dt, event_type
     """,
 }
+
+
+def ORACLE_DYNAMIC() -> dict:
+    """Path-dependent oracle, built per scale factor (see
+    registry.oracle_sql): DuckDB's ``parquet_metadata()`` takes only a
+    constant path argument, and the lineitem table is a single file in the
+    driver testdata but a Spark-written DIRECTORY of part files in the
+    scale-up dirs — so the literal (and the glob) must be resolved when the
+    oracle set is requested, not at import."""
+    import os
+
+    from build_pipeline_with_apache_beam_spark.oracle import oracle_sf_dir
+
+    path = os.path.join(oracle_sf_dir(), "lineitem.parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    return {
+        # one row per row group: grouped from parquet_metadata()'s
+        # per-column-chunk rows — identical footers, identical values
+        "scan_parquet_rowgroup_profile": f"""
+            SELECT parse_filename(file_name) AS file_name,
+                   row_group_id::INTEGER AS row_group_id,
+                   ANY_VALUE(row_group_num_rows)::BIGINT AS num_rows,
+                   COUNT(*)::INTEGER AS n_col_chunks,
+                   SUM(total_compressed_size)::BIGINT AS compressed_bytes
+            FROM parquet_metadata('{path}')
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+    }

@@ -17,6 +17,21 @@ import duckdb
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
+#: The scale-factor directory the DRIVER's correctness gate reads.  A few
+#: oracles are data- or path-dependent (parquet footer introspection, the
+#: IVF codebook literals) and cannot be one static string across scale
+#: factors; they are built by each module's ``ORACLE_DYNAMIC()`` hook at
+#: ``oracle_sql()`` call time against this directory.  The driver calls
+#: ``oracle_sql()`` with no environment set and gets sf0.01 — its gate sf —
+#: while ``tools/check_correctness.py`` exports the override so full sweeps
+#: at other sfs stay exact.
+DRIVER_GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    """The sf dir dynamic oracles must describe (see DRIVER_GATE_SF_DIR)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", DRIVER_GATE_SF_DIR)
+
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

@@ -53,4 +53,11 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _modules():
         out.update(mod.ORACLE)
+        # Data/path-dependent oracles (parquet footer paths, sample-trained
+        # codebook literals) are built at CALL time against
+        # oracle.oracle_sf_dir(), not at import time — one static string
+        # cannot be exact across scale factors.
+        dyn = getattr(mod, "ORACLE_DYNAMIC", None)
+        if dyn is not None:
+            out.update(dyn())
     return out

@@ -38,6 +38,10 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
+    # dynamic oracles (footer paths, codebook literals) must describe THIS
+    # sf dir — the driver's gate leaves this unset and gets sf0.01
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from build_pipeline_with_apache_beam_spark.oracle import compare, duck_connect
     from build_pipeline_with_apache_beam_spark.session import get_spark
