@@ -288,11 +288,17 @@ def merge_acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def merge_acid_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction as a committed table version: fragment the
     demo table's snapshot into 64 files (the shape a micro-batch ingest
-    leaves behind), compact to ~1 MB targets, and report the before/after
-    file counts and row counts from the commit log.  Rows-only: file
-    layout is invisible to a SQL oracle; tests assert rows are preserved
-    byte-identically and the pre-compaction version stays readable
-    (time travel across maintenance)."""
+    leaves behind), compact to ~1 MB targets, and report the maintenance
+    audit from the commit log.
+
+    Oracle-checked (promoted round 9, verdict #3): the version counter
+    (1→2), the fragment count (64 by construction), and all three row
+    counts — before, after, and the PRE-compaction version re-read after
+    the rewrite (time travel across maintenance) — are recomputable by
+    DuckDB from the ``customer`` base table.  Only the post-compaction
+    file count depends on parquet encoding sizes, so it rides as the
+    ``files_reduced`` law boolean the oracle pins TRUE; the raw count
+    stays available via ``TxTable.data_file_count`` (tests assert it)."""
     from build_pipeline_with_apache_beam_spark.sources.sinks import (
         SCRATCH,
         source_tag,
@@ -308,13 +314,18 @@ def merge_acid_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_before = table.data_file_count(v_before)
     rows_before = table.read(v_before).count()
     v_after = table.compact(target_file_bytes=1 << 20)
+    files_after = table.data_file_count(v_after)
     return spark.sql(
-        f"""SELECT {v_before} AS version_before, {v_after} AS version_after,
-                   {files_before} AS n_files_before,
-                   {table.data_file_count(v_after)} AS n_files_after,
+        f"""SELECT CAST({v_before} AS INT) AS version_before,
+                   CAST({v_after} AS INT) AS version_after,
+                   CAST({files_before} AS BIGINT) AS n_files_before,
+                   CAST({files_after} AS BIGINT) < CAST({files_before} AS BIGINT)
+                       AS files_reduced,
                    CAST({rows_before} AS BIGINT) AS n_rows_before,
                    CAST({table.read(v_after).count()} AS BIGINT)
-                       AS n_rows_after""")
+                       AS n_rows_after,
+                   CAST({table.read(v_before).count()} AS BIGINT)
+                       AS n_rows_v1_after_compact""")
 
 
 QUERIES = {
@@ -324,6 +335,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    # Exact companions recomputed from the base table + the op's committed
+    # protocol (create = v1, compact = v2, fragment count fixed at 64);
+    # files_reduced is the engine-evaluated law the oracle pins TRUE
+    # (post-compaction file count depends on parquet encoding sizes).
+    "merge_acid_compaction": """
+        SELECT 1::INTEGER AS version_before, 2::INTEGER AS version_after,
+               64::BIGINT AS n_files_before, TRUE AS files_reduced,
+               COUNT(*)::BIGINT AS n_rows_before,
+               COUNT(*)::BIGINT AS n_rows_after,
+               COUNT(*)::BIGINT AS n_rows_v1_after_compact
+        FROM customer
+    """,
     "merge_acid_version_diff": """
         WITH base AS (
             SELECT c_custkey, ROUND(c_acctbal, 4) AS bal FROM customer

@@ -140,9 +140,10 @@ def test_compaction_preserves_rows_and_time_travel(spark, sf_dir):
 
     r = merge_acid_compaction(spark, sf_dir).collect()[0]
     assert r["version_after"] == r["version_before"] + 1
-    assert r["n_files_after"] < r["n_files_before"]
+    assert r["files_reduced"] is True
     assert r["n_files_before"] == 64
     assert r["n_rows_after"] == r["n_rows_before"]
+    assert r["n_rows_v1_after_compact"] == r["n_rows_before"]
 
 
 def test_compaction_rows_identical_and_old_version_readable(spark, sf_dir):
