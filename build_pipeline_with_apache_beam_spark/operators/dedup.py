@@ -175,11 +175,13 @@ def lsh_candidate_pairs(signatures: DataFrame,
     )
 
 
-def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fuzzy_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
-    exact-Jaccard verification at the threshold.  (Rows-only: hash-seed
-    specifics aren't portable SQL; the blocked exact-Jaccard op below is the
-    oracle-checked ground truth of the same semantics.)"""
+    exact-Jaccard verification at the threshold.  The raw (doc_a, doc_b,
+    jaccard) pair surface — what a dedup run joins back against the corpus.
+    The registered op :func:`dedup_fuzzy_minhash` wraps this in the
+    banded-oracle histogram DuckDB can check (the pair SET itself depends
+    on the seeded banding, which is not portable SQL)."""
     # stage 1: the signature index + hashed shingle sets (persisted — at
     # scale this is the reusable dedup index, built incrementally)
     shingled = _docs_with_shingles(spark, sf_dir)
@@ -205,6 +207,62 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def _jbucket(jcol) -> F.Column:
+    """Jaccard histogram bucket over [0.70, 1.00]: width 0.05, top bucket
+    closed.  Integer arithmetic on round(j·10⁴) — never float boundaries —
+    so the engine and the DuckDB oracle bucket identically (the rounded-4
+    jaccard is integer-valued at 10⁴ scale on both sides)."""
+    j10k = F.round(jcol * 10000, 0).cast("bigint")
+    return F.least(
+        F.floor((j10k - F.lit(7000)) / F.lit(500.0)).cast("bigint"),
+        F.lit(5).cast("bigint"))
+
+
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered, ORACLE-CHECKED face of :func:`fuzzy_minhash_pairs`
+    (promoted from rows-only, round-9 verdict #2, banded-oracle pattern):
+    the Jaccard histogram of the COMPLETE exact ground truth, with the
+    sketch pipeline's predictions riding as per-bucket law booleans.
+
+    - ``n_truth_pairs`` per 0.05-wide jaccard bucket is EXACT and
+      engine-portable: DuckDB recomputes the full over-threshold pair set
+      from raw text with string shingles (same capped inverted-index truth
+      as ``dedup_minhash_recall_eval``) and buckets it with the identical
+      integer arithmetic (:func:`_jbucket`).
+    - ``preds_within_truth`` is pinned TRUE by the oracle: every LSH
+      prediction must appear in the truth with the identical rounded
+      jaccard (pair-level anti-join, evaluated corpus-wide), and no
+      bucket's prediction count may exceed its truth count.  An xxhash64
+      shingle collision or a df-cap-active corpus (predictions verify on
+      FULL sets; truth drops stop-shingles) fails this loudly.
+
+    The raw (doc_a, doc_b, jaccard) surface stays available via
+    :func:`fuzzy_minhash_pairs`; corpus-level precision/recall live in
+    ``dedup_minhash_recall_eval``.  A bucket appears iff the truth
+    occupies it (predictions ⊆ truth, so no prediction-only bucket can
+    exist)."""
+    truth = _staged(spark, _exact_truth_with_jaccard(spark, sf_dir),
+                    sf_dir, "fmh_truth")
+    pred = _staged(spark, fuzzy_minhash_pairs(spark, sf_dir),
+                   sf_dir, "fmh_pred")
+    tb = truth.withColumn("bk", _jbucket(F.col("jaccard")))
+    pb = pred.withColumn("bk", _jbucket(F.col("jaccard")))
+    outside = (pb.join(truth, ["doc_a", "doc_b", "jaccard"], "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_outside")))
+    n_truth = tb.groupBy("bk").agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    n_pred = pb.groupBy("bk").agg(F.count(F.lit(1)).alias("n_pred"))
+    return (n_truth.join(n_pred, "bk", "left")
+            .crossJoin(outside)
+            .select(F.round(F.lit(0.7) + F.lit(0.05) * F.col("bk"), 2)
+                    .alias("bucket_lo"),
+                    "n_truth_pairs",
+                    ((F.col("n_outside") == 0)
+                     & (F.coalesce("n_pred", F.lit(0))
+                        <= F.col("n_truth_pairs")))
+                    .alias("preds_within_truth"))
+            .orderBy("bucket_lo"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,18 +471,20 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "group_id")
 
 
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: a new ingest batch checked against the persisted
-    signature index WITHOUT re-deduplicating history.
+def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, pair surface: a new ingest batch checked against
+    the persisted signature index WITHOUT re-deduplicating history.
 
     The daily-ingest shape at 100 TB: signatures are computed only for the
     new batch (here: doc_id % 10 == 0 stands in for today's arrivals), the
     historical index is a parquet re-read, and banding joins NEW × (HISTORY
     ∪ NEW) — so per-run cost scales with the batch, not the corpus.  Exact
-    Jaccard verifies candidates as usual.  Emits one row per new doc with
-    its duplicate-match count.  (Rows-only like dedup_fuzzy_minhash: seeded
-    xxhash64 isn't portable SQL; tests assert the incremental result equals
-    the full pipeline restricted to new docs.)
+    Jaccard verifies candidates as usual.  Emits the verified
+    (new_doc, cand_doc, jaccard) matches; :func:`incremental_minhash_matches`
+    rolls them up per new doc, and the registered
+    :func:`dedup_incremental_minhash` reshapes the rollup into the
+    banded-oracle form (the pair set depends on the seeded banding, which is
+    not portable SQL).
     """
     shingled = _docs_with_shingles(spark, sf_dir)
     is_new = F.col("doc_id") % 10 == 0
@@ -463,23 +523,93 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sh")), sf_dir, "inc_shingle_sets")
     a = hashed.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col("doc_id").alias("cand_doc"), F.col("sh").alias("sh_b"))
-    verified = (
+    ratio = (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b")))
+    return (
         _staged(spark, pairs, sf_dir, "inc_candidates")
         .join(a, "new_doc").join(b, "cand_doc")
-        .withColumn("jaccard",
-                    F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.size(F.array_union("sh_a", "sh_b")))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .withColumn("_r", ratio)
+        .where(F.col("_r") >= JACCARD_THRESHOLD)
+        .select("new_doc", "cand_doc", F.round("_r", 4).alias("jaccard"))
     )
-    new_docs = new_sigs.select(F.col("doc_id").alias("new_doc"))
+
+
+def _new_doc_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental batch axis: one row per arriving doc — straight off
+    the documents table so the DuckDB twin (doc_id % 10 = 0) is exact."""
+    return (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 == 0)
+            .select(F.col("doc_id").alias("new_doc")))
+
+
+def incremental_minhash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-new-doc rollup of :func:`incremental_minhash_pairs`: duplicate
+    match count + verdict for every doc in the batch (the user surface a
+    daily ingest filters on)."""
+    verified = incremental_minhash_pairs(spark, sf_dir)
     return (
-        new_docs.join(verified.groupBy("new_doc")
-                      .agg(F.count(F.lit(1)).alias("n_dup_matches")),
-                      "new_doc", "left")
+        _new_doc_axis(spark, sf_dir)
+        .join(verified.groupBy("new_doc")
+              .agg(F.count(F.lit(1)).alias("n_dup_matches")),
+              "new_doc", "left")
         .select("new_doc",
                 F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
                 (F.coalesce("n_dup_matches", F.lit(0)) > 0)
                 .alias("is_duplicate"))
+        .orderBy("new_doc")
+    )
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered, ORACLE-CHECKED face of the incremental pipeline
+    (promoted from rows-only, round-9 verdict #2, banded-oracle pattern):
+    per new doc,
+
+    - ``n_truth_matches`` is EXACT and engine-portable — DuckDB recomputes,
+      from raw text with string shingles, how many other documents truly sit
+      over the Jaccard threshold (the same capped inverted-index truth as
+      ``dedup_minhash_recall_eval``);
+    - ``has_truth_match`` is the exact per-doc verdict the truth implies;
+    - ``matches_within_truth`` rides as the law boolean the oracle pins
+      TRUE: every verified prediction must appear in the truth with the
+      identical rounded jaccard, and per-doc prediction counts can never
+      exceed the truth (an xxhash64 collision or a df-cap-active corpus
+      fails this loudly, never silently).
+
+    Raw per-doc match counts stay available via
+    :func:`incremental_minhash_matches`; the batch-equivalence law
+    (incremental ≡ full pipeline restricted to new docs) is tested in
+    tests/test_llm_ops.py."""
+    pred = _staged(spark, incremental_minhash_pairs(spark, sf_dir),
+                   sf_dir, "inc_pred")
+    truth = _staged(spark, _exact_truth_with_jaccard(spark, sf_dir),
+                    sf_dir, "inc_truth")
+    # truth matches per new doc: every truth pair touching the doc
+    tm = (truth.select(F.explode(F.array("doc_a", "doc_b")).alias("new_doc"))
+          .where(F.col("new_doc") % 10 == 0)
+          .groupBy("new_doc").agg(F.count(F.lit(1)).alias("n_truth")))
+    # pair-level subset law, evaluated once corpus-wide: normalize the
+    # directed prediction to the unordered (doc_a < doc_b) truth key
+    pred_norm = pred.select(
+        "new_doc",
+        F.least("new_doc", "cand_doc").alias("doc_a"),
+        F.greatest("new_doc", "cand_doc").alias("doc_b"), "jaccard")
+    outside = (pred_norm.join(truth, ["doc_a", "doc_b", "jaccard"],
+                              "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_outside")))
+    n_pred = pred.groupBy("new_doc").agg(F.count(F.lit(1)).alias("n_pred"))
+    return (
+        _new_doc_axis(spark, sf_dir)
+        .join(tm, "new_doc", "left")
+        .join(n_pred, "new_doc", "left")
+        .crossJoin(outside)
+        .select("new_doc",
+                F.coalesce("n_truth", F.lit(0)).alias("n_truth_matches"),
+                (F.coalesce("n_truth", F.lit(0)) > 0).alias("has_truth_match"),
+                ((F.col("n_outside") == 0)
+                 & (F.coalesce("n_pred", F.lit(0))
+                    <= F.coalesce("n_truth", F.lit(0))))
+                .alias("matches_within_truth"))
         .orderBy("new_doc")
     )
 
@@ -615,6 +745,54 @@ def eval_hot_shingles(spark: SparkSession, sf_dir: str,
             .where(F.col("df") > cap))
 
 
+def _exact_truth_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE exact shingle-Jaccard ground truth over the threshold:
+    (doc_a, doc_b, jaccard rounded 4) — the shared truth side of the
+    banded oracles (``dedup_minhash_recall_eval``, ``dedup_fuzzy_minhash``,
+    ``dedup_incremental_minhash``).
+
+    Exact but NOT all-pairs: an inverted shingle index joins only documents
+    sharing ≥ 1 shingle (a pair with Jaccard > 0 always appears), so cost
+    is Σ_shingle C(df, 2), bounded by shingle document frequency.  Shingles
+    hotter than ``SHINGLE_DF_CAP`` are dropped from the index (anti-join);
+    set sizes stay uncapped, so capped truth ⊆ uncapped truth —
+    conservative, never inflated — and ``eval_hot_shingles`` reports the
+    dropped mass.  The threshold filter runs on the UNROUNDED ratio (both
+    ints divide to the identical IEEE double in DuckDB), then rounds to 4
+    for the emitted value."""
+    shingled = _docs_with_shingles(spark, sf_dir)
+    hashed = _staged(spark, shingled.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        .alias("sh")), sf_dir, "mh_eval_sets")
+    sizes = hashed.select("doc_id", F.size("sh").alias("n"))
+    inv = hashed.select("doc_id", F.explode("sh").alias("h"))
+    hot = (inv.groupBy("h")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > SHINGLE_DF_CAP).select("h"))
+    inv = inv.join(F.broadcast(hot), "h", "left_anti")
+    # shuffle_hash: the inverted index is corpus-sized (docs × shingles
+    # rows); the explode-side estimate undershoots the broadcast threshold
+    # and AQE broadcast one side of the self-join (192 MiB at sf1,
+    # tools/broadcast_audit.py) — shingle-partitioned shuffle scales
+    common = (inv.alias("a")
+              .join(inv.alias("b").hint("shuffle_hash"),
+                    (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    ratio = (F.col("n_common")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (common
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("n_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("n_b")), "doc_b")
+            .where(ratio >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(ratio, 4).alias("jaccard")))
+
+
 def minhash_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation: precision/recall/F1 of the MinHash+LSH
     pipeline against COMPLETE exact shingle-Jaccard ground truth — the
@@ -640,38 +818,8 @@ def minhash_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric for the law tests; the registered op
     :func:`dedup_minhash_recall_eval` reshapes it into the banded-oracle
     form DuckDB can check."""
-    shingled = _docs_with_shingles(spark, sf_dir)
-    hashed = _staged(spark, shingled.select(
-        "doc_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-        .alias("sh")), sf_dir, "mh_eval_sets")
-    sizes = hashed.select("doc_id", F.size("sh").alias("n"))
-    inv = hashed.select("doc_id", F.explode("sh").alias("h"))
-    hot = (inv.groupBy("h")
-           .agg(F.count(F.lit(1)).alias("df"))
-           .where(F.col("df") > SHINGLE_DF_CAP).select("h"))
-    inv = inv.join(F.broadcast(hot), "h", "left_anti")
-    # shuffle_hash: the inverted index is corpus-sized (docs × shingles
-    # rows); the explode-side estimate undershoots the broadcast threshold
-    # and AQE broadcast one side of the self-join (192 MiB at sf1,
-    # tools/broadcast_audit.py) — shingle-partitioned shuffle scales
-    common = (inv.alias("a")
-              .join(inv.alias("b").hint("shuffle_hash"),
-                    (F.col("a.h") == F.col("b.h"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    truth = (common
-             .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n").alias("n_a")), "doc_a")
-             .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                                F.col("n").alias("n_b")), "doc_b")
-             .where(F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-                    >= JACCARD_THRESHOLD)
-             .select("doc_a", "doc_b"))
-    pred = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _exact_truth_with_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pred = fuzzy_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # metric rollup stays IN the plan (no driver-side counts): stage the
     # two pair sets, outer-join them, and fold to one metrics row
     t = _staged(spark, truth, sf_dir, "mh_eval_truth")
@@ -769,14 +917,13 @@ QUERIES = {
     "dedup_connected_groups": dedup_connected_groups,
 }
 
-ORACLE = {
-    # Banded oracle (round-6 verdict #8): DuckDB recomputes the EXACT
-    # ground-truth pair count from raw text with string shingles — the
-    # same word-3-gram construction as _docs_with_shingles — and pins the
-    # sketch-side law booleans to TRUE (precision 1.0 by construction,
-    # predictions ⊆ truth, corpus recall over the S-curve floor).
-    "dedup_minhash_recall_eval": f"""
-        WITH toks AS (
+# Shared truth side of the three banded minhash oracles — the SQL twin of
+# _exact_truth_with_jaccard: word-3-gram string shingles (same construction
+# as _docs_with_shingles), the SHINGLE_DF_CAP stop-shingle drop replicated
+# via anti-join (round-8 ADVICE; set sizes sz stay UNCAPPED on both sides),
+# unrounded-ratio threshold, jaccard rounded to 4.  String vs xxhash64
+# shingles coincide absent collisions; a collision fails the gate loudly.
+_TRUTH_CTES = f"""toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
         ), idx AS (
             SELECT doc_id, t,
@@ -789,12 +936,6 @@ ORACLE = {
             FROM idx
         ), sz AS (
             SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-        -- replicate the engine's SHINGLE_DF_CAP stop-shingle drop (round-8
-        -- ADVICE): the engine anti-joins shingles hotter than the cap out
-        -- of its inverted index before counting n_common, so the oracle
-        -- must too — set sizes (sz) stay UNCAPPED on both sides.  (String
-        -- vs xxhash64 df coincide absent collisions; a collision fails
-        -- the gate loudly, never silently.)
         ), hot AS (
             SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}
         ), shc AS (
@@ -803,15 +944,59 @@ ORACLE = {
             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
             FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
+        ), truth AS (
+            SELECT da, db, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS j
+            FROM common
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        )"""
+
+ORACLE = {
+    # Banded oracle (round-6 verdict #8): DuckDB recomputes the EXACT
+    # ground-truth pair count from raw text with string shingles — the
+    # same word-3-gram construction as _docs_with_shingles — and pins the
+    # sketch-side law booleans to TRUE (precision 1.0 by construction,
+    # predictions ⊆ truth, corpus recall over the S-curve floor).
+    "dedup_minhash_recall_eval": f"""
+        WITH {_TRUTH_CTES}
         SELECT COUNT(*) AS n_truth_pairs,
                TRUE AS precision_is_one,
                TRUE AS hits_within_truth,
                TRUE AS recall_ge_floor
-        FROM common
-        JOIN sz sa ON sa.doc_id = da
-        JOIN sz sb ON sb.doc_id = db
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        FROM truth
+    """,
+    # Banded oracle (round-9 verdict #2): DuckDB recomputes the exact
+    # ground-truth jaccard HISTOGRAM (0.05-wide buckets over [0.70, 1.00],
+    # identical integer bucketing as _jbucket) and pins the pair-level
+    # prediction-subset law TRUE.
+    "dedup_fuzzy_minhash": f"""
+        WITH {_TRUTH_CTES}, bk AS (
+            SELECT LEAST(CAST(FLOOR((CAST(ROUND(j * 10000) AS BIGINT) - 7000)
+                                    / 500.0) AS BIGINT), 5) AS b
+            FROM truth
+        )
+        SELECT ROUND(0.7::DOUBLE + 0.05::DOUBLE * b, 2) AS bucket_lo,
+               COUNT(*)::BIGINT AS n_truth_pairs,
+               TRUE AS preds_within_truth
+        FROM bk GROUP BY b ORDER BY bucket_lo
+    """,
+    # Banded oracle (round-9 verdict #2): per arriving doc (doc_id % 10 = 0),
+    # the exact truth-match count and verdict, with the engine's
+    # prediction-subset law pinned TRUE.
+    "dedup_incremental_minhash": f"""
+        WITH {_TRUTH_CTES}, nd AS (
+            SELECT doc_id AS new_doc FROM documents WHERE doc_id % 10 = 0
+        ), tm AS (
+            SELECT d AS new_doc, COUNT(*) AS m
+            FROM (SELECT UNNEST([da, db]) AS d FROM truth)
+            WHERE d % 10 = 0 GROUP BY 1
+        )
+        SELECT new_doc, COALESCE(m, 0)::BIGINT AS n_truth_matches,
+               COALESCE(m, 0) > 0 AS has_truth_match,
+               TRUE AS matches_within_truth
+        FROM nd LEFT JOIN tm USING (new_doc)
+        ORDER BY new_doc
     """,
     "dedup_span_chunks": """
         WITH t AS (
