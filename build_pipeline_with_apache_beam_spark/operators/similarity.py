@@ -23,6 +23,8 @@ bucketing as a blocked self-join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -194,18 +196,11 @@ def _cell_dots(vec_col, centroids: list[list[float]]) -> F.Column:
 _TRAIN_SAMPLE = 4096  # codebook training sample size (driver-side, bounded)
 
 
-def _ivf_codebook(emb: DataFrame) -> list[list[float]]:
-    """Train the IVF codebook on a BOUNDED deterministic sample, in numpy.
-
-    This is the production shape (faiss et al. train codebooks on a sample,
-    not the corpus): the sample is fixed-size regardless of corpus scale, so
-    the driver holds index METADATA, never data.  Assignment of the full
-    corpus to cells stays fully distributed.  Deterministic: sample = lowest
-    vec_ids, seeded init, fixed iteration count."""
-    # deterministic sample WITHOUT a global sort (ids are dense from 0), and
-    # Arrow transfer instead of row-wise Py4J collect
-    pdf = emb.where(F.col("vec_id") < _TRAIN_SAMPLE).toPandas()  # driver-bounded: fixed 4096-row training sample
-    sample = np.stack(pdf.sort_values("vec_id")["vec"].values)
+def _ivf_codebook_from_matrix(sample: np.ndarray) -> list[list[float]]:
+    """The Lloyd loop on an already-normalized sample matrix — shared by
+    the engine (sample via Spark) and the oracle builder (sample via
+    pyarrow, see :func:`_oracle_codebook`), so both train the IDENTICAL
+    codebook from the identical doubles."""
     cents = sample[:N_CELLS].copy()
     for _ in range(LLOYD_ITERS):
         # unit vectors: nearest-by-cosine == argmax dot
@@ -218,6 +213,49 @@ def _ivf_codebook(emb: DataFrame) -> list[list[float]]:
     return cents.round(6).tolist()
 
 
+def _ivf_codebook(emb: DataFrame) -> list[list[float]]:
+    """Train the IVF codebook on a BOUNDED deterministic sample, in numpy.
+
+    This is the production shape (faiss et al. train codebooks on a sample,
+    not the corpus): the sample is fixed-size regardless of corpus scale, so
+    the driver holds index METADATA, never data.  Assignment of the full
+    corpus to cells stays fully distributed.  Deterministic: sample = lowest
+    vec_ids, seeded init, fixed iteration count."""
+    # deterministic sample WITHOUT a global sort (ids are dense from 0), and
+    # Arrow transfer instead of row-wise Py4J collect
+    pdf = emb.where(F.col("vec_id") < _TRAIN_SAMPLE).toPandas()  # driver-bounded: fixed 4096-row training sample
+    sample = np.stack(pdf.sort_values("vec_id")["vec"].values)
+    return _ivf_codebook_from_matrix(sample)
+
+
+def _oracle_codebook(sf_dir: str) -> list[list[float]]:
+    """The oracle builder's twin of :func:`_ivf_codebook`: read the training
+    sample straight off the parquet (pyarrow, no Spark), replicate Spark's
+    unit normalization with the SAME sequential double arithmetic
+    (``aggregate``'s left-to-right fold, float32→double casts, one divide
+    per element), and run the shared Lloyd loop.  The replication is exact
+    up to the final ``round(6)`` on the centroids, which absorbs any
+    residual 1-ulp difference; accepted residual risk: a centroid component
+    within 5e-7 of a rounding boundary AND a 1-ulp normalization divergence
+    on the same component could differ — none of the test corpora comes
+    within 1e-9 of that."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    tbl = ds.to_table(columns=["vec_id", "embedding"],
+                      filter=pads.field("vec_id") < _TRAIN_SAMPLE)
+    order = np.argsort(tbl.column("vec_id").to_numpy())
+    raw = np.stack(tbl.column("embedding").to_pylist())[order]
+    v = raw.astype(np.float64)
+    sample = np.empty_like(v)
+    for i in range(v.shape[0]):
+        acc = 0.0
+        for x in v[i]:
+            acc += float(x) * float(x)
+        sample[i] = v[i] / math.sqrt(acc)
+    return _ivf_codebook_from_matrix(sample)
+
+
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN top-k: k-means cells instead of LSH buckets.
 
@@ -226,7 +264,13 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data distribution, so recall per candidate examined is higher.  At 100 TB
     the cell id is a partition/sort key on disk — probing becomes partition
     pruning, and the codebook is trained on a sample, not the full corpus.
-    (Rows-only: recall is probabilistic by design; tests measure it.)
+
+    Exact oracle (promoted round 9, verdict #8): the codebook training is
+    deterministic (fixed sample, seeded init, fixed iterations), so the
+    oracle builder retrains the bit-identical codebook straight off the
+    parquet (:func:`_oracle_codebook`), inlines the centroids as SQL
+    literals, and DuckDB replays cell assignment, the 2-cell probe, and
+    the rounded-cosine top-k value-for-value (``ORACLE_DYNAMIC``).
     """
     from pyspark.sql import Window as W
 
@@ -504,8 +548,14 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cos(X,Y) ≥ τ sits strictly closer to the centroid (ties broken by
     vec_id), which needs no transitive closure and exactly one pass.
     Output is the bounded per-cell audit (kept/removed counts), the form a
-    100 TB curation run logs.  Rows-only: k-means cells are not portable
-    SQL; tests assert the keep-rule invariants.
+    100 TB curation run logs.
+
+    Exact oracle (promoted round 9, verdict #8): the sample-trained cells
+    ARE portable SQL once the deterministic codebook is inlined as
+    centroid literals (``ORACLE_DYNAMIC``; bit-identical retraining via
+    :func:`_oracle_codebook`) — DuckDB replays assignment, the sub-split,
+    the τ-threshold removal join, and the per-cell audit value-for-value.
+    Tests additionally assert the keep-rule invariants.
     """
     emb = (_with_unit_vec(load_table(spark, sf_dir, "embeddings"))
            .select("vec_id", "vec").persist())
@@ -686,3 +736,127 @@ ORACLE = {
         WHERE cosine >= 0.5
     """,
 }
+
+
+_CODEBOOK_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _cents_values_sql(cents: list[list[float]]) -> str:
+    """The trained codebook as a DuckDB VALUES relation (cid, c)."""
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for cid, c in enumerate(cents))
+    return f"SELECT * FROM (VALUES {rows}) AS t(cid, c)"
+
+
+def ORACLE_DYNAMIC() -> dict:
+    """Data-dependent oracles, built per scale factor (see
+    registry.oracle_sql): the IVF/semdedup cells come from a codebook
+    trained on the data, so the centroid literals the SQL replay needs
+    cannot be one static string across scale factors.  The oracle builder
+    trains the IDENTICAL codebook from the parquet directly
+    (:func:`_oracle_codebook`, verified bit-equal to the engine's at every
+    test sf), inlines it, and replays cell assignment, probing, and the
+    blocked pair stage in portable SQL — the round-6 hyperplane-inlining
+    trick (round-9 verdict #8), one level deeper.
+
+    Accepted residual float risk (documented per round-8 ADVICE): cell
+    argmax compares dots that differ only in summation order between
+    list_dot_product and the engine's left-to-right fold — a flip needs
+    two cells within ~1e-15 of each other (observed margins are O(0.1)),
+    and the semdedup τ-threshold and round-6 cent_sim sit equally far from
+    their boundaries on every test corpus.
+    """
+    from build_pipeline_with_apache_beam_spark.oracle import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
+    if sf_dir not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[sf_dir] = _oracle_codebook(sf_dir)
+    cents_sql = _cents_values_sql(_CODEBOOK_CACHE[sf_dir])
+    # shared replay prelude: raw double vectors, the engine's unit
+    # normalization, per-(vector, cell) dots, and first-max cell assignment
+    prelude = f"""cents AS ({cents_sql}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        u AS (SELECT vec_id, raw,
+                     list_transform(raw, x ->
+                         x / sqrt(list_dot_product(raw, raw))) AS v
+              FROM e),
+        d AS (SELECT vec_id, v, cid, list_dot_product(v, c) AS dot
+              FROM u CROSS JOIN cents)"""
+    return {
+        "sim_ann_ivf_topk": f"""
+        WITH {prelude},
+        asg AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rn
+                FROM d) t
+            WHERE rn = 1
+        ), probes AS (
+            -- top-N_PROBE cells per query == the engine's argmax+mask
+            -- unroll (mask -> next first-index max -> lowest cid on ties)
+            SELECT vec_id AS query_id, cid AS qcell FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rn
+                FROM d WHERE vec_id < {N_QUERIES}) t
+            WHERE rn <= {N_PROBE}
+        ), pairs AS (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(qe.raw, ce.raw), 4) AS cosine
+            FROM probes p
+            JOIN asg c ON c.cell = p.qcell AND c.vec_id <> p.query_id
+            JOIN e qe ON qe.vec_id = p.query_id
+            JOIN e ce ON ce.vec_id = c.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rank
+            FROM pairs) t
+        WHERE rank <= {TOP_K}
+        """,
+        "corpus_semdedup": f"""
+        WITH {prelude},
+        asg AS (
+            SELECT vec_id, v, cell, cent_sim FROM (
+                SELECT vec_id, v, cid AS cell,
+                       ROUND(MAX(dot) OVER (PARTITION BY vec_id), 6)
+                           AS cent_sim,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rn
+                FROM d) t
+            WHERE rn = 1
+        ), sz AS (
+            SELECT cell, CAST(CEIL(COUNT(*) * 1.0 / {MAX_BLOCK}) AS BIGINT)
+                       AS n_sub
+            FROM asg GROUP BY cell
+        ), blk AS (
+            -- pmod-equivalent sub-split (same fold as dedup_embedding_cosine)
+            SELECT vec_id, v, asg.cell, cent_sim,
+                   ((((vec_id % {_SPLIT_DOM}) * {_SPLIT_MUL}) % n_sub)
+                    + n_sub) % n_sub AS sub
+            FROM asg JOIN sz USING (cell)
+        ), rem AS (
+            SELECT DISTINCT x.vec_id
+            FROM blk x JOIN blk y
+              ON x.cell = y.cell AND x.sub = y.sub
+                 AND x.vec_id <> y.vec_id
+                 AND list_dot_product(x.v, y.v) >= {SEMDEDUP_TAU}
+                 AND (y.cent_sim > x.cent_sim
+                      OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+        )
+        SELECT a.cell,
+               COUNT(*)::BIGINT AS n_vectors,
+               SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_removed,
+               (COUNT(*)
+                - SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+                   AS n_kept,
+               ROUND(AVG(cent_sim), 4) AS avg_cent_sim
+        FROM asg a LEFT JOIN rem r ON a.vec_id = r.vec_id
+        GROUP BY a.cell
+        ORDER BY a.cell
+        """,
+    }
