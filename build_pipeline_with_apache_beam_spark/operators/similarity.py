@@ -445,9 +445,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-query scan + windowed top-k, then ``applyInPandas`` PER
     QUERY GROUP — MMR's greedy loop needs the pool's pairwise similarity
     matrix, which is a 20×20 numpy product over state bounded by the pool
-    size, never by the corpus.  Rows-only (greedy selection isn't
-    portable SQL); the invariant test replays the greedy rule in plain
-    Python."""
+    size, never by the corpus.
+
+    Exact oracle (promoted round 9): the greedy selection IS portable SQL
+    once the fixed MMR_SELECT rounds are unrolled — each round is one
+    max-sim aggregate over the selected-so-far set plus a ranked pick
+    (:func:`_mmr_oracle_sql`).  Relevance is emitted at its pool precision
+    (round-6) rather than re-rounded: rounding an already-6-decimal value
+    to 4 decimals sits ~1e-13 from the half boundary whenever the 5th-6th
+    decimals are '50', exactly where engines' rounding implementations
+    diverge — re-rounding is the one construction the oracle discipline
+    must avoid.  The invariant test additionally replays the greedy rule
+    in plain Python."""
     import pandas as pd
 
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
@@ -485,7 +494,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             selected.append(pick)          # rows are (rel desc, id) sorted
             out.append((int(pdf["query_id"][pick]),
                         int(pdf["cand_id"][pick]), rank,
-                        round(float(rel[pick]), 4),
+                        float(rel[pick]),               # pool round-6 value
                         round(float(score[pick]), 4)))
         return pd.DataFrame(
             out, columns=["query_id", "cand_id", "mmr_rank",
@@ -596,6 +605,78 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def _mmr_oracle_sql() -> str:
+    """DuckDB replay of the greedy MMR loop, unrolled over the fixed
+    MMR_SELECT rounds (promoted round 9): round k scores every unselected
+    pool candidate 0.7·rel − 0.3·max-sim-to-selected and picks the first
+    maximum in pool order (score DESC, then the pool's (rel DESC, cand_id)
+    rank — numpy argmax's first-max semantics).  The (1−λ) literal is
+    interpolated from Python so both sides carry the identical double
+    (1 − 0.7 = 0.30000000000000004, not 0.3).  Residual float risk, same
+    class as the codebook oracles: the engine's pairwise sims come from a
+    BLAS matmul, the oracle's from sequential list_dot_product — a pick
+    flip needs two scores within ~1e-15 (observed margins O(1e-3))."""
+    lam, one_minus = repr(MMR_LAMBDA), repr(1 - MMR_LAMBDA)
+    parts = [f"""WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+        ), u AS (
+            SELECT vec_id, list_transform(raw, x ->
+                       x / sqrt(list_dot_product(raw, raw))) AS v
+            FROM e
+        ), pool AS (
+            SELECT query_id, cand_id, cv, rel, rn FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.v AS cv,
+                       ROUND(list_dot_product(q.v, c.v), 6) AS rel,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND(list_dot_product(q.v, c.v), 6)
+                                        DESC, c.vec_id) AS rn
+                FROM u q JOIN u c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < {N_QUERIES}) t
+            WHERE rn <= {MMR_POOL}
+        ), simm AS (
+            SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                   list_dot_product(a.cv, b.cv) AS s
+            FROM pool a JOIN pool b
+              ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        ), p1 AS (
+            SELECT query_id, cand_id, rel, {lam} * rel AS score
+            FROM pool WHERE rn = 1
+        ), sel1 AS (
+            SELECT query_id, cand_id FROM p1
+        )"""]
+    for k in range(2, MMR_SELECT + 1):
+        parts.append(f""", c{k} AS (
+            SELECT p.query_id, p.cand_id, p.rel, p.rn,
+                   {lam} * p.rel - {one_minus} * MAX(s.s) AS score
+            FROM pool p
+            JOIN simm s ON s.query_id = p.query_id AND s.ca = p.cand_id
+            JOIN sel{k - 1} sel
+              ON sel.query_id = s.query_id AND sel.cand_id = s.cb
+            WHERE NOT EXISTS (SELECT 1 FROM sel{k - 1} x
+                              WHERE x.query_id = p.query_id
+                                AND x.cand_id = p.cand_id)
+            GROUP BY p.query_id, p.cand_id, p.rel, p.rn
+        ), p{k} AS (
+            SELECT query_id, cand_id, rel, score FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, rn) AS pk
+                FROM c{k}) t
+            WHERE pk = 1
+        ), sel{k} AS (
+            SELECT query_id, cand_id FROM sel{k - 1}
+            UNION ALL SELECT query_id, cand_id FROM p{k}
+        )""")
+    picks = "\n        UNION ALL ".join(
+        f"SELECT query_id, cand_id, {k}::INTEGER AS mmr_rank, "
+        f"rel AS relevance, ROUND(score, 4) AS mmr_score FROM p{k}"
+        for k in range(1, MMR_SELECT + 1))
+    parts.append(f"""
+        SELECT * FROM ({picks}) ranked
+        ORDER BY query_id, mmr_rank""")
+    return "".join(parts)
+
+
 QUERIES = {
     "corpus_semdedup": corpus_semdedup,
     "sim_ann_recall_eval": sim_ann_recall_eval,
@@ -609,6 +690,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_mmr_rerank": _mmr_oracle_sql(),
     "sim_cosine_pairs": f"""
         SELECT c.vec_id AS cand_id, q.vec_id AS query_id,
                ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
