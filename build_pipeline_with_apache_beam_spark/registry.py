@@ -31,12 +31,13 @@ def _modules():
         tpch2,
     )
     from build_pipeline_with_apache_beam_spark.functions import udfs
+    from build_pipeline_with_apache_beam_spark.plans import etl
     from build_pipeline_with_apache_beam_spark.sources import docstore, sinks, txtable
     from build_pipeline_with_apache_beam_spark.streaming import runner, stateful, windows
 
     return [scans, relational, tpch, tpch2, subqueries, arrays, corpus, behavioral, scalars,
             normalize, text, dedup, graph, similarity, multimodal, udfs, windows,
-            stateful, sinks, docstore, runner, txtable]
+            stateful, sinks, docstore, runner, txtable, etl]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -10,6 +10,11 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Dynamic oracles (parquet footer paths, IVF codebook literals — see
+# registry.oracle_sql) must describe the SAME sf dir the tests run the
+# queries at; conftest imports before any test module builds the registry.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
 
 @pytest.fixture(scope="session")
 def spark():
