@@ -139,7 +139,8 @@ def _bucket_sql(vec_expr: str) -> str:
     ``list_dot_product`` accumulation order is an implementation detail —
     if it ever switches to pairwise/SIMD summation, a dot within double
     epsilon of 0 could still bucket differently; no such vector exists in
-    the test corpora (min |dot| ≈ 1e-2)."""
+    the test corpora (measured min |dot| ≈ 3e-4 across sf0.001-0.1,
+    eleven orders of magnitude above summation-order noise)."""
     terms = [
         f"(CASE WHEN list_dot_product({vec_expr}, "
         f"[{', '.join(repr(v) for v in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"

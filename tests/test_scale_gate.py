@@ -139,3 +139,27 @@ def test_superseded_artifacts_are_gone():
                  if f.startswith("SCALE_") and f.endswith(".json")
                  and f != os.path.basename(ARTIFACT)]
     assert not leftovers, f"superseded artifacts still present: {leftovers}"
+
+
+def test_superseded_bench_and_correctness_artifacts_are_gone():
+    """r8 verdict #7 extended to the other per-round artifact families:
+    the tree carries the artifact of record per kind, not round history
+    (git already keeps that).  The two NEWEST rounds per family are
+    allowed — the driver writes r{N} at round end, so right after a
+    round boundary both r{N-1} (kept by the builder) and r{N} (fresh)
+    legitimately coexist until the next tidy; anything older is a
+    straggler."""
+    fams = {}
+    for f in os.listdir(REPO):
+        m = re.fullmatch(
+            r"(BENCH_local|BENCH|CORRECTNESS_full|CORRECTNESS)"
+            r"_r(\d+)\w*\.json", f)
+        if m:
+            fams.setdefault(m.group(1), []).append((int(m.group(2)), f))
+    stragglers = []
+    for fam, entries in fams.items():
+        rounds = sorted({n for n, _ in entries})
+        allowed = set(rounds[-2:])
+        stragglers += [f for n, f in entries if n not in allowed]
+    assert not stragglers, \
+        f"superseded bench/correctness artifacts still present: {stragglers}"
