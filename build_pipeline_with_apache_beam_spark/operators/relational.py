@@ -160,11 +160,17 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-dim equi join; Catalyst picks broadcast/SMJ, AQE re-plans."""
+    """Fact-to-fact equi join, shuffle-hash-pinned: customer SCALES with
+    the corpus (it is not a fixed dim in this schema), and the round-9 sf3
+    probe showed AQE's compressed estimate keeps it under the broadcast
+    threshold while the in-memory build side grows past 130 MiB — a plan
+    that dies at 100 TB.  Key-partitioned shuffle is the scalable shape;
+    genuine fixed dims stay broadcast in join_broadcast."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        orders.join(cust.hint("shuffle_hash"),
+                    orders.o_custkey == cust.c_custkey, "inner")
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
 
@@ -184,10 +190,13 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides are corpus-scaling facts — shuffle_hash pin (round-9 sf3
+    probe: AQE broadcast 259 MiB of orders at sf3; see join_inner_equi)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        cust.join(orders.hint("shuffle_hash"),
+                  cust.c_custkey == orders.o_custkey, "left")
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
     )
 
@@ -197,8 +206,11 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe side's columns, so the shuffle carries no payload from orders."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    # shuffle_hash: the filtered order keys still scale with the corpus
+    # (round-9 sf3 probe; see join_inner_equi)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        cust.join(orders.hint("shuffle_hash"),
+                  cust.c_custkey == orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name", "c_acctbal")
     )
 
@@ -207,8 +219,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS: customers with no orders at all."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # shuffle_hash: order keys scale with the corpus (round-9 sf3 probe)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(orders.hint("shuffle_hash"),
+                  cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     )
 
@@ -246,9 +260,13 @@ def flagship_q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem →
     revenue per order → top-10.
 
-    The plan to want at 100 TB: both fact joins shuffle on their keys (AQE
-    may broadcast the segment-filtered customer side), partial aggregation
-    before the final shuffle, and the top-10 via per-partition heaps.
+    The plan to want at 100 TB: both fact joins shuffle on their keys,
+    partial aggregation before the final shuffle, and the top-10 via
+    per-partition heaps.  Both joins are shuffle_hash-PINNED (round 9):
+    the segment-filtered customer and date-filtered orders both scale
+    with the corpus, and the sf3 probe measured AQE still broadcasting
+    them (162 MiB in-memory) because the compressed estimate undershoots
+    the threshold — "AQE will flip it eventually" was measured false.
     Ordering ties are broken on the rounded revenue + unique l_orderkey so
     the limit boundary is deterministic across engines.
     """
@@ -259,8 +277,8 @@ def flagship_q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
               .alias("revenue"))
@@ -1105,7 +1123,10 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(f"""
         WITH RECURSIVE edges AS (
-            SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+            -- orders/customer scale with the corpus: shuffle_hash-pinned
+            -- (round-9 sf3 probe; the dim joins below stay broadcast)
+            SELECT /*+ SHUFFLE_HASH(o, c) */
+                   cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1329,16 +1350,20 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def check(name: str, child: DataFrame, key, parent: DataFrame,
               pkey, bcast: bool) -> DataFrame:
+        # bcast=True ONLY for genuine fixed dims (nation); fact-scaling
+        # parents pin to shuffle_hash — the round-9 sf3 probe measured AQE
+        # broadcasting 162 MiB of customer keys here otherwise
         p = parent.select(pkey)
-        orphans = child.join(F.broadcast(p) if bcast else p,
-                             child[key] == p[pkey], "left_anti")
+        orphans = child.join(
+            F.broadcast(p) if bcast else p.hint("shuffle_hash"),
+            child[key] == p[pkey], "left_anti")
         return child.agg(
             F.lit(name).alias("relationship"),
             F.count(F.lit(1)).alias("n_child_rows")).join(
             orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
 
     return (check("orders->customer", orders, "o_custkey", cust,
-                  "c_custkey", True)
+                  "c_custkey", False)
             .unionByName(check("lineitem->orders", li, "l_orderkey",
                                orders, "o_orderkey", False))
             .unionByName(check("customer->nation", cust, "c_nationkey",
@@ -2111,7 +2136,11 @@ def agg_pareto_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→double is monotone and only ordering matters there."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # shuffle_hash: orders is a corpus-scaling fact — the round-9 sf3 probe
+    # measured AQE broadcasting 290 MiB of it (compressed estimate under
+    # the threshold), the exact plan this op cannot take at 100 TB
+    per_cust = (li.join(orders.hint("shuffle_hash"),
+                        li.l_orderkey == orders.o_orderkey)
                 .groupBy("o_custkey")
                 .agg(F.sum(F.col("l_extendedprice")
                            .cast("decimal(18,4)")).alias("rev")))
@@ -2190,7 +2219,11 @@ def timeseries_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedes the order date; an inverted interval would make the sweep
     # dip below the true stabbing count, so an order is active at least
     # on its own order day
-    spans = (orders.join(closed, orders.o_orderkey == closed.l_orderkey)
+    # shuffle_hash: both sides scale with the corpus, and `closed` is
+    # already hash-partitioned on l_orderkey by its groupBy (round-9 sf3
+    # probe caught AQE broadcasting 290 MiB of orders here)
+    spans = (orders.join(closed.hint("shuffle_hash"),
+                         orders.o_orderkey == closed.l_orderkey)
              .select(F.to_date("o_orderdate").alias("open_day"),
                      F.greatest("last_ship", F.to_date("o_orderdate"))
                      .alias("close_day")))

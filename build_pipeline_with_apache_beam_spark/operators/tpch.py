@@ -87,9 +87,12 @@ def flagship_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # shuffle_hash: the priority-filtered orders side scales with the
+    # corpus (round-9 sf3 probe: AQE broadcast 131 MiB of it)
     per_cust = (
         cust.join(
-            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            orders.where(F.col("o_orderpriority") != "1-URGENT")
+            .hint("shuffle_hash"),
             F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
@@ -129,19 +132,24 @@ def flagship_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: large-volume orders — HAVING subquery into a 3-way join.
 
     The IN subquery (orders whose line quantities sum past the threshold)
-    becomes a semi join against an aggregate; at 100 TB the aggregate's
-    output is small relative to lineitem, and AQE turns the semi join into a
-    broadcast when it fits.
+    becomes a join against an aggregate whose key set is distinct, so the
+    inner join is row-equivalent to the semi join.  Every join here is
+    shuffle_hash-PINNED (round 9): the qualifying-order set, the filtered
+    customer, and orders all scale with the corpus, and the sf3 probe
+    measured AQE still broadcasting the 37 MiB aggregate — small today,
+    linear in the corpus, dead at 100 TB.
     """
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        SELECT /*+ SHUFFLE_HASH(orders, customer, big) */
+               c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                ROUND(SUM(l_quantity), 4) AS total_qty
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+        JOIN (SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING SUM(l_quantity) > 180) big
+          ON o_orderkey = big.l_orderkey
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100

@@ -102,16 +102,19 @@ def flagship_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
 def flagship_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: volume shipping between two nations, by year.
 
-    Two broadcast copies of nation (supplier side and customer side) with the
-    cross-pair predicate; the single big shuffle is lineitem ⋈ orders on the
-    order key — both dim chains hang off it broadcast-side.
+    Two broadcast copies of nation (supplier side and customer side) with
+    the cross-pair predicate; orders and customer are shuffle_hash-PINNED
+    (round 9): both scale with the corpus and the sf3 probe measured AQE
+    broadcasting 290 MiB of orders in-memory off an under-threshold
+    compressed estimate — the flip the r8 narrative assumed never happens.
     """
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT supp_nation, cust_nation, l_year,
                ROUND(SUM(volume), 4) AS revenue
         FROM (
-            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            SELECT /*+ SHUFFLE_HASH(orders, customer) */
+                   n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    YEAR(l_shipdate) AS l_year,
                    l_extendedprice * (1 - l_discount) AS volume
             FROM supplier
@@ -168,13 +171,15 @@ def flagship_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Profit proxy: revenue minus a retail-price-derived unit cost (the
     testdata has no ps_supplycost).  part/supplier/nation broadcast;
-    lineitem ⋈ orders is the one fact shuffle.
+    lineitem ⋈ orders is the one fact shuffle, shuffle_hash-PINNED
+    (round 9: the sf3 probe measured AQE broadcasting 290 MiB of orders).
     """
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
         FROM (
-            SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+            SELECT /*+ SHUFFLE_HASH(orders) */
+                   n_name AS nation, YEAR(o_orderdate) AS o_year,
                    l_extendedprice * (1 - l_discount)
                      - 0.1 * p_retailprice * l_quantity AS amount
             FROM part

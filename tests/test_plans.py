@@ -250,9 +250,19 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, registry):
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200], plan
 
 
-def test_q18_having_subquery_is_semi_join(spark, sf_dir, registry):
+def test_q18_having_subquery_is_shuffled_distinct_key_join(spark, sf_dir,
+                                                           registry):
+    """Round 9: the IN-subquery (LeftSemi) became an explicit inner join
+    against the distinct-key HAVING aggregate so its build side could be
+    shuffle_hash-pinned (the qualifying-order set scales with the corpus;
+    the sf3 probe measured AQE broadcasting it).  Row-equivalence holds
+    because the aggregate's key is distinct by construction.  At this tiny
+    sf Catalyst may still broadcast the UNHINTED lineitem probe side —
+    that freedom is intentional (lineitem is never a build side once its
+    estimate grows); the sf3 gate + audit assert the full no-corpus-
+    broadcast property where it matters."""
     plan = plan_of(registry["flagship_q18_large_orders"](spark, sf_dir))
-    assert "LeftSemi" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_contamination_benchmark_side_broadcasts(spark, sf_dir, registry):
@@ -385,11 +395,53 @@ needs_sf1 = pytest.mark.skipif(
 @needs_sf1
 def test_sf1_dim_joins_stay_broadcast(spark, registry):
     """10x the fact side must NOT flip dimension joins to shuffle joins —
-    dims are held fixed by design, so BroadcastHashJoin must survive."""
-    for op in ("join_broadcast", "flagship_q3_topk_revenue",
+    dims are held fixed by design, so BroadcastHashJoin must survive.
+    (Q3 left this list in round 9: its only broadcast was the
+    segment-filtered CUSTOMER, a corpus-scaling side now pinned to
+    shuffle_hash; Q5/Q9 keep genuine fixed-dim broadcasts.)"""
+    for op in ("join_broadcast", "flagship_q5_multijoin_volume",
                "flagship_q9_product_profit"):
         plan = plan_of(registry[op](spark, _SF1_DIR))
         assert "BroadcastHashJoin" in plan, f"{op} lost broadcast at sf1"
+
+
+_SF3_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".scratch", "sfscale", "sf3")
+
+needs_sf3 = pytest.mark.skipif(
+    not _os.path.exists(_os.path.join(_SF3_DIR, "lineitem.parquet")),
+    reason="sf3 step-up data not generated (tools/scale_up.py ... sf3 30)")
+
+
+@needs_sf3
+def test_sf3_corpus_scaling_build_sides_are_not_broadcast(spark, registry):
+    """Round-9 verdict #4, measured: the r8 claim that AQE's 64 MiB
+    estimate crossing would flip the 75 MiB sf1 broadcasts was FALSE —
+    at sf3 the compressed estimates still undershot the threshold while
+    the in-memory build sides grew to 290-304 MiB (customer/orders).
+    These joins are now shuffle_hash-pinned; this gate asserts the
+    STATIC plans carry no broadcast join at all for the pure fact-join
+    ops, and no more than the fixed-dim broadcasts for the flagships."""
+    no_broadcast_at_all = ("join_inner_equi", "join_left_outer",
+                           "join_semi", "join_anti",
+                           "flagship_q3_topk_revenue",
+                           "timeseries_active_intervals",
+                           "flagship_q13_custdist")
+    for op in no_broadcast_at_all:
+        plan = plan_of(registry[op](spark, _SF3_DIR))
+        assert "ShuffledHashJoin" in plan, f"{op}: shuffle_hash pin lost"
+        assert "BroadcastHashJoin" not in plan, \
+            f"{op}: corpus-scaling build side still broadcast at sf3"
+    # ops whose remaining broadcasts are genuinely bounded (one-row
+    # bounds tables, fixed dims): the fact joins must be shuffled — the
+    # sf3 broadcast audit separately measured every remaining broadcast
+    # at <= 1.1 MiB (was 290-304 MiB before the pins)
+    for op in ("agg_pareto_threshold", "flagship_q7_volume_shipping",
+               "flagship_q9_product_profit", "flagship_q18_large_orders",
+               "dq_referential_integrity"):
+        plan = plan_of(registry[op](spark, _SF3_DIR))
+        assert "ShuffledHashJoin" in plan, f"{op}: fact join not shuffled"
 
 
 @needs_sf1
