@@ -91,8 +91,11 @@ SCALE_OPS = [
 # dim joins stay broadcast, scans keep pushdown, DPP still fires
 PLAN_CHECKS = {
     "join_broadcast": ["BroadcastHashJoin"],
-    "flagship_q3_topk_revenue": ["BroadcastHashJoin", "TakeOrderedAndProject"],
-    "flagship_q9_product_profit": ["BroadcastHashJoin"],
+    # r9: Q3's only broadcast was the corpus-scaling filtered customer,
+    # now shuffle_hash-pinned (sf3 probe) — the marker asserts the pin
+    "flagship_q3_topk_revenue": ["ShuffledHashJoin", "TakeOrderedAndProject"],
+    # Q9's fixed dims stay broadcast; its orders fact join is pinned
+    "flagship_q9_product_profit": ["BroadcastHashJoin", "ShuffledHashJoin"],
     "scan_parquet_project": ["ReadSchema"],   # pure projection — no filter
     "filter_time_range": ["PushedFilters"],
     "join_dynamic_partition_pruning": ["dynamicpruning"],
@@ -134,11 +137,14 @@ ANNOTATIONS = {
         "output-bound: K replicated near-identical copies per doc give "
         "~K^2/2 TRUE near-dup pairs; finds are real"},
     "dedup_fuzzy_minhash": {"max_ratio": 20.0, "note":
-        "output-bound: true near-dup pairs per original grow with copy "
-        "count; banded candidates stay linear, the OUTPUT does not"},
+        "ground-truth-bearing since r9: the banded-oracle form computes "
+        "the COMPLETE exact shingle truth (df-capped inverted index) "
+        "alongside the LSH pipeline — same cost class as "
+        "dedup_minhash_recall_eval, quadratic only in dup density"},
     "dedup_incremental_minhash": {"max_ratio": 20.0, "note":
-        "output-bound: same pairspace as dedup_fuzzy_minhash staged "
-        "incrementally"},
+        "ground-truth-bearing since r9 (see dedup_fuzzy_minhash); the "
+        "production pair surface stays batch-scaling "
+        "(incremental_minhash_pairs)"},
     "dedup_ngram_jaccard": {"max_ratio": 20.0, "note":
         "ground truth: exact blocked all-pairs Jaccard, quadratic in "
         "near-dup density by design (it verifies the LSH ops)"},
@@ -342,9 +348,21 @@ def main() -> int:
             "annotation": "output-bound: dense corpus plants true "
                           "near-dup copies, real pairs grow ~R^2; banded "
                           "LSH keeps candidate work proportional to "
-                          "output — gate is wall <= slack x output growth",
+                          "output — gate is wall <= slack x output growth "
+                          "(probed on the fuzzy_minhash_pairs surface: "
+                          "the r9 registered op reshapes to a bounded "
+                          "histogram, so its ROW count no longer carries "
+                          "the output-growth signal the contract gates)",
         },
     }
+    # the registered dedup_fuzzy_minhash emits a fixed-size banded-oracle
+    # histogram since r9 — probe its PAIR surface, where the output-bound
+    # density contract is actually defined
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        fuzzy_minhash_pairs,
+    )
+
+    DENSITY_FNS = {"dedup_fuzzy_minhash": fuzzy_minhash_pairs}
     density = {}
     dense_dir = None
     for i, a in enumerate(sys.argv):
@@ -354,7 +372,7 @@ def main() -> int:
         # baseline is the BIG sf: dense_dir is SCALE_UP_DENSE=1 x10 of it,
         # i.e. same span, 10x event density — the pure density axis
         for name, cfg in DENSITY_OPS.items():
-            fn = qs[name]
+            fn = DENSITY_FNS.get(name) or qs[name]
             try:
                 best_s = best_b = float("inf")
                 for _ in range(2):
