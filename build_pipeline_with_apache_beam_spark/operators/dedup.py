@@ -38,8 +38,11 @@ JACCARD_THRESHOLD = 0.7
 SHINGLE_WIDTH = 3
 
 
+_STAGE_DONE: set[tuple[str, str]] = set()
+
+
 def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
-            name: str) -> DataFrame:
+            name: str, reuse: bool = False) -> DataFrame:
     """Materialize an intermediate to scratch parquet and re-read it.
 
     The sketch pipelines are deliberately executed in STAGES (signature
@@ -63,7 +66,14 @@ def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
     # while bench reads sf0.1) must not clobber each other's stages
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
     path = os.path.join(SCRATCH, "dedup_stage", tag, name)
+    # reuse=True: skip the rewrite when THIS process already materialized
+    # the stage (never trust a path another process/older code wrote) —
+    # the banded-oracle promotions made three registered ops share the
+    # exact-truth stage, and inputs are immutable within a run
+    if reuse and (tag, name) in _STAGE_DONE and os.path.exists(path):
+        return spark.read.parquet(path)
     df.write.mode("overwrite").parquet(path)
+    _STAGE_DONE.add((tag, name))
     return spark.read.parquet(path)
 
 
@@ -185,7 +195,8 @@ def fuzzy_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: the signature index + hashed shingle sets (persisted — at
     # scale this is the reusable dedup index, built incrementally)
     shingled = _docs_with_shingles(spark, sf_dir)
-    sigs = _staged(spark, minhash_signatures(shingled), sf_dir, "minhash_sigs")
+    sigs = _staged(spark, minhash_signatures(shingled), sf_dir,
+                   "minhash_sigs", reuse=True)
     # hashed shingle sets for verification: intersect/union on fixed-width
     # longs instead of ~20-byte strings — smaller shuffle, cheaper compares;
     # xxhash64 collisions are negligible for jaccard
@@ -193,9 +204,10 @@ def fuzzy_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
          .alias("sh"),
-    ), sf_dir, "minhash_shingle_sets")
+    ), sf_dir, "minhash_shingle_sets", reuse=True)
     # stage 2: LSH banding → candidate pairs
-    pairs = _staged(spark, lsh_candidate_pairs(sigs), sf_dir, "minhash_candidates")
+    pairs = _staged(spark, lsh_candidate_pairs(sigs), sf_dir,
+                    "minhash_candidates", reuse=True)
     # stage 3: exact-jaccard verification of the candidates
     a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -243,10 +255,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_recall_eval``.  A bucket appears iff the truth
     occupies it (predictions ⊆ truth, so no prediction-only bucket can
     exist)."""
-    truth = _staged(spark, _exact_truth_with_jaccard(spark, sf_dir),
-                    sf_dir, "fmh_truth")
+    truth = _exact_truth_with_jaccard(spark, sf_dir)
     pred = _staged(spark, fuzzy_minhash_pairs(spark, sf_dir),
-                   sf_dir, "fmh_pred")
+                   sf_dir, "fmh_pred", reuse=True)
     tb = truth.withColumn("bk", _jbucket(F.col("jaccard")))
     pb = pred.withColumn("bk", _jbucket(F.col("jaccard")))
     outside = (pb.join(truth, ["doc_a", "doc_b", "jaccard"], "left_anti")
@@ -582,8 +593,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py."""
     pred = _staged(spark, incremental_minhash_pairs(spark, sf_dir),
                    sf_dir, "inc_pred")
-    truth = _staged(spark, _exact_truth_with_jaccard(spark, sf_dir),
-                    sf_dir, "inc_truth")
+    truth = _exact_truth_with_jaccard(spark, sf_dir)
     # truth matches per new doc: every truth pair touching the doc
     tm = (truth.select(F.explode(F.array("doc_a", "doc_b")).alias("new_doc"))
           .where(F.col("new_doc") % 10 == 0)
@@ -784,13 +794,16 @@ def _exact_truth_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_common")))
     ratio = (F.col("n_common")
              / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
-    return (common
-            .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n").alias("n_a")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n").alias("n_b")), "doc_b")
-            .where(ratio >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", F.round(ratio, 4).alias("jaccard")))
+    truth = (common
+             .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("n_a")), "doc_a")
+             .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n").alias("n_b")), "doc_b")
+             .where(ratio >= JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b", F.round(ratio, 4).alias("jaccard")))
+    # staged once per process per sf: three registered ops (recall eval,
+    # fuzzy histogram, incremental) share this exact-truth index
+    return _staged(spark, truth, sf_dir, "exact_truth", reuse=True)
 
 
 def minhash_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,12 +831,11 @@ def minhash_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric for the law tests; the registered op
     :func:`dedup_minhash_recall_eval` reshapes it into the banded-oracle
     form DuckDB can check."""
-    truth = _exact_truth_with_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    pred = fuzzy_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # metric rollup stays IN the plan (no driver-side counts): stage the
-    # two pair sets, outer-join them, and fold to one metrics row
-    t = _staged(spark, truth, sf_dir, "mh_eval_truth")
-    p = _staged(spark, pred, sf_dir, "mh_eval_pred")
+    # truth and the verified pair set are staged (and per-process cached)
+    # parquet indexes shared with dedup_fuzzy_minhash
+    t = _exact_truth_with_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    p = _staged(spark, fuzzy_minhash_pairs(spark, sf_dir),
+                sf_dir, "fmh_pred", reuse=True).select("doc_a", "doc_b")
     both = (t.withColumn("in_t", F.lit(1))
             .join(p.withColumn("in_p", F.lit(1)),
                   ["doc_a", "doc_b"], "full_outer"))
