@@ -154,3 +154,37 @@ def test_sink_failure_blocks_commit(spark, tmp_path):
 
     results = runner.run_once(now=now)          # retry succeeds
     assert [r["record_count"] for r in results] == [20, 20]
+
+
+def test_reference_etl_funnel_consistency(spark, sf_dir, duck):
+    """The composed reference-ETL run (round-9 verdict #6): the funnel
+    must reconcile stage-by-stage with independent SQL recomputation, the
+    sink must be lossless (n_sunk measured by RE-READING the lake), and
+    the watermark may only advance after the sink succeeded."""
+    from build_pipeline_with_apache_beam_spark.plans.etl import (
+        _WINDOW_HI,
+        _WINDOW_LO,
+        pipeline_reference_etl,
+    )
+
+    r = pipeline_reference_etl(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    n_scanned, n_valid = duck.execute(f"""
+        SELECT COUNT(*),
+               COUNT(*) FILTER (WHERE event_id % 7 <> 0)
+        FROM events
+        WHERE ts >= TIMESTAMP '{_WINDOW_LO}'
+          AND ts <= TIMESTAMP '{_WINDOW_HI}'
+          AND event_type = 'purchase'""").fetchone()
+    n_unique = duck.execute(f"""
+        SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE ts >= TIMESTAMP '{_WINDOW_LO}'
+          AND ts <= TIMESTAMP '{_WINDOW_HI}'
+          AND event_type = 'purchase' AND event_id % 7 <> 0""").fetchone()[0]
+    assert row["n_scanned"] == n_scanned
+    assert row["n_valid"] == n_valid
+    assert 0 < row["n_valid"] < row["n_scanned"]     # validation attrited
+    assert row["n_unique"] == n_unique
+    assert row["n_sunk"] == row["n_unique"]          # lossless sink
+    assert row["watermark_advanced"] is True
