@@ -897,10 +897,14 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decision table a curation pipeline joins back to filter the corpus.
 
     Composes the connected-components grouping with a per-group max_by
-    selection: one aggregate on group_id picks the canonical, one broadcast
-    join labels every member.  Emits (doc_id, group_id, canonical_id, keep,
-    n_members); singleton clusters keep their only member, so keeps sum to
-    exactly one per cluster — the invariant the test asserts."""
+    selection: one aggregate on group_id picks the canonical, one
+    group_id-keyed join labels every member.  The canonical table has one
+    row PER CLUSTER — corpus-growing, so it is shuffle_hash-pinned, not
+    broadcast (the r9 sf3 audit measured it at 16 MiB and scaling with
+    the corpus; the join reuses the hash partitioning its groupBy already
+    produced).  Emits (doc_id, group_id, canonical_id, keep, n_members);
+    singleton clusters keep their only member, so keeps sum to exactly
+    one per cluster — the invariant the test asserts."""
     labels = dedup_connected_groups(spark, sf_dir)
     docs = (load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 4 == 0)
@@ -910,7 +914,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.expr("max_by(doc_id, struct(n_len, -doc_id))")
                   .alias("canonical_id"),
                   F.count(F.lit(1)).alias("n_members")))
-    return (members.join(F.broadcast(canon), "group_id")
+    return (members.join(canon.hint("shuffle_hash"), "group_id")
             .select("doc_id", "group_id", "canonical_id", "n_members",
                     (F.col("doc_id") == F.col("canonical_id")).alias("keep"))
             .orderBy("doc_id"))
