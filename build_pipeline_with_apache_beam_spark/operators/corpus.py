@@ -415,7 +415,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(_bucket_64k(F.col("text")) < 58982, "train").otherwise("eval")
 
     staged = (
-        annotated.join(contaminated, "doc_id", "left")
+        # contaminated-doc set scales with the corpus: pinned (sf3 audit)
+        annotated.join(contaminated.hint("shuffle_hash"), "doc_id", "left")
         .select(
             (F.col("source") != "src0").alias("in_scope"),
             q_ok.alias("s1_quality"),
@@ -515,7 +516,9 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     packed = corpus_doc_packing(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    joined = packed.join(docs, "doc_id")
+    # shuffle_hash: both sides are per-doc and corpus-sized — the sf3
+    # audit measured AQE broadcasting 65 MiB of the text payload side
+    joined = packed.join(docs.hint("shuffle_hash"), "doc_id")
     return (
         joined.groupBy("lang", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -175,7 +175,9 @@ def lsh_candidate_pairs(signatures: DataFrame,
     kept = stacked.join(F.broadcast(hot), ["band_id", "band_hash"],
                         "left_anti")
     a = kept.alias("a")
-    b = kept.alias("b")
+    # shuffle_hash: both sides are the corpus-sized banded signature table
+    # (r9 sf3 audit: AQE broadcast one side at 32->129 MiB growth)
+    b = kept.alias("b").hint("shuffle_hash")
     return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -211,8 +213,12 @@ def fuzzy_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 3: exact-jaccard verification of the candidates
     a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash: the hashed shingle-set index is corpus-sized with an
+    # array payload — the single biggest AQE broadcast the r9 sf3 audit
+    # caught (129 MiB, 4x the sf1 estimate)
     verified = (
-        pairs.join(a, "doc_a").join(b, "doc_b")
+        pairs.join(a.hint("shuffle_hash"), "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard", F.round(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")), 4))
@@ -260,7 +266,8 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sf_dir, "fmh_pred", reuse=True)
     tb = truth.withColumn("bk", _jbucket(F.col("jaccard")))
     pb = pred.withColumn("bk", _jbucket(F.col("jaccard")))
-    outside = (pb.join(truth, ["doc_a", "doc_b", "jaccard"], "left_anti")
+    outside = (pb.join(truth.hint("shuffle_hash"),
+                       ["doc_a", "doc_b", "jaccard"], "left_anti")
                .agg(F.count(F.lit(1)).alias("n_outside")))
     n_truth = tb.groupBy("bk").agg(F.count(F.lit(1)).alias("n_truth_pairs"))
     n_pred = pb.groupBy("bk").agg(F.count(F.lit(1)).alias("n_pred"))
@@ -322,7 +329,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked = bands.selectExpr(
         "doc_id", "simhash",
         "stack(4, 0, b_0, 1, b_1, 2, b_2, 3, b_3) AS (band_id, band_val)")
-    a, b = stacked.alias("a"), stacked.alias("b")
+    # shuffle_hash: the banded sketch table scales with the corpus
+    # (r9 sf3 audit: 24 -> 64 MiB AQE broadcast)
+    a, b = stacked.alias("a"), stacked.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_val") == F.col("b.band_val"))
@@ -519,7 +528,9 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 args=", ".join(f"{b}, band_{b}" for b in range(N_BANDS))))
 
     new_b = _bands(new_sigs).alias("a")
-    all_b = _bands(hist_sigs.unionByName(new_sigs)).alias("b")
+    # shuffle_hash: the history index side is corpus-sized (sf3 audit)
+    all_b = _bands(hist_sigs.unionByName(new_sigs)).alias("b") \
+        .hint("shuffle_hash")
     pairs = (
         new_b.join(all_b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -536,9 +547,12 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hashed.select(F.col("doc_id").alias("cand_doc"), F.col("sh").alias("sh_b"))
     ratio = (F.size(F.array_intersect("sh_a", "sh_b"))
              / F.size(F.array_union("sh_a", "sh_b")))
+    # shuffle_hash on both shingle-set joins: corpus-sized array payload
+    # (r9 sf3 audit; see fuzzy_minhash_pairs)
     return (
         _staged(spark, pairs, sf_dir, "inc_candidates")
-        .join(a, "new_doc").join(b, "cand_doc")
+        .join(a.hint("shuffle_hash"), "new_doc")
+        .join(b.hint("shuffle_hash"), "cand_doc")
         .withColumn("_r", ratio)
         .where(F.col("_r") >= JACCARD_THRESHOLD)
         .select("new_doc", "cand_doc", F.round("_r", 4).alias("jaccard"))
@@ -604,14 +618,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_doc",
         F.least("new_doc", "cand_doc").alias("doc_a"),
         F.greatest("new_doc", "cand_doc").alias("doc_b"), "jaccard")
-    outside = (pred_norm.join(truth, ["doc_a", "doc_b", "jaccard"],
+    outside = (pred_norm.join(truth.hint("shuffle_hash"),
+                              ["doc_a", "doc_b", "jaccard"],
                               "left_anti")
                .agg(F.count(F.lit(1)).alias("n_outside")))
     n_pred = pred.groupBy("new_doc").agg(F.count(F.lit(1)).alias("n_pred"))
+    # per-new-doc tables scale with the batch (10% of the corpus): pinned
     return (
         _new_doc_axis(spark, sf_dir)
-        .join(tm, "new_doc", "left")
-        .join(n_pred, "new_doc", "left")
+        .join(tm.hint("shuffle_hash"), "new_doc", "left")
+        .join(n_pred.hint("shuffle_hash"), "new_doc", "left")
         .crossJoin(outside)
         .select("new_doc",
                 F.coalesce("n_truth", F.lit(0)).alias("n_truth_matches"),
@@ -794,11 +810,14 @@ def _exact_truth_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_common")))
     ratio = (F.col("n_common")
              / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    # shuffle_hash: the per-doc size table scales with the corpus
     truth = (common
              .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n").alias("n_a")), "doc_a")
+                                F.col("n").alias("n_a"))
+                   .hint("shuffle_hash"), "doc_a")
              .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                                F.col("n").alias("n_b")), "doc_b")
+                                F.col("n").alias("n_b"))
+                   .hint("shuffle_hash"), "doc_b")
              .where(ratio >= JACCARD_THRESHOLD)
              .select("doc_a", "doc_b", F.round(ratio, 4).alias("jaccard")))
     # staged once per process per sf: three registered ops (recall eval,
@@ -836,8 +855,9 @@ def minhash_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _exact_truth_with_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     p = _staged(spark, fuzzy_minhash_pairs(spark, sf_dir),
                 sf_dir, "fmh_pred", reuse=True).select("doc_a", "doc_b")
+    # shuffle_hash: both pair sets scale with dup density x corpus
     both = (t.withColumn("in_t", F.lit(1))
-            .join(p.withColumn("in_p", F.lit(1)),
+            .join(p.withColumn("in_p", F.lit(1)).hint("shuffle_hash"),
                   ["doc_a", "doc_b"], "full_outer"))
     m = both.agg(
         F.sum(F.coalesce("in_t", F.lit(0))).alias("n_truth_pairs"),

@@ -355,10 +355,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("sub", _sub_block(F.col("vec_id"), F.col("n_sub"))))
     a = blocked.select(F.col("vec_id").alias("vec_a"),
                        F.col("vec").alias("va"), "bucket", "sub")
+    # shuffle_hash: the bucketed vector table is corpus-sized with the
+    # vector payload (r9 sf3 audit: 16 -> 50 MiB AQE broadcast)
     b = blocked.select(F.col("vec_id").alias("vec_b"),
                        F.col("vec").alias("vb"),
                        F.col("bucket").alias("bucket_b"),
-                       F.col("sub").alias("sub_b"))
+                       F.col("sub").alias("sub_b")).hint("shuffle_hash")
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b"))
                & (F.col("sub") == F.col("sub_b"))
@@ -582,9 +584,10 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "vec", "cell", "sub", "cent_sim"))
     a = blocked.select(F.col("vec_id").alias("xid"), F.col("vec").alias("xv"),
                        "cell", "sub", F.col("cent_sim").alias("xsim"))
+    # shuffle_hash: corpus-sized vector payload (see dedup_embedding_cosine)
     b = blocked.select(F.col("vec_id").alias("yid"), F.col("vec").alias("yv"),
                        F.col("cell").alias("cell_b"), F.col("sub").alias("sub_b"),
-                       F.col("cent_sim").alias("ysim"))
+                       F.col("cent_sim").alias("ysim")).hint("shuffle_hash")
     # X removed iff ∃ same-block Y: cos ≥ τ and Y closer to centroid
     # (centroid-similarity DESC, vec_id ASC order decides the survivor)
     removed = (a.join(b, (F.col("cell") == F.col("cell_b"))
@@ -596,7 +599,8 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             & (F.col("yid") < F.col("xid")))))
                .select(F.col("xid").alias("vec_id")).distinct()
                .withColumn("removed", F.lit(1)))
-    return (assigned.join(removed, "vec_id", "left")
+    # removed set scales with the near-dup mass: pinned off the broadcast
+    return (assigned.join(removed.hint("shuffle_hash"), "vec_id", "left")
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.sum(F.coalesce("removed", F.lit(0))).alias("n_removed"),
