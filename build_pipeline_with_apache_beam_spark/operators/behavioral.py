@@ -63,7 +63,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(event_type: str, prev: DataFrame | None) -> DataFrame:
         hits = ev.where(F.col("event_type") == event_type)
         if prev is not None:
-            hits = hits.join(prev, "user_id").where(F.col("ts") >= F.col("prev_ts"))
+            # per-user stage table scales with the user base: pinned
+            # (r9 sf3 audit: 32 MiB AQE broadcast)
+            hits = (hits.join(prev.hint("shuffle_hash"), "user_id")
+                    .where(F.col("ts") >= F.col("prev_ts")))
         return hits.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
 
     s1 = stage("click", None)

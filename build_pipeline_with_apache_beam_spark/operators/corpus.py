@@ -91,6 +91,14 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes its grams into a hash join against it.  At 100 TB the corpus
     explode is the dominant cost and is embarrassingly parallel; the
     output is bounded by contaminated docs, not grams.
+
+    Broadcast bound, stated explicitly (r9 audit discipline): the build
+    side is bounded by the BENCHMARK SUITE's gram count, which does not
+    scale with the training corpus — broadcasting it is what keeps the
+    corpus-side explode shuffle-free, exactly the DataComp/decontamination
+    production shape.  The audit number tracks the FIXTURE (src0 is a
+    fixed 1/|sources| slice of the synthetic corpus, so it grows with sf:
+    64 MiB at sf3); a real run replaces src0 with the fixed eval suite.
     """
     # spread the gram explode across cores (one parquet file = one input
     # split at test scale; real splits provide this natively)

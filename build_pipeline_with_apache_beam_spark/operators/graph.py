@@ -160,8 +160,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_name").alias("src"))
     sn = nation.select(F.col("n_nationkey").alias("sn_key"),
                        F.col("n_name").alias("dst"))
-    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-             .join(cust, orders.o_custkey == cust.c_custkey)
+    # shuffle_hash on the fact joins: orders/customer scale with the
+    # corpus (r9 sf3 audit: 290 MiB AQE broadcast, over the audit bound)
+    edges = (li.join(orders.hint("shuffle_hash"),
+                     li.l_orderkey == orders.o_orderkey)
+             .join(cust.hint("shuffle_hash"),
+                   orders.o_custkey == cust.c_custkey)
              .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
              .join(supp, li.l_suppkey == supp.s_suppkey)
              .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))

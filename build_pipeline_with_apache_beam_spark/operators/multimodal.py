@@ -674,10 +674,11 @@ def phash_neardup_pipeline(media: DataFrame) -> DataFrame:
                      F.col("bk.key").alias("key"),
                      F.col("doc_id").alias("id_a"),
                      F.col("phash").alias("ph_a"))
+    # banded hash table scales with the media corpus: pinned (sf3 audit)
     b = bands.select(F.col("bk.band").alias("band"),
                      F.col("bk.key").alias("key"),
                      F.col("doc_id").alias("id_b"),
-                     F.col("phash").alias("ph_b"))
+                     F.col("phash").alias("ph_b")).hint("shuffle_hash")
     cand = (a.join(b, ["band", "key"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "ph_a", "ph_b").distinct())

@@ -304,9 +304,11 @@ def flagship_q5_multijoin_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # orders/customer scale with the corpus — shuffle_hash (r9 sf3
+        # audit); supplier/nation/region are the genuine fixed dims
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(cust, (orders.o_custkey == cust.c_custkey)
+        .join(cust.hint("shuffle_hash"), (orders.o_custkey == cust.c_custkey)
               & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -473,7 +475,8 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
          .agg(F.lit("orders.o_orderkey_unique").alias("check"),
               F.count(F.lit(1)).alias("violations"))),
-        (orders.join(cust, orders["o_custkey"] == cust["c_custkey"],
+        (orders.join(cust.hint("shuffle_hash"),
+                     orders["o_custkey"] == cust["c_custkey"],
                      "left_anti")
          .agg(F.lit("orders.o_custkey_fk_customer").alias("check"),
               F.count(F.lit(1)).alias("violations"))),
@@ -945,7 +948,10 @@ def join_range_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.expr(f"unix_micros(ts) div {_RANGE_W_US}").alias("bkt2"))
     bkt_sz = (b.groupBy(F.col("bkt2").alias("bkt"))
               .agg(F.count(F.lit(1)).alias("bkt_n")))
-    admit = (a.join(F.broadcast(bkt_sz), "bkt")  # span-bounded dim, see doc
+    # bkt_sz is span-bounded per WINDOW in production, but the scale-up
+    # fixture stretches the span with sf (37 MiB at sf3) — the admit
+    # window below already shuffles on bkt, so the join reuses it free
+    admit = (a.join(bkt_sz.hint("shuffle_hash"), "bkt")
              .withColumn("rk", F.row_number().over(
                  W.partitionBy("bkt").orderBy(
                      F.md5(F.concat_ws("|", F.col("e1_id").cast("string"),
@@ -2445,7 +2451,9 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INT)) & 1) = 1")
         hit = bit if hit is None else (hit & bit)
     pre = li.where(hit).drop("_bf")
-    return (pre.join(ords, pre.l_orderkey == ords.o_orderkey)
+    # the exact-verify side is the filtered fact (corpus-growing): pinned
+    return (pre.join(ords.hint("shuffle_hash"),
+                     pre.l_orderkey == ords.o_orderkey)
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.round(F.sum(F.col("l_extendedprice")

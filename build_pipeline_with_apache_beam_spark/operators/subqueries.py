@@ -87,7 +87,7 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT s_suppkey, s_name
         FROM supplier s
-        WHERE EXISTS (SELECT 1 FROM lineitem l
+        WHERE EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1 FROM lineitem l
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
         ORDER BY s_suppkey
     """)
@@ -125,7 +125,7 @@ def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT o_orderkey,
-               EXISTS (SELECT 1 FROM lineitem
+               EXISTS (SELECT /*+ SHUFFLE_HASH(lineitem) */ 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
                    AS has_big_line
         FROM orders

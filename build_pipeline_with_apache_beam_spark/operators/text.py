@@ -342,8 +342,9 @@ def text_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_fp.withColumn("rn", F.row_number().over(w))
     canon = (ranked.where(F.col("rn") == 1)
              .select("fingerprint", F.col("doc_id").alias("canonical_id")))
+    # canon has one row per distinct fingerprint — corpus-growing: pinned
     return (
-        ranked.join(canon, "fingerprint")
+        ranked.join(canon.hint("shuffle_hash"), "fingerprint")
         .select("doc_id", "fingerprint", "canonical_id",
                 (F.col("rn") == 1).alias("keep"))
         .orderBy("doc_id")
@@ -598,7 +599,9 @@ def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("df").alias("df_a"))
     b = kept.select("doc_id", F.col("tok").alias("tok_b"),
                     F.col("df").alias("df_b"))
-    pair_counts = (a.join(b, "doc_id")
+    # per-doc head-token occurrences scale with the corpus: pinned
+    # (r9 sf3 audit: 129 MiB AQE broadcast)
+    pair_counts = (a.join(b.hint("shuffle_hash"), "doc_id")
                    .where(F.col("tok_a") < F.col("tok_b"))
                    .groupBy("tok_a", "tok_b", "df_a", "df_b")
                    .agg(F.count(F.lit(1)).alias("n_ab"))

@@ -63,11 +63,17 @@ def flagship_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.where(F.col("l_returnflag") == "R")
+        # the quarter-filtered orders side still scales with the corpus:
+        # pinned (r9 sf3 audit measured a 32 MiB growing AQE broadcast)
         .join(orders.where(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))),
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+            .hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with the corpus — shuffle_hash, never broadcast
+        # (r9 sf3 audit); nation is the genuine fixed dim
+        .join(cust.hint("shuffle_hash"),
+              F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
@@ -204,7 +210,7 @@ def flagship_q22_anti_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                            WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders o
+          AND NOT EXISTS (SELECT /*+ SHUFFLE_HASH(o) */ 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey

@@ -145,7 +145,8 @@ def flagship_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
                               ELSE 0.0 END) / SUM(volume), 4) AS mkt_share
         FROM (
-            SELECT YEAR(o_orderdate) AS o_year,
+            SELECT /*+ SHUFFLE_HASH(orders, customer) */
+                   YEAR(o_orderdate) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
                    n2.n_name AS nation
             FROM part
@@ -359,7 +360,7 @@ def flagship_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     """
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT s_name, COUNT(1) AS numwait
+        SELECT /*+ SHUFFLE_HASH(orders) */ s_name, COUNT(1) AS numwait
         FROM supplier
         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
         JOIN orders ON o_orderkey = l1.l_orderkey
@@ -374,7 +375,8 @@ def flagship_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
           AND EXISTS (SELECT /*+ MERGE(l2) */ 1 FROM lineitem l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT /*+ MERGE(l3) */ 1 FROM lineitem l3
+          AND NOT EXISTS (SELECT /*+ MERGE(l3), SHUFFLE_HASH(o3) */ 1
+                          FROM lineitem l3
                           JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
