@@ -94,7 +94,9 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.date_trunc("hour", F.min("ts")).alias("cohort_hour")))
     offset = F.floor((F.col("ts").cast("long")
                       - F.col("cohort_hour").cast("long")) / 3600)
-    return (ev.join(F.broadcast(first), "user_id")
+    # per-user first-event table scales with the user base (not a dim):
+    # shuffle_hash, reusing the groupBy's hash partitioning (r9 audit)
+    return (ev.join(first.hint("shuffle_hash"), "user_id")
             .select("user_id", "cohort_hour", offset.alias("hours_since"))
             .groupBy("cohort_hour", "hours_since")
             .agg(F.countDistinct("user_id").alias("active_users"))
@@ -443,7 +445,8 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("cohort_users"))
     purchases = ev.where(F.col("event_type") == "purchase")
     offset = F.datediff(F.to_date("ts"), F.to_date("cohort_day"))
-    daily = (purchases.join(F.broadcast(first), "user_id")
+    # per-user cohort table scales with the user base: pinned (r9 audit)
+    daily = (purchases.join(first.hint("shuffle_hash"), "user_id")
              .select("cohort_day", offset.alias("days_since"),
                      F.col("value").cast("decimal(18,4)").alias("v"))
              .groupBy("cohort_day", "days_since")
