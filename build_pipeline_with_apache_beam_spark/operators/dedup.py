@@ -65,7 +65,13 @@ def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
     # state): concurrent runs at different scale factors (gate at sf0.01
     # while bench reads sf0.1) must not clobber each other's stages
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    path = os.path.join(SCRATCH, "dedup_stage", tag, name)
+    # PROCESS-scoped stage root: two engines running the same op at the
+    # same sf (a correctness sweep beside a scale probe) must not
+    # overwrite each other's in-flight _temporary dirs — observed as a
+    # FileNotFoundException on commit during the r9 artifact runs.  The
+    # production analog is one stage dir per pipeline RUN, exactly like a
+    # Structured Streaming checkpoint dir.
+    path = os.path.join(SCRATCH, "dedup_stage", f"{tag}-{os.getpid()}", name)
     # reuse=True: skip the rewrite when THIS process already materialized
     # the stage (never trust a path another process/older code wrote) —
     # the banded-oracle promotions made three registered ops share the
