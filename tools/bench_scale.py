@@ -163,6 +163,12 @@ ANNOTATIONS = {
         "micro-batch trigger startup dominates"},
     "stream_cep_sessions": {"max_ratio": 8.0, "note":
         "micro-batch trigger startup dominates"},
+    "agg_pareto_threshold": {"max_ratio": 6.0, "note":
+        "r9 shuffle_hash pin replaced the corpus-growing orders broadcast "
+        "(290 MiB at sf3), so sf1 pays the key shuffle the 100 TB plan "
+        "requires; warm behavior is sublinear (measured 3x: 1.9-2.1 s at "
+        "sf0.1 vs 2.2-2.6 s at sf1, ratio ~1.15) and the bound covers the "
+        "probe's best-of-2 cold-start tail (observed 3.2)"},
     "dedup_containment": {"max_ratio": 16.0, "note":
         "output-bound ground truth: exact blocked containment pairs; r5 "
         "measured wall tracking output 1:1 (10.55x wall on 10.28x output "
