@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import atexit
+import hashlib
 import os
+import shutil
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
@@ -39,6 +42,50 @@ SHINGLE_WIDTH = 3
 
 
 _STAGE_DONE: set[tuple[str, str]] = set()
+_CLEANUP_REGISTERED = False
+
+
+def _stage_root() -> str:
+    return os.path.join(SCRATCH, "dedup_stage")
+
+
+def _cleanup_own_stage_dirs() -> None:
+    """atexit: remove THIS process's pid-scoped stage dirs.
+
+    The pid-scoping (r9) stopped cross-process clobbering but left every
+    run's corpus-scale staged parquet behind forever — pytest + bench +
+    sweep each leaked a full copy at sf1/sf3.  Bounded again: each process
+    removes its own dirs on exit, and `_sweep_dead_pid_dirs` collects
+    anything a killed process left behind.
+    """
+    root = _stage_root()
+    suffix = f"-{os.getpid()}"
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        if d.endswith(suffix):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _sweep_dead_pid_dirs() -> None:
+    """Remove stage dirs whose owning pid is no longer alive (crash debris)."""
+    root = _stage_root()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        pid_part = d.rsplit("-", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave its dir alone
 
 
 def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
@@ -63,15 +110,26 @@ def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
     """
     # sf-scoped via the EXPLICIT sf_dir parameter (not shared mutable
     # state): concurrent runs at different scale factors (gate at sf0.01
-    # while bench reads sf0.1) must not clobber each other's stages
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    # while bench reads sf0.1) must not clobber each other's stages.
+    # Keyed on the FULL absolute path (basename + 8-hex path hash), not the
+    # basename alone: two roots sharing a basename (/root/testdata/sf1 vs
+    # .scratch/sfscale/sf1) must not serve each other's staged truth.
+    abspath = os.path.abspath(sf_dir.rstrip("/") or "/")
+    tag = (os.path.basename(abspath) or "default") + "." + \
+        hashlib.md5(abspath.encode()).hexdigest()[:8]
     # PROCESS-scoped stage root: two engines running the same op at the
     # same sf (a correctness sweep beside a scale probe) must not
     # overwrite each other's in-flight _temporary dirs — observed as a
     # FileNotFoundException on commit during the r9 artifact runs.  The
     # production analog is one stage dir per pipeline RUN, exactly like a
-    # Structured Streaming checkpoint dir.
-    path = os.path.join(SCRATCH, "dedup_stage", f"{tag}-{os.getpid()}", name)
+    # Structured Streaming checkpoint dir.  Dirs are bounded: removed at
+    # process exit (atexit) and dead-pid debris swept on first use.
+    global _CLEANUP_REGISTERED
+    if not _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED = True
+        atexit.register(_cleanup_own_stage_dirs)
+        _sweep_dead_pid_dirs()
+    path = os.path.join(_stage_root(), f"{tag}-{os.getpid()}", name)
     # reuse=True: skip the rewrite when THIS process already materialized
     # the stage (never trust a path another process/older code wrote) —
     # the banded-oracle promotions made three registered ops share the

@@ -24,6 +24,7 @@ bucketing as a blocked self-join.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -857,6 +858,17 @@ def ORACLE_DYNAMIC() -> dict:
     from build_pipeline_with_apache_beam_spark.oracle import oracle_sf_dir
 
     sf_dir = oracle_sf_dir()
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb):
+        # fail EARLY and NAMED (round-9 ADVICE): without this, a caller
+        # wanting the oracle dict for an unrelated op in an environment
+        # lacking the default testdata crashed deep inside pyarrow, and
+        # an env/sf mismatch would train wrong centroid literals.
+        raise FileNotFoundError(
+            f"IVF/semdedup dynamic oracles need {emb}; set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR to the sf dir the queries will "
+            f"actually read (registry.oracle_sql skips these entries when "
+            f"the data is absent)")
     if sf_dir not in _CODEBOOK_CACHE:
         _CODEBOOK_CACHE[sf_dir] = _oracle_codebook(sf_dir)
     cents_sql = _cents_values_sql(_CODEBOOK_CACHE[sf_dir])

@@ -27,6 +27,7 @@ is the partitioned distributed write the engine always does.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 from datetime import datetime, timezone
@@ -37,6 +38,26 @@ from pyspark.sql import Window as W
 
 _WINDOW_LO = "2024-01-08 00:00:00"
 _WINDOW_HI = "2024-01-14 23:59:59.999999"
+
+_RUN_DIRS: list[str] = []
+
+
+def _run_dir(prefix: str, tag: str) -> str:
+    """PROCESS-scoped scratch dir for one ETL run artifact.
+
+    Scoped by pid, not just sf tag: two engines running the same op at
+    the same sf (correctness sweep beside a scale probe) raced on
+    rmtree + write + re-read of the shared ``etl_lake_{tag}`` dir —
+    FileNotFoundException or an undercounted ``n_sunk``.  Each process
+    owns its dirs and removes them at exit (bounded accumulation).
+    """
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+    path = os.path.join(SCRATCH, f"{prefix}_{tag}_{os.getpid()}")
+    if not _RUN_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _RUN_DIRS])
+    _RUN_DIRS.append(path)
+    return path
 
 
 def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +113,7 @@ def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 4: partitioned JSON lake write, then re-read (never trust an
     # unverified sink — the count below comes off the re-read)
     tag = source_tag(sf_dir)
-    lake = os.path.join(SCRATCH, f"etl_lake_{tag}")
+    lake = _run_dir("etl_lake", tag)
     shutil.rmtree(lake, ignore_errors=True)
     survivors.write.partitionBy("dt").json(lake)
     back = spark.read.schema(
@@ -101,7 +122,7 @@ def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 5: watermark commit AFTER the verified sink (the reference
     # marks done before its pipeline runs — documented non-goal)
     n_sunk = back.count()
-    wm_root = os.path.join(SCRATCH, f"etl_wm_{tag}")
+    wm_root = _run_dir("etl_wm", tag)
     shutil.rmtree(wm_root, ignore_errors=True)
     store = WatermarkStore(wm_root)
     win_lo = datetime(2024, 1, 8, tzinfo=timezone.utc)
@@ -113,8 +134,12 @@ def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_scanned"),
         F.count_if(F.col("is_valid")).alias("n_valid"))
     uniq = survivors.agg(F.count(F.lit(1)).alias("n_unique"))
-    sunk = back.agg(F.count(F.lit(1)).alias("n_sunk"))
-    return (funnel.crossJoin(uniq).crossJoin(sunk)
+    # n_sunk pinned as the EAGER re-read count (back.count() above), not a
+    # lazy re-scan of the lake: a later same-process rerun rmtree's the
+    # same pid-scoped dir, which would invalidate a previously returned
+    # lazy frame at collect time.
+    return (funnel.crossJoin(uniq)
+            .withColumn("n_sunk", F.lit(int(n_sunk)).cast("bigint"))
             .withColumn("watermark_advanced", F.lit(bool(advanced))))
 
 

@@ -60,5 +60,14 @@ def oracle_sql() -> dict[str, str]:
         # cannot be exact across scale factors.
         dyn = getattr(mod, "ORACLE_DYNAMIC", None)
         if dyn is not None:
-            out.update(dyn())
+            try:
+                out.update(dyn())
+            except FileNotFoundError as e:
+                # A dynamic oracle's backing data is absent in this
+                # environment (round-9 ADVICE): degrade those few entries
+                # to rows-only — LOUDLY — instead of crashing every caller
+                # who wanted the dict for an unrelated op.
+                import sys
+                print(f"[registry] skipping dynamic oracles from "
+                      f"{mod.__name__}: {e}", file=sys.stderr)
     return out

@@ -1,0 +1,66 @@
+"""Registry-surface discipline for the 340-op inventory.
+
+``registry.py`` merges 20+ module QUERIES dicts; a duplicate op id across
+modules would silently last-write-win without the merge-time guard.  These
+tests pin the guard (round-9 verdict #7) and the dynamic-oracle degrade
+path (round-9 ADVICE #4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from build_pipeline_with_apache_beam_spark import registry
+
+
+def test_registry_no_duplicate_op_ids():
+    """Every module's QUERIES keys are disjoint — and the merge FAILS
+    LOUDLY (not last-write-wins) if a future module re-declares one."""
+    seen: dict[str, str] = {}
+    for mod in registry._modules():
+        for k in mod.QUERIES:
+            assert k not in seen, (
+                f"op id {k!r} declared in both {seen[k]} and {mod.__name__}")
+            seen[k] = mod.__name__
+    # the guard itself: a synthetic collision must raise, proving the
+    # queries() merge can never silently shadow an op
+    class _Fake:
+        __name__ = "fake_module"
+        QUERIES = {next(iter(seen)): lambda s, d: None}
+
+    orig = registry._modules
+    registry._modules = lambda: orig() + [_Fake]  # type: ignore[assignment]
+    try:
+        with pytest.raises(ValueError, match="duplicate op ids"):
+            registry.queries()
+    finally:
+        registry._modules = orig
+
+
+def test_oracle_sql_degrades_when_dynamic_data_absent(monkeypatch, capsys):
+    """With the oracle sf dir pointed somewhere without testdata, the
+    data-dependent oracle entries are skipped with a stderr note instead
+    of crashing every caller (round-9 ADVICE #4)."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent/sfX")
+    out = registry.oracle_sql()
+    # static oracles still present
+    assert "flagship_q3_topk_revenue" in out
+    # the codebook-dependent pair degraded to rows-only
+    assert "sim_ann_ivf_topk" not in out
+    assert "corpus_semdedup" not in out
+    err = capsys.readouterr().err
+    assert "skipping dynamic oracles" in err
+    assert "SPARK_GRAFT_ORACLE_SF_DIR" in err
+
+
+def test_oracle_sql_complete_with_default_testdata(monkeypatch):
+    """In the driver environment the dynamic entries ARE present."""
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        pytest.skip("driver testdata absent")
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR", raising=False)
+    out = registry.oracle_sql()
+    assert "sim_ann_ivf_topk" in out
+    assert "corpus_semdedup" in out
+    assert "scan_parquet_rowgroup_profile" in out
