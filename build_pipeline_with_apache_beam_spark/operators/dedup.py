@@ -352,19 +352,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All 64 bit-aggregates run in one groupBy(doc_id) pass (map-side partial
     agg); near-dup candidates then block on 16-bit sub-bands (hamming ≤ 3
-    guarantees ≥ 1 exact sub-band match by pigeonhole).  Rows-only: seeded
-    xxhash64 isn't portable SQL.
+    guarantees ≥ 1 exact sub-band match by pigeonhole).
+
+    ORACLE-CHECKED (promoted from rows-only, round-9 verdict #2): the
+    per-token hash is the ENGINE-PORTABLE md5 chunking — four 16-bit
+    integers from the first 16 hex digits of ``md5(tok)`` — the same
+    portability pattern as ``agg_kmv_distinct_intersect``/
+    ``corpus_span_corruption``, so DuckDB replays signature, banding, and
+    hamming verification bit-for-bit.  SimHash is internally consistent
+    under ANY 64-bit hash family; a deployment chasing the last CPU
+    percent can swap seeded xxhash64 back 1:1 (the pre-r10 form) at the
+    cost of the SQL twin.
     """
     # spread the tokenize+hash stage across cores: the test corpus is one
     # parquet file = one input split (at 100 TB splits provide this natively)
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    # hash once per token in its own projection — inlining xxhash64 into the
-    # 64 per-bit aggregates below would recompute the hash 64× per row
+    # hash once per token in its own projection — inlining the md5 chunks
+    # into the 64 per-bit aggregates below would recompute the digest 64×
+    # per row.  c0..c3 are the 64 hash bits as four 16-bit ints.
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
-    h = F.col("h")
+    ).select(
+        "doc_id",
+        *[F.conv(F.substring(F.md5("tok"), 4 * i + 1, 4), 16, 10)
+          .cast("long").alias(f"c{i}") for i in range(4)],
+    )
     # staged like minhash (see _staged): the 64-agg sketch is the persisted
     # index; the band self-join below reads it as a plain parquet relation.
     # Per-bit aggregate is sum of the raw bit (branch-free) plus one shared
@@ -372,7 +385,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half the per-row expression work in the hot partial-agg loop.
     bit_sums = _staged(spark, toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_toks"),
-        *[F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
+        *[F.sum(F.shiftrightunsigned(F.col(f"c{b // 16}"), b % 16)
+                .bitwiseAND(F.lit(1))).alias(f"s_{b}")
           for b in range(64)]
     ), sf_dir, "simhash_bits")
     simhash = bit_sums.select(
@@ -1052,7 +1066,59 @@ _TRUTH_CTES = f"""toks AS (
             WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
         )"""
 
+# --- dedup_simhash exact replay (round-9 verdict #2 promotion) ---------
+# chunk i = first-16-hex-digit window [4i+1, 4i+4] of md5(tok) as a 16-bit
+# int — the same STRPOS nibble arithmetic as behavioral._MD5_48_SQL, so
+# DuckDB and Spark's conv(substring(md5,...),16,10) agree digit-for-digit.
+_SH_CHUNKS = ",\n           ".join(
+    " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTRING(MD5(tok), {4 * i + j + 1}, 1))"
+        f" - 1) * {16 ** (3 - j)}"
+        for j in range(4)) + f" AS c{i}"
+    for i in range(4))
+_SH_BIT_SUMS = ",\n           ".join(
+    f"SUM((c{b // 16} >> {b % 16}) & 1) AS s_{b}" for b in range(64))
+# signed-long assembly: bit 63 contributes -(2**63); the negative term is
+# ADDED LAST so no intermediate BIGINT sum overflows
+_SH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN 2 * s_{b} > n THEN 1 ELSE 0 END)"
+    + (f" * CAST({1 << b} AS BIGINT)" if b < 63
+       else " * CAST(-9223372036854775808 AS BIGINT)")
+    for b in list(range(63)) + [63])
+
 ORACLE = {
+    # Exact replay (round-9 verdict #2 promotion): DuckDB recomputes the
+    # md5-chunk token hashes, the 64 per-bit majorities, the signed-long
+    # simhash, the 4×16-bit bands, and the hamming≤3 verification —
+    # bit-for-bit the engine's pipeline, value-hash-compared.
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+           {_SH_CHUNKS}
+            FROM toks
+        ), bits AS (
+            SELECT doc_id, COUNT(*) AS n,
+           {_SH_BIT_SUMS}
+            FROM h GROUP BY doc_id
+        ), sim AS (
+            SELECT doc_id, CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash
+            FROM bits
+        ), band AS (
+            SELECT doc_id, simhash, i AS band_id,
+                   (simhash >> (16 * i)) & 65535 AS band_val
+            FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM band a JOIN band b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     # Banded oracle (round-6 verdict #8): DuckDB recomputes the EXACT
     # ground-truth pair count from raw text with string shingles — the
     # same word-3-gram construction as _docs_with_shingles — and pins the

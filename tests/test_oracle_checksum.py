@@ -23,8 +23,9 @@ from build_pipeline_with_apache_beam_spark.oracle_checksum import (
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
 
-# the six ops the sf1 comparator caps for size (>2M rows), minus the
-# rows-only one (dedup_simhash has no oracle by design)
+# the ops the sf1 comparator caps for size (>2M rows); dedup_simhash
+# gained an exact oracle in r10 (md5-chunk hash) but stays uncapped —
+# its pair output is hamming-filtered well under the cap
 CAPPED_OPS = ["join_range_bucketized", "reshape_unpivot", "scalar_math_ops",
               "scan_parquet_project", "udtf_explode_batch"]
 
