@@ -504,6 +504,26 @@ def _decode(payload: bytes, content_type: str, codec: str) -> bytes:
     return payload  # fake media: decoded == encoded by construction
 
 
+def _header_dims(payload: bytes) -> tuple[str, int | None, int | None]:
+    """Container route + declared pixel dimensions from the CONTAINER
+    HEADER only (no decode): PNG width/height are fixed-offset big-endian
+    int32s in IHDR (bytes 16-23); baseline JPEG dimensions sit at a fixed
+    offset past the first SOF0 marker (``FF C0``).  Both are recomputable
+    by DuckDB from the parquet BLOB with substring/byte arithmetic — the
+    blob-level exact companion the full pixel decode can't have (round-9
+    verdict #3)."""
+    if payload[:8] == _PNG_MAGIC:
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return "png", w, h
+    if payload[:2] == b"\xff\xd8":
+        i = payload.find(b"\xff\xc0")  # first SOF0, same scan as the oracle
+        h = int.from_bytes(payload[i + 5:i + 7], "big")
+        w = int.from_bytes(payload[i + 7:i + 9], "big")
+        return "jpeg", w, h
+    return "fake", None, None
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode → feature-extract over Arrow batches: per-payload decoded
     byte length and an 8-bin histogram over the DECODED bytes (the
@@ -535,10 +555,53 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered form of :func:`extract_features` over the synthetic media
-    table; the real-codec branch is exercised in tests/test_llm_ops.py with
-    genuine PNG payloads."""
-    return extract_features(_media_table(spark, sf_dir))
+    """The decode stage's ORACLE-CHECKED surface (promoted from rows-only,
+    round-9 verdict #3): runs the REAL decode (PIL or the stdlib PNG/JPEG
+    readers) over every payload and emits the blob-level exact companions
+    DuckDB can recompute from container bytes alone —
+
+    - ``container_type``: magic-bytes route (png/jpeg/fake);
+    - ``decoded_w``/``decoded_h``: header dimensions (PNG IHDR fixed
+      offsets; JPEG first-SOF0 offsets; NULL for fake media);
+    - ``decoded_len``: ACTUAL byte length of the real decode output —
+      header-predictable (w·h grayscale for images, payload length for the
+      identity codec), so the oracle recomputes it without decoding;
+    - ``decode_matches_header``: the law boolean — decode output size must
+      equal the header's promise.  A decoder that silently truncates or a
+      misdeclared payload fails the gate loudly.
+
+    The pixel-level features (byte histogram over the decoded output) stay
+    on the library function :func:`extract_features`, law-tested in
+    tests/test_llm_ops.py with known pixel distributions — a pixel decode
+    has no SQL twin."""
+    codec = CODEC
+
+    def companions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ctypes, lens, ws, hs, oks = [], [], [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                ctype, w, h = _header_dims(raw)
+                decoded = _decode(raw, meta["content_type"], codec)
+                n = len(decoded)
+                ctypes.append(ctype)
+                lens.append(n)
+                ws.append(w)
+                hs.append(h)
+                oks.append(n == (w * h if ctype != "fake" else len(raw)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "container_type": ctypes,
+                "decoded_len": pd.Series(lens, dtype="int64"),
+                "decoded_w": pd.Series(ws, dtype="Int32"),
+                "decoded_h": pd.Series(hs, dtype="Int32"),
+                "decode_matches_header": oks,
+            })
+
+    return _media_table(spark, sf_dir).mapInPandas(
+        companions,
+        "doc_id BIGINT, container_type STRING, decoded_len BIGINT, "
+        "decoded_w INT, decoded_h INT, decode_matches_header BOOLEAN")
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,16 +771,108 @@ QUERIES = {
     "multimodal_metadata_stats": multimodal_metadata_stats,
 }
 
-# feature/frame ops are rows-only: the decode step is Python-side by
-# design, and the Spark-side plumbing (fan-out counts, byte sizes) is
-# reconciled against SQL in tests/test_llm_ops.py.  The metadata-stats op
-# IS oracle-checked — it never leaves the metadata columns.
+# Only phash stays rows-only: pixel-hash verification has no SQL twin.
+# feature_extract and frame_sample are oracle-checked since r10 — their
+# outputs are recomputable from the parquet/inlined BLOB bytes alone.
 # the planted-image rows are deterministic module constants, so their byte
-# sizes and content types can be interpolated into the static oracle strings
+# sizes, content types, AND payload hex can be interpolated into the
+# static oracle strings (the centroid-literal inlining pattern).
 _PLANTED = [(i, len(p), c) for i, p, c in _planted_assets()]
 _PLANTED_VALUES = ", ".join(f"({i}, {n}, '{c}')" for i, n, c in _PLANTED)
+_PLANTED_HEX = ", ".join(
+    f"({i}, '{p.hex().upper()}')" for i, p, _ in _planted_assets())
+
+# The JPEG oracle locates SOF0 with STRPOS over the hex string, which
+# could in principle hit a BYTE-MISALIGNED 'FFC0' (spanning two bytes) or
+# an earlier table byte that Python's aligned payload.find() would skip.
+# The assets are deterministic module constants, so pin the equivalence at
+# import: the first hex-string hit must be the first aligned byte hit.
+for _i, _p, _c in _planted_assets():
+    if _c == "image/jpeg":
+        _hexpos = _p.hex().upper().find("FFC0")  # 0-based
+        assert _hexpos % 2 == 0 and _hexpos // 2 == _p.find(b"\xff\xc0"), (
+            f"planted asset {_i}: SOF0 hex scan is byte-misaligned — "
+            f"regenerate the asset or switch the oracle to an aligned scan")
+
+
+def _hex_int_sql(col: str, start: str, ndigits: int) -> str:
+    """SQL for ``ndigits`` big-endian hex digits of ``col`` beginning at
+    the 1-based position EXPRESSION ``start``, as an integer — the STRPOS
+    nibble arithmetic every portable hash in this engine uses
+    (behavioral._MD5_48_SQL)."""
+    return " + ".join(
+        f"(STRPOS('0123456789ABCDEF',"
+        f" SUBSTRING({col}, ({start}) + {j}, 1)) - 1)"
+        f" * {16 ** (ndigits - 1 - j)}"
+        for j in range(ndigits))
+
+
+# media table replayed as hex strings: synthetic docs are the UTF-8 bytes
+# of text (HEX(ENCODE(..)) — byte-exact with Spark's encode); planted
+# assets are inlined literals.
+_MEDIA_HEX_CTE = f"""media AS (
+            SELECT doc_id, HEX(ENCODE(text)) AS hx FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), hx
+            FROM (VALUES {_PLANTED_HEX}) t(doc_id, hx)
+        )"""
 
 ORACLE = {
+    # Blob-level exact companion (round-9 verdict #3 promotion): container
+    # route from magic bytes, PNG dims from IHDR fixed offsets (hex chars
+    # 33-48 = bytes 16-23), JPEG dims from the first SOF0 marker located
+    # by STRPOS over the hex string (alignment pinned at import above),
+    # decoded_len from the header's promise, and the decode law TRUE.
+    "multimodal_feature_extract": f"""
+        WITH {_MEDIA_HEX_CTE}, routed AS (
+            SELECT doc_id, hx,
+                   CASE WHEN SUBSTRING(hx, 1, 16) = '89504E470D0A1A0A'
+                             THEN 'png'
+                        WHEN SUBSTRING(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+                        ELSE 'fake' END AS container_type,
+                   STRPOS(hx, 'FFC0') AS sof
+            FROM media
+        ), dims AS (
+            -- PNG: IHDR width at bytes 16-19 = hex 33-40, height 41-48.
+            -- JPEG: SOF0 at hex pos sof; height hex at sof+10, width at
+            -- sof+14 (marker 4 + length 4 + precision 2 hex chars).
+            SELECT doc_id, container_type,
+                   CASE container_type
+                        WHEN 'png' THEN {_hex_int_sql('hx', '33', 8)}
+                        WHEN 'jpeg' THEN {_hex_int_sql('hx', 'sof + 14', 4)}
+                        END AS w,
+                   CASE container_type
+                        WHEN 'png' THEN {_hex_int_sql('hx', '41', 8)}
+                        WHEN 'jpeg' THEN {_hex_int_sql('hx', 'sof + 10', 4)}
+                        END AS h,
+                   LENGTH(hx) / 2 AS payload_bytes
+            FROM routed
+        )
+        SELECT doc_id, container_type,
+               CAST(CASE WHEN container_type = 'fake' THEN payload_bytes
+                         ELSE w * h END AS BIGINT) AS decoded_len,
+               CAST(w AS INT) AS decoded_w,
+               CAST(h AS INT) AS decoded_h,
+               TRUE AS decode_matches_header
+        FROM dims
+    """,
+    # Exact frame replay (round-9 verdict #3 promotion): every frame is a
+    # byte slice of the payload at FRAME_STRIDE offsets — sliced from the
+    # hex string and rehydrated with UNHEX, fan-out count from ceil.
+    "multimodal_frame_sample": f"""
+        WITH {_MEDIA_HEX_CTE}, fan AS (
+            SELECT doc_id, hx,
+                   unnest(range(0, CAST(CEIL(LENGTH(hx)
+                                             / {2.0 * FRAME_STRIDE})
+                                        AS BIGINT))) AS i
+            FROM media
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               UNHEX(SUBSTRING(hx, CAST(i * {2 * FRAME_STRIDE} + 1
+                                        AS BIGINT),
+                               {2 * FRAME_STRIDE})) AS frame
+        FROM fan
+    """,
     # OCTET_LENGTH(ENCODE(...)) measures UTF-8 BYTES like the binary payload
     # on the Spark side; LENGTH() would count characters and silently diverge
     # on any non-ASCII testdata drop.

@@ -106,8 +106,15 @@ def test_connected_groups_consistent_with_pairs(spark, sf_dir):
 
 def test_multimodal_sizes_reconcile(spark, sf_dir, duck):
     """The mapInPandas feature stage must preserve payload byte counts
-    (ASCII text ⇒ n_bytes == n_chars) and emit unit-normalized histograms."""
-    feats = multimodal_feature_extract(spark, sf_dir)
+    (ASCII text ⇒ n_bytes == n_chars) and emit unit-normalized histograms.
+    Runs on the library function — the registered op's surface moved to
+    the blob-level companions in r10 (exact-oracle promotion)."""
+    from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+        _media_table,
+        extract_features,
+    )
+
+    feats = extract_features(_media_table(spark, sf_dir))
     want = dict(duck.execute(
         "SELECT doc_id, length(text) FROM documents").fetchall())
     got = {r["doc_id"]: r["n_bytes"] for r in feats.collect()}
@@ -120,6 +127,23 @@ def test_multimodal_sizes_reconcile(spark, sf_dir, duck):
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 2)
         .alias("s")).distinct().collect()
     assert {r["s"] for r in sums} == {1.0}
+
+
+def test_multimodal_companions_reconcile(spark, sf_dir):
+    """The registered decode surface: every decode must match its header's
+    promise (the REAL decode ran — decoded_len is measured, not copied),
+    and the planted containers route correctly."""
+    rows = {r["doc_id"]: r
+            for r in multimodal_feature_extract(spark, sf_dir).collect()}
+    assert all(r["decode_matches_header"] for r in rows.values())
+    assert {i: rows[i]["container_type"] for i in (-1, -2, -3, -4, -5)} == {
+        -1: "png", -2: "png", -3: "png", -4: "jpeg", -5: "jpeg"}
+    for i in (-1, -2, -3, -4, -5):
+        assert (rows[i]["decoded_w"], rows[i]["decoded_h"],
+                rows[i]["decoded_len"]) == (24, 24, 576)
+    real = [r for i, r in rows.items() if i >= 0]
+    assert all(r["container_type"] == "fake" and r["decoded_w"] is None
+               for r in real)
 
 
 def test_multimodal_frame_fanout(spark, sf_dir, duck):
