@@ -345,15 +345,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicative sub-split, the rounded cosine threshold — is replicated
     in portable SQL, so DuckDB verifies the full pair set value-for-value.
     """
+    from pyspark.sql import Window as W
+
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
     bucketed = (emb.select("vec_id", "vec", "embedding")
                 .withColumn("bucket",
                             _bucket(F.col("embedding").cast("array<double>")))
                 .drop("embedding"))
-    sizes = bucketed.groupBy("bucket").agg(
-        F.ceil(F.count(F.lit(1)) / MAX_BLOCK).alias("n_sub"))
-    blocked = (bucketed.join(F.broadcast(sizes), "bucket")
-               .withColumn("sub", _sub_block(F.col("vec_id"), F.col("n_sub"))))
+    # One scan, one dots pass, ONE payload shuffle (round-9 verdict #5):
+    # bucket sizes come from a count window over the SAME
+    # bucket-partitioned exchange instead of a second corpus scan that
+    # recomputed all 16 plane dots for a groupBy (the r9 shape), and the
+    # sub-split rides as a projection on top.  HashPartitioning(bucket)
+    # satisfies the (bucket, sub) join's clustered distribution, so the
+    # shuffle-hash self-join adds NO further exchange — and the a/b sides
+    # are alias-only projections over the one subtree, which AQE's
+    # exchange reuse materializes once (executed plan: one
+    # ShuffleQueryStage + ReusedExchange).  Together this was the
+    # recoverable half of the 2.5x local cost of the r9
+    # broadcast->shuffle scale pin.
+    blocked = (bucketed.repartition("bucket")
+               .withColumn("n_sub", F.ceil(
+                   F.count(F.lit(1)).over(W.partitionBy("bucket"))
+                   / MAX_BLOCK))
+               .withColumn("sub", _sub_block(F.col("vec_id"),
+                                             F.col("n_sub")))
+               .drop("n_sub"))
     a = blocked.select(F.col("vec_id").alias("vec_a"),
                        F.col("vec").alias("va"), "bucket", "sub")
     # shuffle_hash: the bucketed vector table is corpus-sized with the
