@@ -143,13 +143,275 @@ def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("watermark_advanced", F.lit(bool(advanced))))
 
 
+def _committed_file_idx(ckpt_dir: str) -> int:
+    """The docstore offset already committed in a streaming checkpoint
+    (0 when the checkpoint is fresh or unreadable).
+
+    Reads Spark's offset log — a stable, documented on-disk layout
+    (``offsets/<batchId>`` written before the batch, ``commits/<batchId>``
+    after) whose per-source offset line is OUR OWN json
+    (``{"file_idx": N}``, DocStoreStreamReader).  Used only as the
+    restart seed for the rate-capped tail; a wrong seed degrades to
+    re-delivery, which the idempotent MERGE absorbs (at-least-once)."""
+    import json
+
+    commits = os.path.join(ckpt_dir, "commits")
+    offsets = os.path.join(ckpt_dir, "offsets")
+    try:
+        done = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    except (OSError, ValueError):
+        return 0
+    try:
+        with open(os.path.join(offsets, str(done))) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        return int(json.loads(lines[-1])["file_idx"])
+    except (OSError, ValueError, KeyError, IndexError):
+        return 0
+
+
+def run_etl_stream(spark: SparkSession, sf_dir: str, lake: str, wm_root: str,
+                   ckpt: str, tail_cap: int = 0,
+                   max_wait_sec: float = 180.0,
+                   stop_after_files: int | None = None) -> int:
+    """One streaming RUN of the reference ETL: docstore tail →
+    validate/normalize → foreachBatch keep-latest MERGE into the
+    dt-partitioned lake → watermark commit after each batch's sink.
+    Returns the number of docstore files committed in the checkpoint when
+    the run stopped (== total ⇒ drained).
+
+    This is the reference's ACTUAL operating mode — the incremental driver
+    loop of retrieval.py:198-254 + normalization.py:133-170 — recomposed
+    the Structured Streaming way:
+
+    - **offsets in the checkpoint**, not a hand-rolled SQLite row: the
+      docstore tail's file index commits through the engine's offset log,
+      so kill/resume needs no bespoke recovery code;
+    - **micro-batch = the files that arrived since the last commit**,
+      rate-capped via ``tail_cap`` so a backlog drains in bounded steps
+      (the reference's hourly windows, minus the double-download bug);
+    - **MERGE then commit**: each batch keeps the latest record per user
+      (ties: highest event_id), merges against the lake with the same
+      rule, version-and-swaps the lake, and only THEN appends the
+      watermark/run-log record carrying the batch's funnel counts.  A
+      crash between sink and commit re-delivers the batch; the keyed
+      MERGE and max-watermark read make re-delivery a no-op — the
+      at-least-once + idempotent-sink contract, vs the reference's
+      mark-done-BEFORE-running bug (normalization.py:164).
+
+    At 100 TB the version-and-swap becomes a partition-scoped MERGE on a
+    table format (see sources/txtable.py for the ACID variant); the
+    per-batch plan — keyed window + union + keep-latest — is unchanged.
+    """
+    import time
+
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        MANIFEST,
+        build_collection,
+        open_docstore,
+    )
+    from build_pipeline_with_apache_beam_spark.streaming.watermark import (
+        WatermarkStore,
+    )
+
+    root = build_collection(spark, sf_dir)
+    import json as _json
+    with open(os.path.join(root, MANIFEST)) as fh:
+        total_files = len(_json.load(fh))
+
+    stream = open_docstore(
+        spark, sf_dir, stream=True, path=root,
+        tail_cap=str(tail_cap),
+        resume_from=str(_committed_file_idx(ckpt)))
+
+    store = WatermarkStore(wm_root)
+    win_lo = F.lit(_WINDOW_LO).cast("timestamp")
+    win_hi = F.lit(_WINDOW_HI).cast("timestamp")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        ev = batch_df.select(
+            "event_id", F.timestamp_micros("ts_micros").alias("ts"),
+            "user_id", "event_type", F.round("value", 4).alias("value"))
+        # stage 1 funnel: the window scan (the batch twin's pushdown scan,
+        # applied per micro-batch — the tail does not know the window)
+        win = ev.where((F.col("ts") >= win_lo) & (F.col("ts") <= win_hi)
+                       & (F.col("event_type") == "purchase"))
+        # stage 2: serialize → corrupt subset → PERMISSIVE re-parse (the
+        # identical validation construction as pipeline_reference_etl)
+        rec = F.to_json(F.struct("event_id", "user_id", "value"))
+        corrupted = F.when(F.col("event_id") % 7 == 0,
+                           F.concat(F.lit("x"), rec)).otherwise(rec)
+        parsed = F.from_json(
+            corrupted, "event_id BIGINT, user_id BIGINT, value DOUBLE")
+        ann = win.withColumn(
+            "is_valid", parsed.getField("event_id").isNotNull())
+        counts = ann.agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.count_if(F.col("is_valid")).alias("nv"),
+            F.max(F.when(F.col("is_valid"), F.col("ts"))).alias("wm"),
+        ).collect()[0]
+        # stage 3: keep-latest within the batch, then MERGE with the lake
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        batch_latest = (ann.where("is_valid")
+                        .withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1)
+                        .select("event_id", "user_id", "value", "ts"))
+        current = os.path.join(lake, "current")
+        if os.path.exists(current):
+            existing = sess.read.schema(
+                "event_id BIGINT, user_id BIGINT, value DOUBLE, "
+                "ts TIMESTAMP, dt STRING").json(current).drop("dt")
+            merged = (existing.unionByName(batch_latest)
+                      .withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") == 1).drop("_rn"))
+        else:
+            merged = batch_latest
+        out = merged.select(
+            "event_id", "user_id", "value", "ts",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        # stage 4: version-and-swap the dt-partitioned lake (atomic local
+        # stand-in for a partition-scoped table-format MERGE)
+        tmp = os.path.join(lake, f"v{batch_id}")
+        out.write.partitionBy("dt").mode("overwrite").json(tmp)
+        n_sunk = sess.read.schema(
+            "event_id BIGINT, user_id BIGINT, value DOUBLE, "
+            "ts TIMESTAMP, dt STRING").json(tmp).count()
+        old = os.path.join(lake, f"_old{batch_id}")
+        if os.path.exists(current):
+            os.rename(current, old)
+        os.rename(tmp, current)
+        shutil.rmtree(old, ignore_errors=True)
+        # stage 5: watermark/run-log commit strictly AFTER the verified
+        # swap; the record carries the batch's funnel counts so the final
+        # funnel is a pure run-log aggregate.  Batches with no in-window
+        # rows commit NOTHING — the watermark is the max processed EVENT
+        # time, and advancing it past data never seen would re-create the
+        # reference's mark-done-early bug for the out-of-window tail.
+        wm = counts["wm"]
+        if wm is not None:
+            store.commit(
+                window_start=wm, window_end=wm, record_count=int(n_sunk),
+                n_scanned=int(counts["ns"]), n_valid=int(counts["nv"]),
+                batch_id=int(batch_id))
+
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    # stop_after_files: the KILL point for the resume test — the query is
+    # stopped as soon as the checkpoint has committed at least this many
+    # files (mid-run), instead of draining to the end
+    target = min(total_files, stop_after_files
+                 if stop_after_files is not None else total_files)
+    deadline = time.time() + max_wait_sec
+    try:
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if _committed_file_idx(ckpt) >= target:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return _committed_file_idx(ckpt)
+
+
+def pipeline_reference_etl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of :func:`pipeline_reference_etl` (round-9
+    verdict #1): a REAL multi-batch Structured Streaming run — docstore
+    tail rate-capped to ~3 micro-batches — whose drained lake state must
+    equal the batch pipeline's survivors.  Output and oracle are the SAME
+    one-row funnel; the counts come from different machinery (run-log
+    aggregate + final lake re-read vs one batch plan), which is exactly
+    the point: stream-equals-batch is the law being checked.
+
+    Kill/resume is proven separately in tests/test_streaming_etl.py (stop
+    after the first batch, restart from the same checkpoint, identical
+    final state — no loss, no duplication)."""
+    import json as _json
+
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        MANIFEST,
+        build_collection,
+    )
+    from build_pipeline_with_apache_beam_spark.sources.sinks import source_tag
+    from build_pipeline_with_apache_beam_spark.streaming.watermark import (
+        WatermarkStore,
+    )
+
+    tag = source_tag(sf_dir)
+    lake = _run_dir("etls_lake", tag)
+    wm_root = _run_dir("etls_wm", tag)
+    ckpt = _run_dir("etls_ckpt", tag)
+    for d in (lake, wm_root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    root = build_collection(spark, sf_dir)
+    with open(os.path.join(root, MANIFEST)) as fh:
+        total_files = len(_json.load(fh))
+    cap = max(1, -(-total_files // 3))  # ~3 micro-batches per drain
+
+    done = run_etl_stream(spark, sf_dir, lake, wm_root, ckpt, tail_cap=cap)
+    assert done >= total_files, f"stream stalled at {done}/{total_files}"
+
+    # funnel: run-log aggregate + final lake re-read (never trust an
+    # unverified sink), identical columns to the batch twin
+    store = WatermarkStore(wm_root)
+    hist = store.history()
+    n_scanned = sum(r.get("n_scanned", 0) for r in hist)
+    n_valid = sum(r.get("n_valid", 0) for r in hist)
+    wm_final = store.last_processed()
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, "
+        "ts TIMESTAMP, dt STRING").json(os.path.join(lake, "current"))
+    n_sunk = back.count()
+    n_unique = back.select("user_id").distinct().count()
+    # the law: the final watermark is the max VALID in-window event time —
+    # i.e. the stream drained exactly the window the batch twin processed
+    max_valid_ts = max((r["window_end"] for r in hist), default=None)
+    advanced = (max_valid_ts is not None
+                and wm_final.isoformat() == max_valid_ts)
+    # SQL VALUES, never createDataFrame literals (Python-RDD build sides
+    # stall broadcasts — see the verify notes)
+    return spark.sql(
+        f"SELECT CAST({int(n_scanned)} AS BIGINT) AS n_scanned, "
+        f"CAST({int(n_valid)} AS BIGINT) AS n_valid, "
+        f"CAST({int(n_unique)} AS BIGINT) AS n_unique, "
+        f"CAST({int(n_sunk)} AS BIGINT) AS n_sunk, "
+        f"{'TRUE' if advanced else 'FALSE'} AS watermark_advanced")
+
+
 QUERIES = {
     "pipeline_reference_etl": pipeline_reference_etl,
+    "pipeline_reference_etl_stream": pipeline_reference_etl_stream,
 }
+
+_FUNNEL_SQL = f"""
+        WITH win AS (
+            SELECT * FROM events
+            WHERE ts >= TIMESTAMP '{_WINDOW_LO}'
+              AND ts <= TIMESTAMP '{_WINDOW_HI}'
+              AND event_type = 'purchase'
+        ), valid AS (
+            SELECT * FROM win WHERE event_id % 7 <> 0
+        ), uniq AS (
+            SELECT COUNT(DISTINCT user_id) AS u FROM valid
+        )
+        SELECT (SELECT COUNT(*) FROM win)::BIGINT AS n_scanned,
+               (SELECT COUNT(*) FROM valid)::BIGINT AS n_valid,
+               u::BIGINT AS n_unique,
+               u::BIGINT AS n_sunk,
+               TRUE AS watermark_advanced
+        FROM uniq
+    """
 
 ORACLE = {
     # every funnel stage recomputed from the raw events table; the
-    # watermark law rides as the boolean the oracle pins TRUE
+    # watermark law rides as the boolean the oracle pins TRUE.  The
+    # STREAMING twin shares the identical oracle — stream-equals-batch IS
+    # the law being checked (its counts come from the run-log aggregate +
+    # drained lake, not one batch plan).
+    "pipeline_reference_etl_stream": _FUNNEL_SQL,
     "pipeline_reference_etl": f"""
         WITH win AS (
             SELECT * FROM events

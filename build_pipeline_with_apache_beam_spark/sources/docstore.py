@@ -164,6 +164,17 @@ class DocStoreStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         _check_auth(self.path, options)
+        # rate limit: at most tail_cap NEW files per trigger (0 = drain all
+        # available — the original single-batch tail).  The Python DSv2
+        # API has no ReadLimit hook, so the cap lives in latestOffset: it
+        # advances its own high-water mark by tail_cap per call.
+        self.tail_cap = int(options.get("tail_cap", 0) or 0)
+        # resume seed: a restarted query's committed offset (the caller
+        # reads it from the checkpoint's offset log).  Without the seed a
+        # capped latestOffset would restart below the committed offset and
+        # re-deliver files — safe under the idempotent MERGE sink
+        # (at-least-once), but wasteful.
+        self._end = int(options.get("resume_from", 0) or 0)
 
     def _manifest(self) -> list[dict]:
         with open(os.path.join(self.path, MANIFEST)) as fh:
@@ -173,7 +184,11 @@ class DocStoreStreamReader(DataSourceStreamReader):
         return {"file_idx": 0}
 
     def latestOffset(self) -> dict:
-        return {"file_idx": len(self._manifest())}
+        total = len(self._manifest())
+        if not self.tail_cap:
+            return {"file_idx": total}
+        self._end = min(total, self._end + self.tail_cap)
+        return {"file_idx": self._end}
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         files = self._manifest()[start["file_idx"]:end["file_idx"]]

@@ -1,4 +1,4 @@
-"""Registry-surface discipline for the 340-op inventory.
+"""Registry-surface discipline for the op inventory.
 
 ``registry.py`` merges 20+ module QUERIES dicts; a duplicate op id across
 modules would silently last-write-win without the merge-time guard.  These
