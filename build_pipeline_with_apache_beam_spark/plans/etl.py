@@ -249,7 +249,7 @@ def run_etl_stream(spark: SparkSession, sf_dir: str, lake: str, wm_root: str,
             F.count(F.lit(1)).alias("ns"),
             F.count_if(F.col("is_valid")).alias("nv"),
             F.max(F.when(F.col("is_valid"), F.col("ts"))).alias("wm"),
-        ).collect()[0]
+        ).collect()[0]  # driver-bounded: ONE-row funnel metrics per batch
         # stage 3: keep-latest within the batch, then MERGE with the lake
         w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
         batch_latest = (ann.where("is_valid")

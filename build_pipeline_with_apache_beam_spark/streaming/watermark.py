@@ -52,20 +52,28 @@ class WatermarkStore:
                 out.extend(json.loads(line) for line in f if line.strip())
         return out
 
+    @staticmethod
+    def _utc(dt: datetime) -> datetime:
+        """Normalize to tz-aware UTC: Spark collects session-UTC timestamps
+        as NAIVE datetimes, and a naive record beside the tz-aware default
+        epoch made watermark comparisons raise TypeError (r10)."""
+        return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+
     def last_processed(self) -> datetime:
         """Current watermark: max committed window_end, else the epoch
         (the reference's SELECT ... ORDER BY id DESC LIMIT 1, retrieval.py:43-51)."""
         recs = self._records()
         if not recs:
             return self.default_epoch
-        return max(datetime.fromisoformat(r["window_end"]) for r in recs)
+        return max(self._utc(datetime.fromisoformat(r["window_end"]))
+                   for r in recs)
 
     def commit(self, window_start: datetime, window_end: datetime,
                record_count: int, **meta) -> None:
         """Record a successfully processed window (retrieval.py:53-60)."""
         rec = {
-            "window_start": window_start.isoformat(),
-            "window_end": window_end.isoformat(),
+            "window_start": self._utc(window_start).isoformat(),
+            "window_end": self._utc(window_end).isoformat(),
             "record_count": int(record_count),
             "committed_at": datetime.now(timezone.utc).isoformat(),
             **meta,

@@ -102,7 +102,12 @@ def test_stream_kill_resume_reaches_identical_state(spark, sf_dir):
     assert 0 < partial, "kill-run never committed a batch"
     if partial >= total:
         pytest.skip("kill landed after full drain — nothing to resume")
-    wm_at_kill = WatermarkStore(wm1).last_processed()
+    # monotonicity baseline: only meaningful if the killed run actually
+    # committed a watermark record — with an empty run-log
+    # last_processed() returns the DEFAULT EPOCH (a windowing floor,
+    # 2024-09, which post-dates the January event data by design)
+    wm_at_kill = (WatermarkStore(wm1).last_processed()
+                  if WatermarkStore(wm1).history() else None)
 
     # resume from the same checkpoint: must pick up at the committed
     # offset and drain the remainder
@@ -114,7 +119,8 @@ def test_stream_kill_resume_reaches_identical_state(spark, sf_dir):
     users = [r[1] for r in got]
     assert len(users) == len(set(users))
     # the watermark only ever advances
-    assert WatermarkStore(wm1).last_processed() >= wm_at_kill
+    if wm_at_kill is not None:
+        assert WatermarkStore(wm1).last_processed() >= wm_at_kill
 
 
 def test_stream_commit_order_is_sink_then_watermark(spark, sf_dir):
