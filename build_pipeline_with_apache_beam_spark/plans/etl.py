@@ -171,7 +171,7 @@ def _committed_file_idx(ckpt_dir: str) -> int:
 
 def run_etl_stream(spark: SparkSession, sf_dir: str, lake: str, wm_root: str,
                    ckpt: str, tail_cap: int = 0,
-                   max_wait_sec: float = 180.0,
+                   max_wait_sec: float | None = None,
                    stop_after_files: int | None = None) -> int:
     """One streaming RUN of the reference ETL: docstore tail →
     validate/normalize → foreachBatch keep-latest MERGE into the
@@ -302,6 +302,13 @@ def run_etl_stream(spark: SparkSession, sf_dir: str, lake: str, wm_root: str,
     # files (mid-run), instead of draining to the end
     target = min(total_files, stop_after_files
                  if stop_after_files is not None else total_files)
+    if max_wait_sec is None:
+        # the docstore reader is row-at-a-time Python by design budget
+        # (sources/docstore.py) — the drain deadline must scale with the
+        # collection, not sit at a fixed 180 s (observed: the sf10 audit's
+        # 3005-file collection stalled at 1002 files against the old
+        # constant)
+        max_wait_sec = max(180.0, 1.0 * total_files)
     deadline = time.time() + max_wait_sec
     try:
         while time.time() < deadline:

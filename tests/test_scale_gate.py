@@ -87,15 +87,18 @@ def test_plan_markers_hold_at_big_sf(scale):
             assert present, f"{name}: plan marker {marker} lost at big sf"
 
 
-def test_density_probe_family(scale):
-    """r5 verdict #8: the 10x-density corpus probes EVERY density-sensitive
-    shape — capped pair join, interval overlap, semdedup in-cell tiling,
-    and the LSH band join — each either bounded by a hard wall-ratio gate
-    or proven output-bound (wall <= slack x output growth).  The probe
-    runner records flag per op; none may be superlinear or error."""
-    probe = scale.get("density_probe", {}).get("ops", {})
+@pytest.mark.parametrize("section", ["density_probe", "density_probe_30x"])
+def test_density_probe_family(scale, section):
+    """r5 verdict #8 (10x) + r10 verdict #8 (30x): the dense corpora probe
+    EVERY density-sensitive shape — capped pair join, interval overlap,
+    semdedup in-cell tiling, and the LSH band join — each either bounded
+    by a hard wall-ratio gate (scaled 3x for the 30x probe: capped work
+    may grow at most linearly in the extra rows) or proven output-bound
+    (wall <= slack x output growth).  The probe runner records flag per
+    op; none may be superlinear or error."""
+    probe = scale.get(section, {}).get("ops", {})
     if not probe:
-        pytest.skip("density probe not run in this artifact")
+        pytest.skip(f"{section} not run in this artifact")
     expected = {"join_range_gap_histogram", "join_interval_overlap",
                 "corpus_semdedup", "dedup_fuzzy_minhash"}
     assert expected <= set(probe), \

@@ -225,7 +225,7 @@ def main() -> int:
         if skip_next:
             skip_next = False
             continue
-        if a == "--dense-dir":
+        if a in ("--dense-dir", "--dense30-dir"):
             skip_next = True
             continue
         if not a.startswith("--"):
@@ -240,7 +240,7 @@ def main() -> int:
         # superseded-artifacts gate rejects) — the caller must name the
         # round's artifact of record explicitly.
         print("usage: bench_scale.py <small_sf_dir> <big_sf_dir> <out.json>"
-              " [--dense-dir DIR] [--plans-only]", file=sys.stderr)
+              " [--dense-dir DIR] [--dense30-dir DIR] [--plans-only]", file=sys.stderr)
         return 2
     out_path = args[2]
     data_ratio = 10.0
@@ -369,15 +369,26 @@ def main() -> int:
     )
 
     DENSITY_FNS = {"dedup_fuzzy_minhash": fuzzy_minhash_pairs}
-    density = {}
-    dense_dir = None
+    dense_dir = dense30_dir = None
     for i, a in enumerate(sys.argv):
         if a == "--dense-dir" and i + 1 < len(sys.argv):
             dense_dir = sys.argv[i + 1]
-    if dense_dir and not plans_only:
-        # baseline is the BIG sf: dense_dir is SCALE_UP_DENSE=1 x10 of it,
-        # i.e. same span, 10x event density — the pure density axis
+        if a == "--dense30-dir" and i + 1 < len(sys.argv):
+            dense30_dir = sys.argv[i + 1]
+
+    def run_density_probe(dense_dir: str, bound_scale: float) -> dict:
+        """Probe the density family against one dense corpus.
+
+        ``bound_scale`` scales each wall-ratio bound for probes denser
+        than the 10x the bounds were anchored at (r10 verdict #8: the 30x
+        probe uses bound_scale=3 — capped work may grow at most linearly
+        with the extra rows; output-slack contracts need no scaling, the
+        output ratio carries the density automatically)."""
+        density: dict = {}
         for name, cfg in DENSITY_OPS.items():
+            cfg = dict(cfg)
+            if cfg.get("max_ratio") is not None:
+                cfg["max_ratio"] = round(cfg["max_ratio"] * bound_scale, 1)
             fn = DENSITY_FNS.get(name) or qs[name]
             try:
                 best_s = best_b = float("inf")
@@ -451,6 +462,14 @@ def main() -> int:
                 density[name] = {"flag": "error",
                                  "annotation": str(e)[:300]}
             print(f"density {name}: {density[name]}", flush=True)
+        return density
+
+    # baseline is the BIG sf: dense_dir is SCALE_UP_DENSE=1 xR of it —
+    # same span, Rx event density — the pure density axis
+    density = (run_density_probe(dense_dir, 1.0)
+               if dense_dir and not plans_only else {})
+    density30 = (run_density_probe(dense30_dir, 3.0)
+                 if dense30_dir and not plans_only else {})
 
     result = {
         "schema_version": 2,
@@ -458,6 +477,12 @@ def main() -> int:
         "ratio_gate": RATIO_GATE,
         "ops": ops, "plans": plans,
         "density_probe": {"dense_dir": dense_dir, "ops": density},
+        # r10 verdict #8: one decade further on the density axis — same
+        # family, 30x density, wall bounds scaled 3x (capped work may grow
+        # at most linearly in the extra rows; output-slack contracts
+        # carry the density in the output ratio automatically)
+        "density_probe_30x": {"dense_dir": dense30_dir,
+                              "density_ratio": 30, "ops": density30},
         "n_superlinear": sum(1 for o in ops.values()
                              if o.get("flag") == "superlinear"),
         "supersedes": [
