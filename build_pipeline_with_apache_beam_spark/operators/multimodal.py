@@ -518,6 +518,11 @@ def _header_dims(payload: bytes) -> tuple[str, int | None, int | None]:
         return "png", w, h
     if payload[:2] == b"\xff\xd8":
         i = payload.find(b"\xff\xc0")  # first SOF0, same scan as the oracle
+        if i < 0:
+            # JPEG magic without a baseline SOF0 frame: fail loudly so the
+            # decode_matches_header gate trips deterministically instead of
+            # reading bytes 4..8 as garbage dimensions (round-10 advice)
+            raise ValueError("JPEG payload has no SOF0 marker")
         h = int.from_bytes(payload[i + 5:i + 7], "big")
         w = int.from_bytes(payload[i + 7:i + 9], "big")
         return "jpeg", w, h
@@ -771,9 +776,11 @@ QUERIES = {
     "multimodal_metadata_stats": multimodal_metadata_stats,
 }
 
-# Only phash stays rows-only: pixel-hash verification has no SQL twin.
-# feature_extract and frame_sample are oracle-checked since r10 — their
-# outputs are recomputable from the parquet/inlined BLOB bytes alone.
+# All five ops are oracle-checked (r10 promoted feature_extract and
+# frame_sample; r11 promoted phash_neardup — see the ORACLE entry below:
+# synthetic dHash replayed bit-for-bit from hex text bytes because fake
+# media decodes as the identity, planted pixel signatures inlined as
+# module-constant literals, banding/hamming/pairing fully re-derived).
 # the planted-image rows are deterministic module constants, so their byte
 # sizes, content types, AND payload hex can be interpolated into the
 # static oracle strings (the centroid-literal inlining pattern).
@@ -793,6 +800,95 @@ for _i, _p, _c in _planted_assets():
         assert _hexpos % 2 == 0 and _hexpos // 2 == _p.find(b"\xff\xc0"), (
             f"planted asset {_i}: SOF0 hex scan is byte-misaligned — "
             f"regenerate the asset or switch the oracle to an aligned scan")
+
+
+def _phash_signed(payload: bytes, ctype: str) -> int:
+    """dHash of a planted asset as Spark's signed BIGINT reinterpretation —
+    computed once at import over the deterministic module-constant bytes
+    and inlined into the oracle as a literal (the codebook-literal pattern:
+    the PIXEL hash of the 5 planted images is the only non-SQL step; the
+    synthetic corpus' hashes and ALL banding/hamming/pairing are re-derived
+    independently by DuckDB)."""
+    h = phash64(_decode(payload, ctype, CODEC))
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+_PLANTED_PHASH = ", ".join(
+    f"({i}, CAST({_phash_signed(p, c)} AS BIGINT))"
+    for i, p, c in _planted_assets())
+
+
+def _phash_byte_sql(g: int) -> str:
+    """SQL for byte ``min((g*n)//72, n-1)`` of the hex-encoded payload —
+    the grid sample :func:`phash64` reads (hex nibbles at 2*pos+1/+2)."""
+    pos = f"LEAST(({g} * n) // 72, n - 1)"
+    return (f"((STRPOS('0123456789ABCDEF', SUBSTRING(hx, 2 * ({pos}) + 1,"
+            f" 1)) - 1) * 16"
+            f" + (STRPOS('0123456789ABCDEF', SUBSTRING(hx, 2 * ({pos}) + 2,"
+            f" 1)) - 1))")
+
+
+def _phash_oracle_sql() -> str:
+    """Exact DuckDB replay of the full phash_neardup pipeline (round-10
+    verdict #3, rows-only 1 → 0): synthetic docs' decode is the identity
+    (fake media), so their 64-bit dHash is recomputed bit-for-bit from
+    ``HEX(ENCODE(text))`` with the same 9×8-grid stride arithmetic;
+    planted pixel hashes are inlined literals (:func:`_phash_signed`);
+    band keys, the bucket self-join, and the Hamming ≤ 6 rerank are all
+    re-derived in SQL (unsigned semantics via HUGEINT arithmetic — DuckDB
+    has no unsigned shift on BIGINT)."""
+    grid_cols = ", ".join(f"{_phash_byte_sql(g)} AS b{g}" for g in range(72))
+    # MSB-first bit weights: bit for grid row r, col c = 2^(63 - (r*8+c))
+    bit_sum = " + ".join(
+        f"(CASE WHEN b{r * 9 + c} > b{r * 9 + c + 1}"
+        f" THEN CAST({1 << (63 - (r * 8 + c))} AS HUGEINT)"
+        f" ELSE CAST(0 AS HUGEINT) END)"
+        for r in range(8) for c in range(8))
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, phash, {b} AS band,"
+        f" CAST((u // CAST({1 << (16 * b)} AS HUGEINT)) % 65536 AS BIGINT)"
+        f" AS key FROM ub"
+        for b in range(4))
+    return f"""
+        WITH syn AS (
+            SELECT doc_id, HEX(ENCODE(text)) AS hx,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+            FROM documents
+        ), grid AS (
+            SELECT doc_id, n, {grid_cols} FROM syn
+        ), syn_hash AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN uh >= CAST({1 << 63} AS HUGEINT)
+                             THEN uh - CAST({1 << 64} AS HUGEINT)
+                             ELSE uh END AS BIGINT) AS phash
+            FROM (SELECT doc_id,
+                         CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+                              ELSE {bit_sum} END AS uh
+                  FROM grid) s
+        ), hashed AS (
+            SELECT doc_id, phash FROM syn_hash
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), phash
+            FROM (VALUES {_PLANTED_PHASH}) t(doc_id, phash)
+        ), ub AS (
+            SELECT doc_id, phash,
+                   CASE WHEN phash < 0
+                        THEN CAST(phash AS HUGEINT)
+                             + CAST({1 << 64} AS HUGEINT)
+                        ELSE CAST(phash AS HUGEINT) END AS u
+            FROM hashed
+        ), bands AS (
+            {band_rows}
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+        FROM (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.phash AS ph_a, b.phash AS ph_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ) p
+        WHERE bit_count(xor(ph_a, ph_b)) <= 6
+    """
 
 
 def _hex_int_sql(col: str, start: str, ndigits: int) -> str:
@@ -818,6 +914,9 @@ _MEDIA_HEX_CTE = f"""media AS (
         )"""
 
 ORACLE = {
+    # Exact full-pipeline replay (round-10 verdict #3 promotion — the last
+    # rows-only op): see _phash_oracle_sql.
+    "multimodal_phash_neardup": _phash_oracle_sql(),
     # Blob-level exact companion (round-9 verdict #3 promotion): container
     # route from magic bytes, PNG dims from IHDR fixed offsets (hex chars
     # 33-48 = bytes 16-23), JPEG dims from the first SOF0 marker located
