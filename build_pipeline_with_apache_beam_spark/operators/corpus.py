@@ -1356,8 +1356,16 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are integers, each bucket's add-1-smoothed log-ratio is
     frozen to integer basis points ONCE (4096-row model), and a
     document's score is an exact integer SUM of its tokens' bp values —
-    no float-summation order sensitivity.  Scale shape: one explode pass
-    builds the counts (two-phase agg), the 4096-row LM broadcasts, and
+    no float-summation order sensitivity.  Scale shape (round-10 verdict
+    #4: the raw token stream previously fed both consumers and was
+    tokenized TWICE): the split+explode map pass now feeds ONE staged
+    (doc_id, source, bucket, count) aggregate — orders of magnitude
+    smaller than the token stream (≤ min(4096, doc_tokens) rows per doc)
+    — whose shuffle both the LM build and the scoring branch consume via
+    AQE stage reuse (ReusedExchange, no persist needed): the scoring
+    branch deliberately filters src0 docs on the AGGREGATED max(source)
+    AFTER its groupBy so Catalyst cannot push the predicate below the
+    shared exchange and break the subtree identity.  The LM broadcasts;
     the scoring join is map-side only.
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -1365,13 +1373,15 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.select("doc_id", "source",
                         F.explode(F.split(F.lower("text"), " ")).alias("w"))
             .where(F.col("w") != ""))
-    bucketed = toks.select(
+    doc_bucket = (toks.select(
         "doc_id", "source",
         F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int").alias("b"))
-    per_bucket = bucketed.groupBy("b").agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c")))
+    per_bucket = doc_bucket.groupBy("b").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("c")).otherwise(0))
         .alias("tc"),
-        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        F.sum(F.when(F.col("source") != "src0", F.col("c")).otherwise(0))
         .alias("rc"))
     tot = per_bucket.agg(F.sum("tc").alias("t_tot"),
                          F.sum("rc").alias("r_tot"))
@@ -1382,11 +1392,16 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       f" / ((rc + 1)"
                       f" / CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE)))"
                       " * 10000) AS BIGINT) AS ratio_bp"))
-    return (bucketed.where(F.col("source") != "src0")
+    # max(source) is exact (source is functionally dependent on doc_id) and,
+    # being an aggregate output, the src0 filter CANNOT be pushed below the
+    # groupBy — all three consumers share doc_bucket's exchange verbatim
+    return (doc_bucket
             .join(F.broadcast(lm), "b")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_toks"),
-                 F.sum("ratio_bp").alias("sbp"))
+            .agg(F.sum("c").alias("n_toks"),
+                 F.sum(F.col("c") * F.col("ratio_bp")).alias("sbp"),
+                 F.max("source").alias("src"))
+            .where(F.col("src") != "src0")
             .selectExpr("doc_id", "n_toks",
                         "sbp / (CAST(10000 AS DOUBLE) * n_toks)"
                         " AS dsir_logratio")
