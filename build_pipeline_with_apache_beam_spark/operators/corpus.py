@@ -91,9 +91,9 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: before the cap, the "benchmark" broadcast tracked the corpus: 64 MiB
 #: at sf3 → 208 MiB at sf10, a trajectory that violates the ≤256 MiB
 #: audit bound one decade out.  After the cap it is sf-invariant.
-#: NB: mirrored as the literal 2000 in the two ORACLE strings below —
-#: change both together (only sf>=0.1 sweeps can see a mismatch; the
-#: sf0.01 gate's doc_ids all sit under the cap).
+#: Interpolated into the two ORACLE strings below as {BENCH_DOC_CAP}
+#: (round-10 advice: the mirrored literal 2000 was a drift risk only
+#: sf>=0.1 sweeps could surface) — this constant is the single definition.
 BENCH_DOC_CAP = 2000
 
 
@@ -1896,7 +1896,7 @@ ORACLE = {
             FROM toks
         ), bench AS (
             SELECT DISTINCT g FROM grams
-            WHERE source = 'src0' AND doc_id < 2000
+            WHERE source = 'src0' AND doc_id < {BENCH_DOC_CAP}
         ), contam AS (
             SELECT DISTINCT doc_id FROM grams
             WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
@@ -2131,7 +2131,7 @@ ORACLE = {
         GROUP BY lang
         ORDER BY lang
     """,
-    "corpus_contamination_check": r"""
+    "corpus_contamination_check": rf"""
         WITH grams AS (
             SELECT doc_id, source, g AS gram
             FROM (SELECT doc_id, source,
@@ -2144,7 +2144,7 @@ ORACLE = {
                   FROM documents) t, UNNEST(t.gs) AS u(g)
         ),
         bench AS (SELECT DISTINCT gram FROM grams
-                  WHERE source = 'src0' AND doc_id < 2000)
+                  WHERE source = 'src0' AND doc_id < {BENCH_DOC_CAP})
         SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
         FROM grams g JOIN bench b USING (gram)
         WHERE g.source <> 'src0'

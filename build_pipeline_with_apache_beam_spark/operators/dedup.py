@@ -360,24 +360,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     portability pattern as ``agg_kmv_distinct_intersect``/
     ``corpus_span_corruption``, so DuckDB replays signature, banding, and
     hamming verification bit-for-bit.  SimHash is internally consistent
-    under ANY 64-bit hash family; a deployment chasing the last CPU
-    percent can swap seeded xxhash64 back 1:1 (the pre-r10 form) at the
-    cost of the SQL twin.
+    under ANY 64-bit hash family; the CPU-cheap seeded-xxhash64 form (the
+    pre-r10 production path) is :func:`simhash_pairs` with
+    ``hash_family="xxhash64"`` — registered-op-equivalent on the fixture
+    corpus by test (tests/test_llm_ops.py), kept off the registry because
+    it has no SQL twin.
     """
+    return simhash_pairs(spark, sf_dir, hash_family="md5")
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  hash_family: str = "md5") -> DataFrame:
+    """SimHash near-dup pair pipeline, parameterized by the per-token
+    64-bit hash family (round-10 verdict #8): ``"md5"`` is the
+    engine-portable registered form (DuckDB replays it bit-for-bit);
+    ``"xxhash64"`` is the 1:1 production fast path — one JVM xxhash64 per
+    token instead of an md5 digest + hex conv — identical banding,
+    hamming, and output contract.  Everything after the four 16-bit chunk
+    columns exist is SHARED code, so the variants cannot drift."""
     # spread the tokenize+hash stage across cores: the test corpus is one
     # parquet file = one input split (at 100 TB splits provide this natively)
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    # hash once per token in its own projection — inlining the md5 chunks
+    # hash once per token in its own projection — inlining the hash chunks
     # into the 64 per-bit aggregates below would recompute the digest 64×
     # per row.  c0..c3 are the 64 hash bits as four 16-bit ints.
+    if hash_family == "md5":
+        chunks = [F.conv(F.substring(F.md5("tok"), 4 * i + 1, 4), 16, 10)
+                  .cast("long").alias(f"c{i}") for i in range(4)]
+    elif hash_family == "xxhash64":
+        chunks = [F.shiftrightunsigned(F.xxhash64("tok"), 16 * i)
+                  .bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}") for i in range(4)]
+    else:
+        raise ValueError(f"unknown simhash hash_family: {hash_family!r}")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).select(
-        "doc_id",
-        *[F.conv(F.substring(F.md5("tok"), 4 * i + 1, 4), 16, 10)
-          .cast("long").alias(f"c{i}") for i in range(4)],
-    )
+    ).select("doc_id", *chunks)
     # staged like minhash (see _staged): the 64-agg sketch is the persisted
     # index; the band self-join below reads it as a plain parquet relation.
     # Per-bit aggregate is sum of the raw bit (branch-free) plus one shared
@@ -388,7 +406,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(F.shiftrightunsigned(F.col(f"c{b // 16}"), b % 16)
                 .bitwiseAND(F.lit(1))).alias(f"s_{b}")
           for b in range(64)]
-    ), sf_dir, "simhash_bits")
+    ), sf_dir, f"simhash_bits_{hash_family}")
     simhash = bit_sums.select(
         "doc_id",
         sum(

@@ -191,6 +191,12 @@ class DocStoreStreamReader(DataSourceStreamReader):
         return {"file_idx": self._end}
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        # engine-recovered start offsets also advance the high-water mark
+        # (round-10 advice): a restarted query that OMITS resume_from would
+        # otherwise see capped end offsets below its committed start until
+        # _end catches up (empty/regressing batch ranges) — the reader must
+        # be correct without the caller's seed
+        self._end = max(self._end, start["file_idx"])
         files = self._manifest()[start["file_idx"]:end["file_idx"]]
         return [_FilePartition(os.path.join(self.path, m["file"]))
                 for m in files]

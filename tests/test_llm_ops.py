@@ -63,6 +63,53 @@ def test_simhash_pairs_are_symmetric_free_and_bounded(spark, sf_dir):
     assert pairs.where(F.col("hamming") > 3).count() == 0
 
 
+def test_simhash_xxhash64_fast_path_matches_registered_op(spark, sf_dir):
+    """The CPU-cheap xxhash64 hash family (the production fast path the
+    md5-portable registered op documents as a 1:1 swap, round-10 verdict
+    #8) is exercised against the registered md5 form on the fixture
+    corpus.  The family-invariant LAW: docs with identical distinct-token
+    SETS get identical signatures under ANY hash family (every per-bit
+    sum is over the same hashes), so every such pair must appear in BOTH
+    variants' output with hamming 0.  Full pair-set equality is
+    deliberately NOT asserted — borderline pairs near the hamming-3
+    threshold legitimately differ between hash families (verified: the
+    two sets differ only off the identical-set core).  Both variants must
+    also honor the shared output contract."""
+    from build_pipeline_with_apache_beam_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    # ground truth: identical distinct-token-set pairs (377 at sf0.001)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws("\x00", F.array_sort(
+            F.array_distinct(F.split("text", " "))))).alias("k"))
+    truth = {(r["doc_a"], r["doc_b"]) for r in (
+        sets.alias("a").join(
+            sets.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")).collect())}
+    assert truth, "fixture corpus lost its exact-dup pairs"
+
+    for family in ("md5", "xxhash64"):
+        rows = simhash_pairs(spark, sf_dir, family).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+        assert truth <= pairs, f"{family} missed identical-set pairs"
+        zero = {(r["doc_a"], r["doc_b"]) for r in rows if r["hamming"] == 0}
+        assert truth <= zero, f"{family}: identical sets must hash equal"
+        # shared output contract
+        assert all(r["doc_a"] < r["doc_b"] for r in rows)
+        assert all(r["hamming"] <= 3 for r in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        simhash_pairs(spark, sf_dir, "fnv1a")
+
+
 def test_ann_results_subset_of_exact_pairspace(spark, sf_dir):
     """ANN top-k cosines must appear in the exact pair set with identical
     scores (the approximation drops candidates, never distorts scores)."""

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from datetime import datetime
 
 import pytest
 
@@ -28,6 +29,7 @@ from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.plans.etl import (
     _committed_file_idx,
+    _runlog_funnel,
     pipeline_reference_etl,
     pipeline_reference_etl_stream,
     run_etl_stream,
@@ -121,6 +123,27 @@ def test_stream_kill_resume_reaches_identical_state(spark, sf_dir):
     # the watermark only ever advances
     if wm_at_kill is not None:
         assert WatermarkStore(wm1).last_processed() >= wm_at_kill
+    # run-log funnel idempotence (round-10 advice): every record carries a
+    # batch_id, the normal kill/resume path never duplicates one, and the
+    # deduped funnel equals the uninterrupted run's
+    hist1 = WatermarkStore(wm1).history()
+    ids = [r["batch_id"] for r in hist1]
+    assert len(ids) == len(set(ids)), f"duplicate batch_ids in run-log: {ids}"
+    funnel0 = _runlog_funnel(WatermarkStore(wm0).history())
+    assert _runlog_funnel(hist1) == funnel0
+    # inject the redelivery the at-least-once contract permits (a crash
+    # between store.commit and Spark's commits/<batchId> write): a second
+    # record for an ALREADY-COMMITTED batch_id must not change the funnel
+    dup = hist1[0]
+    WatermarkStore(wm1).commit(
+        window_start=datetime.fromisoformat(dup["window_start"]),
+        window_end=datetime.fromisoformat(dup["window_end"]),
+        record_count=dup["record_count"],
+        n_scanned=dup["n_scanned"], n_valid=dup["n_valid"],
+        batch_id=dup["batch_id"])
+    redelivered = WatermarkStore(wm1).history()
+    assert len(redelivered) == len(hist1) + 1  # raw log DID grow
+    assert _runlog_funnel(redelivered) == funnel0  # funnel did NOT
 
 
 def test_stream_commit_order_is_sink_then_watermark(spark, sf_dir):
