@@ -85,6 +85,10 @@ SCALE_OPS = [
     # is re-listed here so one artifact supersedes them all (r4 verdict #8)
     "corpus_dedup_rate_curve", "dedup_cluster_canonical",
     "agg_groupby_multi", "agg_bitmap_distinct", "events_user_lifecycle",
+    # round-11 additions: the reworked one-job-per-iteration Lloyd trainer
+    # and the newly oracle-promoted phash pipeline both need a measured
+    # 10x ratio on record (corpus_dsir_importance is already listed above)
+    "embedding_kmeans_train", "multimodal_phash_neardup",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
