@@ -14,12 +14,24 @@ import sys
 
 
 def load(path: str) -> dict:
+    """A committed BENCH_local_r*.json is one pretty-printed object; raw
+    bench.py stdout is line-oriented with the full object on its own line
+    (possibly preceded by log noise).  Try the whole file first, then fall
+    back to the first parseable JSON line."""
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
                 return json.loads(line)
-    raise SystemExit(f"no JSON line found in {path}")
+            except json.JSONDecodeError:
+                continue
+    raise SystemExit(f"no JSON object found in {path}")
 
 
 def main() -> int:
