@@ -78,6 +78,26 @@ def test_dsir_scores_favor_target_like_docs(spark, sf_dir):
     assert all(abs(r["dsir_logratio"]) < 20 for r in rows)  # sane magnitudes
 
 
+def test_dsir_tokenizes_once_via_reused_exchange(spark, sf_dir):
+    """Round-10 verdict #4 regression pin: both the LM build and the
+    scoring branch must consume ONE staged (doc_id, source, bucket,
+    count) aggregate through AQE stage reuse — the executed plan carries
+    ≥2 ReusedExchange nodes (the staged aggregate feeding both branches,
+    and the per-bucket LM feeding totals + ratios).  If a future edit
+    re-introduces a pushable src0 predicate below the shared groupBy,
+    the exchange subtrees stop being identical, reuse vanishes, and the
+    split+explode tokenize pass silently runs twice."""
+    from build_pipeline_with_apache_beam_spark.operators.corpus import (
+        corpus_dsir_importance,
+    )
+
+    df = corpus_dsir_importance(spark, sf_dir)
+    df.collect()  # AQE reuse is a RUNTIME decision — inspect post-execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_reused = plan.count("ReusedExchange")
+    assert n_reused >= 2, f"expected >=2 ReusedExchange, got {n_reused}"
+
+
 def test_bigram_lm_model_broadcasts_and_scores_every_long_doc(spark, sf_dir):
     from build_pipeline_with_apache_beam_spark.catalog import load_table
     from build_pipeline_with_apache_beam_spark.operators.text import (
