@@ -519,10 +519,12 @@ def _header_dims(payload: bytes) -> tuple[str, int | None, int | None]:
     if payload[:2] == b"\xff\xd8":
         i = payload.find(b"\xff\xc0")  # first SOF0, same scan as the oracle
         if i < 0:
-            # JPEG magic without a baseline SOF0 frame: fail loudly so the
-            # decode_matches_header gate trips deterministically instead of
-            # reading bytes 4..8 as garbage dimensions (round-10 advice)
-            raise ValueError("JPEG payload has no SOF0 marker")
+            # JPEG magic without a baseline SOF0 frame (e.g. a progressive
+            # SOF2 file from a future ingest): return null dims so the
+            # decode_matches_header gate surfaces a MISMATCH ROW instead of
+            # an executor exception killing the sweep (round-11 advice —
+            # the r10 fix traded garbage dims for a job-killing raise)
+            return "jpeg", None, None
         h = int.from_bytes(payload[i + 5:i + 7], "big")
         w = int.from_bytes(payload[i + 7:i + 9], "big")
         return "jpeg", w, h
@@ -593,7 +595,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lens.append(n)
                 ws.append(w)
                 hs.append(h)
-                oks.append(n == (w * h if ctype != "fake" else len(raw)))
+                # null header dims (unparseable image header) are a FAILED
+                # gate row, never an exception — the law can't be satisfied
+                # by a header that promises nothing
+                if ctype == "fake":
+                    oks.append(n == len(raw))
+                else:
+                    oks.append(w is not None and h is not None
+                               and n == w * h)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "container_type": ctypes,

@@ -331,10 +331,13 @@ def _runlog_funnel(hist: list[dict]) -> tuple[int, int]:
     double-count its n_scanned/n_valid.  ``hist`` is committed_at-ordered
     (WatermarkStore.history), so keep the LAST record per batch_id — the
     one whose verified swap is the lake's surviving state — and sum those.
-    Records without a batch_id (foreign writers) are kept individually."""
+    Records without a batch_id (foreign writers) are kept individually:
+    keys are type-tagged (round-11 advice) so a null/missing batch_id can
+    never collapse records together or collide with a small-int id."""
     by_batch: dict = {}
-    for r in hist:
-        by_batch[r.get("batch_id", id(r))] = r
+    for i, r in enumerate(hist):
+        bid = r.get("batch_id")
+        by_batch[("b", bid) if bid is not None else ("u", i)] = r
     return (sum(r.get("n_scanned", 0) for r in by_batch.values()),
             sum(r.get("n_valid", 0) for r in by_batch.values()))
 

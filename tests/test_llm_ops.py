@@ -570,3 +570,21 @@ def test_sub_block_split_engages_and_spreads_under_forced_cap(spark, sf_dir):
         subs_per_bucket.setdefault(r["bucket"], set()).add(r["sub"])
     # the split must have engaged somewhere (multiple subs in hot buckets)
     assert any(len(s) > 1 for s in subs_per_bucket.values())
+
+
+def test_header_dims_sof0less_jpeg_returns_null_dims_not_raise():
+    """Round-11 advice: a JPEG container without a baseline SOF0 frame
+    (e.g. progressive SOF2) must yield ('jpeg', None, None) so the
+    decode_matches_header gate records a mismatch ROW — an executor
+    exception would abort the whole sweep for one bad asset."""
+    from build_pipeline_with_apache_beam_spark.operators.multimodal import (
+        _header_dims,
+    )
+
+    # JPEG magic + APP0 + a progressive SOF2 (FF C2) frame, no FF C0
+    sof2 = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01"
+            b"\x00\x00\xff\xc2\x00\x11\x08\x00\x10\x00\x10\x03")
+    assert _header_dims(sof2) == ("jpeg", None, None)
+    # control: a baseline SOF0 frame still parses its dims
+    sof0 = (b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x20\x00\x40\x03")
+    assert _header_dims(sof0) == ("jpeg", 0x40, 0x20)

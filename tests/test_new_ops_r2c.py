@@ -450,7 +450,11 @@ def test_kmeans_runs_one_distributed_job_per_iteration(spark, sf_dir):
     finally:
         sc.setJobGroup("", "")
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
-    assert 0 < n_jobs <= 20, f"kmeans spawned {n_jobs} jobs (budget 20)"
+    # budget sits midway between the one-action form (18 jobs at HEAD,
+    # some split map-stage/result by AQE) and the two-actions-per-iteration
+    # form (>= 18+6): slack absorbs AQE job-splitting drift across Spark
+    # configs without letting the regression back in (round-11 advice)
+    assert 0 < n_jobs <= 23, f"kmeans spawned {n_jobs} jobs (budget 23)"
 
 
 def test_markov_attribution_probability_laws(spark, sf_dir):

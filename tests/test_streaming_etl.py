@@ -166,3 +166,18 @@ def test_stream_commit_order_is_sink_then_watermark(spark, sf_dir):
     counts = [r["record_count"] for r in hist]
     assert counts == sorted(counts)
     assert counts[-1] == final_n
+
+
+def test_runlog_funnel_null_batch_ids_kept_individually():
+    """Round-11 advice: records carrying batch_id=None (or no batch_id)
+    must each survive the funnel — .get's default never fires for an
+    explicit null, so the key must be type-tagged, and an integer
+    batch_id can never collide with a keyed-by-index foreign record."""
+    hist = [
+        {"batch_id": None, "n_scanned": 1, "n_valid": 1},
+        {"batch_id": None, "n_scanned": 2, "n_valid": 2},
+        {"n_scanned": 4, "n_valid": 4},
+        {"batch_id": 7, "n_scanned": 8, "n_valid": 8},
+        {"batch_id": 7, "n_scanned": 16, "n_valid": 16},  # redelivery: last wins
+    ]
+    assert _runlog_funnel(hist) == (1 + 2 + 4 + 16, 1 + 2 + 4 + 16)
