@@ -21,6 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from build_pipeline_with_apache_beam_spark import registry
 from build_pipeline_with_apache_beam_spark.session import get_spark
 
+# Pinned noise-control set (round-11 verdict #3): twelve cheap, structurally
+# stable ops spanning unrelated families that rounds do not rework.  Their
+# median warm ratio vs the prior round's artifact estimates ambient host
+# noise, and the summary line reports BOTH the raw s/op and the
+# control-adjusted s/op so the 2x regression gate compares like with like.
+CONTROL_OPS = (
+    "scalar_string_ops", "scalar_math_ops", "scalar_date_ops",
+    "filter_time_range", "project_whitelist", "join_inner_equi",
+    "agg_groupby_multi", "window_lag_lead", "setop_union_all",
+    "sort_limit_topk", "text_token_count", "array_zip_dot",
+)
+
+
+def _round_no(fname: str) -> int:
+    """BENCH_local_r<N>.json → N.  Numeric sort so r100 outranks r99
+    (round-11 advice: lexicographic sort picks a stale baseline)."""
+    digits = "".join(c for c in fname[len("BENCH_local_r"):] if c.isdigit())
+    return int(digits) if digits else -1
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,6 +47,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = registry.queries()
+    # iteration aid: SPARK_GRAFT_BENCH_OPS="op1,op2" restricts the sweep
+    # (the driver leaves it unset and benches the full registry)
+    only = {s for s in os.environ.get(
+        "SPARK_GRAFT_BENCH_OPS", "").split(",") if s}
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     # warm up the JVM + parquet footer caches on the smallest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
@@ -83,39 +108,73 @@ def main() -> None:
     # line above truncates unparseably at 341 ops.  This line always fits.
     movers: dict[str, list[float]] = {}
     n_movers = 0
+    baseline_name = None
+    baseline_skip = None
+    ctrl_ratio = None
+    here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
-        f for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
-        if f.startswith("BENCH_local_r") and f.endswith(".json"))
+        (f for f in os.listdir(here)
+         if f.startswith("BENCH_local_r") and f.endswith(".json")),
+        key=_round_no)
     if prior:
         try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    prior[-1])) as fh:
-                prev = json.load(fh).get("queries", {})
-            for k, v in warm.items():
-                p = prev.get(k)
-                if p and p > 0 and v > 0 and v > 1.5 * p:
-                    movers[k] = [round(p, 3), round(v, 3)]
-            # keep the tail parseable even on a pathologically noisy
-            # host: top 12 movers by ratio, the true count reported via
-            # movers_gt_1_5x_count (computed before this truncation)
-            n_movers = len(movers)
-            if len(movers) > 12:
-                top = sorted(movers, key=lambda k: movers[k][1] / movers[k][0],
-                             reverse=True)[:12]
-                movers = {k: movers[k] for k in top}
+            with open(os.path.join(here, prior[-1])) as fh:
+                prev_doc = json.load(fh)
+            prev = prev_doc.get("queries", {})
+            baseline_name = prior[-1]
+            # a baseline recorded at a different scale factor or core
+            # count would flag every op as a mover — annotate and skip
+            # the comparison instead (round-11 advice)
+            cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+            if (prev_doc.get("sf") != cur_sf
+                    or prev_doc.get("cpus") != os.cpu_count()):
+                baseline_skip = (
+                    f"baseline sf={prev_doc.get('sf')}/"
+                    f"cpus={prev_doc.get('cpus')} != "
+                    f"current sf={cur_sf}/cpus={os.cpu_count()}")
+            else:
+                for k, v in warm.items():
+                    p = prev.get(k)
+                    if p and p > 0 and v > 0 and v > 1.5 * p:
+                        movers[k] = [round(p, 3), round(v, 3)]
+                # keep the tail parseable even on a pathologically noisy
+                # host: top 12 movers by ratio, the true count reported via
+                # movers_gt_1_5x_count (computed before this truncation)
+                n_movers = len(movers)
+                if len(movers) > 12:
+                    top = sorted(movers,
+                                 key=lambda k: movers[k][1] / movers[k][0],
+                                 reverse=True)[:12]
+                    movers = {k: movers[k] for k in top}
+                ratios = sorted(
+                    warm[k] / prev[k] for k in CONTROL_OPS
+                    if warm.get(k, 0) > 0 and prev.get(k, 0) > 0)
+                if len(ratios) >= 6:  # median needs most controls present
+                    mid = len(ratios) // 2
+                    ctrl_ratio = round(
+                        ratios[mid] if len(ratios) % 2
+                        else (ratios[mid - 1] + ratios[mid]) / 2, 4)
         except Exception:  # noqa: BLE001 — summary must never kill the bench
             pass
+    s_per_op = round(warm_total / n_ops, 4) if n_ops else None
     print(json.dumps({
         "metric": "warm_total_sec",
         "value": warm_total,
         "unit": "sec",
         "summary_of": "full per-query line printed above",
         "n_ops": n_ops,
-        "s_per_op": round(warm_total / n_ops, 4) if n_ops else None,
+        "s_per_op": s_per_op,
+        # ambient-noise normalization: raw s/op deflated by the pinned
+        # control set's median warm ratio vs the baseline artifact (a
+        # loaded host inflates controls and subjects alike)
+        "control_median_ratio": ctrl_ratio,
+        "s_per_op_noise_adjusted": (
+            round(s_per_op / ctrl_ratio, 4)
+            if s_per_op and ctrl_ratio else None),
         "n_errors": sum(1 for v in warm.values() if v <= 0),
         "wall_total_sec": total,
-        "movers_gt_1_5x_vs": prior[-1] if prior else None,
+        "movers_gt_1_5x_vs": baseline_name,
+        "movers_baseline_skipped": baseline_skip,
         "movers_gt_1_5x_count": n_movers,
         "movers_gt_1_5x": movers,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

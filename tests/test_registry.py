@@ -64,3 +64,17 @@ def test_oracle_sql_complete_with_default_testdata(monkeypatch):
     assert "sim_ann_ivf_topk" in out
     assert "corpus_semdedup" in out
     assert "scan_parquet_rowgroup_profile" in out
+
+
+def test_bench_baseline_sorts_by_round_number_and_controls_registered():
+    """Round-11 advice: the movers baseline must pick the HIGHEST round
+    artifact numerically (r100 after r99, not before), and every pinned
+    noise-control op must exist in the registry."""
+    import bench
+    from build_pipeline_with_apache_beam_spark import registry as reg
+
+    files = ["BENCH_local_r9.json", "BENCH_local_r100.json",
+             "BENCH_local_r11.json", "BENCH_local_r2.json"]
+    assert sorted(files, key=bench._round_no)[-1] == "BENCH_local_r100.json"
+    missing = set(bench.CONTROL_OPS) - set(reg.queries())
+    assert not missing, f"control ops absent from registry: {missing}"
