@@ -5,7 +5,9 @@ injected task failure + Spark task retry (session master is local[N, 2]).
 
 When the optional real client (kafka-python) is installed and
 KAFKA_BOOTSTRAP points at a broker, the same tests drive the real client
-path; in this container the file broker carries the identical API.
+path (recipe: tools/kafka-compose.yml); in this container the file broker
+carries the identical API.  Topics are uuid-suffixed per run so repeat
+runs against a PERSISTENT broker never read a previous run's records.
 """
 
 from __future__ import annotations
@@ -34,6 +36,14 @@ def bus_dir():
     d = os.path.join(SCRATCH, f"msgbus_{uuid.uuid4().hex[:8]}")
     yield d
     shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def run_topic():
+    """Per-run unique topic suffix: mandatory for the real-broker leg
+    (a persistent broker retains earlier runs' records; the file broker
+    gets a fresh bus_dir anyway)."""
+    return uuid.uuid4().hex[:8]
 
 
 def test_producer_consumer_roundtrip_and_key_partitioning(bus_dir):
@@ -66,23 +76,24 @@ def test_factory_prefers_real_client_only_with_dep_and_bootstrap(bus_dir,
         assert isinstance(make_producer(bus_dir), FileProducer)
 
 
-def test_batch_publish_through_client_api(spark, sf_dir, bus_dir):
+def test_batch_publish_through_client_api(spark, sf_dir, bus_dir, run_topic):
     """foreachPartition + per-partition producer init, no failure
     injection: every row arrives exactly once."""
     from build_pipeline_with_apache_beam_spark.catalog import load_table
 
+    topic = f"batch-topic-{run_topic}"
     ev = (load_table(spark, sf_dir, "events").limit(200)
           .selectExpr("CAST(event_id AS STRING) AS key",
                       "to_json(struct(event_id, event_type)) AS payload"))
     expected = {r["key"]: r["payload"] for r in ev.collect()}
-    publish_batch_to_bus(ev, "batch-topic", bus_dir)
-    got = list(make_consumer("batch-topic", bus_dir))
+    publish_batch_to_bus(ev, topic, bus_dir)
+    got = list(make_consumer(topic, bus_dir))
     assert len(got) == len(expected)
     assert {r.key.decode(): r.value.decode() for r in got} == expected
 
 
 def test_stream_publish_at_least_once_under_task_retry(spark, sf_dir,
-                                                       bus_dir):
+                                                       bus_dir, run_topic):
     """The judge-facing round trip: REAL streaming query → foreachBatch →
     client sends, with the FIRST attempt of every partition failing
     mid-chunk.  Spark retries the task (master local[N, 2]); the bus must
@@ -94,18 +105,19 @@ def test_stream_publish_at_least_once_under_task_retry(spark, sf_dir,
         _stage_events_source,
     )
 
+    topic = f"ev-topic-{run_topic}"
     src_dir = os.path.join(bus_dir, "src")
     ckpt_dir = os.path.join(bus_dir, "ckpt")
     fail_dir = os.path.join(bus_dir, "failmarks")
     _stage_events_source(sf_dir, src_dir)
 
-    stream_events_to_bus(spark, sf_dir, "ev-topic", bus_dir, src_dir,
+    stream_events_to_bus(spark, sf_dir, topic, bus_dir, src_dir,
                          ckpt_dir, fail_once_dir=fail_dir)
 
     ev = load_table(spark, sf_dir, "events")
     expected_keys = {str(r["event_id"]) for r in
                      ev.select("event_id").collect()}
-    got = list(make_consumer("ev-topic", bus_dir))
+    got = list(make_consumer(topic, bus_dir))
     got_keys = [r.key.decode() for r in got]
     assert os.listdir(fail_dir), "failure injection never fired"
     assert len(got_keys) > len(set(got_keys)), \
