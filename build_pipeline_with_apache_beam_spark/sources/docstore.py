@@ -281,24 +281,29 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
     )
     staging = os.path.join(root, "_staging")
     ev.repartition("dt").write.mode("overwrite").partitionBy("dt").json(staging)
-    # flatten dt=*/part-* into one file per day + manifest of ts stats
+    # per-day ts stats computed DISTRIBUTED (the parquet-footer moral
+    # equivalent) — the driver never parses a document; the flatten below
+    # is a pure byte copy (round-12: the old per-line json.loads loop was
+    # the last driver-side row scan in this source)
+    stats = {r["dt"]: (r["lo"], r["hi"])
+             for r in ev.groupBy("dt")
+             .agg(F.min("ts_micros").alias("lo"),
+                  F.max("ts_micros").alias("hi")).collect()}
     manifest = []
     for dt_dir in sorted(os.listdir(staging)):
         if not dt_dir.startswith("dt="):
             continue
         day = dt_dir.split("=", 1)[1]
         out_name = f"{day}.jsonl"
-        lo, hi = float("inf"), float("-inf")
-        with open(os.path.join(root, out_name), "w") as out:
+        import shutil as _shutil
+
+        with open(os.path.join(root, out_name), "wb") as out:
             for part in sorted(os.listdir(os.path.join(staging, dt_dir))):
                 if not part.endswith(".json"):
                     continue
-                with open(os.path.join(staging, dt_dir, part)) as fh:
-                    for line in fh:
-                        doc = json.loads(line)
-                        lo = min(lo, doc["ts_micros"])
-                        hi = max(hi, doc["ts_micros"])
-                        out.write(line)
+                with open(os.path.join(staging, dt_dir, part), "rb") as fh:
+                    _shutil.copyfileobj(fh, out)
+        lo, hi = stats[day]
         manifest.append({"file": out_name, "min_ts": lo, "max_ts": hi})
     with open(os.path.join(root, MANIFEST), "w") as fh:
         json.dump(manifest, fh)
@@ -406,27 +411,30 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     import time
     import uuid
 
+    batch = df.select("event_id", "ts_micros", "user_id", "event_type",
+                      "value")
+    # stats + count computed DISTRIBUTED before the write (round-12: the
+    # old path re-parsed every staged line in the driver); the flatten
+    # below is a pure byte copy
+    agg = batch.agg(F.min("ts_micros").alias("lo"),
+                    F.max("ts_micros").alias("hi"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+    lo, hi, n = agg["lo"], agg["hi"], agg["n"]
+
     staging = os.path.join(root, f"_append_{uuid.uuid4().hex}")
-    (df.select("event_id", "ts_micros", "user_id", "event_type", "value")
-       .write.mode("overwrite").json(staging))
+    batch.write.mode("overwrite").json(staging)
 
     out_name = f"{name}.jsonl"
-    lo, hi = float("inf"), float("-inf")
-    n = 0
     # concatenate into a hidden tmp file, publish with an atomic
     # create-if-absent link: an already-committed batch file can NEVER be
     # truncated or overwritten, and readers never see a partial file
     tmp_file = os.path.join(root, f".tmp-{uuid.uuid4().hex}.jsonl")
-    with open(tmp_file, "w") as out:
+    with open(tmp_file, "wb") as out:
         for part in sorted(os.listdir(staging)):
             if not part.endswith(".json"):
                 continue
-            with open(os.path.join(staging, part)) as fh:
-                for line in fh:
-                    doc = json.loads(line)
-                    lo, hi = min(lo, doc["ts_micros"]), max(hi, doc["ts_micros"])
-                    n += 1
-                    out.write(line)
+            with open(os.path.join(staging, part), "rb") as fh:
+                shutil.copyfileobj(fh, out)
     shutil.rmtree(staging, ignore_errors=True)
 
     if n == 0:
