@@ -250,3 +250,24 @@ def test_stream_read_failure_retries_without_loss(spark, sf_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == n_expected
     assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_reader_yields_arrow_record_batches(spark, sf_dir):
+    """Round-12: the DSv2 read path must stay Arrow-batched — one
+    columnar parse per file, filters applied vectorized — not revert to
+    per-document tuples (the r11 scale ceiling)."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    root = build_collection(spark, sf_dir)
+    r = _reader_for(root)
+    list(r.pushFilters([GreaterThanOrEqual(("value",), 0.0)]))
+    parts = r.partitions()
+    batches = list(r.read(parts[0]))
+    assert batches, "first partition read empty"
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert batches[0].schema.names == [
+        "event_id", "ts_micros", "user_id", "event_type", "value"]
+    # vectorized filter applied inside the read
+    assert all(v >= 0.0 for b in batches
+               for v in b.column("value").to_pylist())
