@@ -89,6 +89,12 @@ SCALE_OPS = [
     # and the newly oracle-promoted phash pipeline both need a measured
     # 10x ratio on record (corpus_dsir_importance is already listed above)
     "embedding_kmeans_train", "multimodal_phash_neardup",
+    # round-12 additions: the Arrow-batched docstore legs (batch scan,
+    # append round-trip, composed ETL batch+stream) and the staged
+    # recursive CTE all changed this round and need fresh 10x ratios
+    "scan_docstore_pushdown", "sink_docstore_append",
+    "pipeline_reference_etl", "pipeline_reference_etl_stream",
+    "sql_recursive_cte",
 ]
 
 # plan markers that must hold on the BIG sf (static explain on real data):
