@@ -288,7 +288,8 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
     stats = {r["dt"]: (r["lo"], r["hi"])
              for r in ev.groupBy("dt")
              .agg(F.min("ts_micros").alias("lo"),
-                  F.max("ts_micros").alias("hi")).collect()}
+                  F.max("ts_micros").alias("hi"))
+             .collect()}  # driver-bounded: one row per day (manifest stats)
     manifest = []
     for dt_dir in sorted(os.listdir(staging)):
         if not dt_dir.startswith("dt="):
@@ -416,9 +417,10 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     # stats + count computed DISTRIBUTED before the write (round-12: the
     # old path re-parsed every staged line in the driver); the flatten
     # below is a pure byte copy
-    agg = batch.agg(F.min("ts_micros").alias("lo"),
-                    F.max("ts_micros").alias("hi"),
-                    F.count(F.lit(1)).alias("n")).collect()[0]
+    agg = batch.agg(
+        F.min("ts_micros").alias("lo"), F.max("ts_micros").alias("hi"),
+        F.count(F.lit(1)).alias("n")
+    ).collect()[0]  # driver-bounded: ONE stats row for the manifest entry
     lo, hi, n = agg["lo"], agg["hi"], agg["n"]
 
     staging = os.path.join(root, f"_append_{uuid.uuid4().hex}")

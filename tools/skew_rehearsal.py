@@ -71,8 +71,11 @@ def main() -> int:
     def joined():
         return (ev.join(dim, "user_id")
                 .groupBy("event_type")
+                # decimal sum: exact under ANY partition composition, so
+                # the split-on/off equality check is order-insensitive
                 .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("value").alias("sum_value")))
+                     F.sum(F.col("value").cast("decimal(18,4)"))
+                     .alias("sum_value")))
 
     def run_join(skew_enabled: bool) -> tuple[float, str, list]:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
