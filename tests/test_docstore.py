@@ -271,3 +271,18 @@ def test_reader_yields_arrow_record_batches(spark, sf_dir):
     # vectorized filter applied inside the read
     assert all(v >= 0.0 for b in batches
                for v in b.column("value").to_pylist())
+
+
+def test_filter_that_empties_every_file_yields_zero_rows(spark, sf_dir):
+    """Edge of the Arrow path: a pushed row-level filter that matches
+    nothing (but prunes no files — value has no manifest stats) must
+    produce an empty scan, not a crash on empty batch iterators."""
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        DocStoreDataSource,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    root = build_collection(spark, sf_dir)
+    got = (spark.read.format("docstore").option("path", root).load()
+           .where(F.col("value") > 1e12))
+    assert got.count() == 0
