@@ -490,6 +490,40 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("o_totalprice", 4).alias("o_totalprice")))
 
 
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a source format (Spark 4 native, no external package):
+    write the part table as row-tagged XML (distributed), read it back
+    with an EXPLICIT schema, filter + project.
+
+    Same schema-on-read discipline as the CSV leg: declared schema, not
+    inference (inference is an extra full pass).  Like CSV, XML is
+    row-oriented text with no byte-level pushdown/pruning — it exists as
+    an INGEST format (feeds, exports, legacy integrations) that the lake
+    layer converts to parquet on arrival; this op covers the read/write
+    surface, not a recommendation to keep data in it.  The writer
+    escapes markup in string values, so round-tripping free-text columns
+    (p_name, p_type) is part of what the oracle verifies.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"xml_part_{sf_tag}")
+    if not os.path.exists(path):
+        (load_table(spark, sf_dir, "part")
+         .write.mode("overwrite")
+         .option("rootTag", "parts").option("rowTag", "part")
+         .format("xml").save(path))
+    schema = ("p_partkey BIGINT, p_name STRING, p_brand STRING, "
+              "p_type STRING, p_size INT, p_retailprice DOUBLE")
+    return (spark.read.schema(schema).option("rowTag", "part")
+            .format("xml").load(path)
+            .where(F.col("p_retailprice") > 950.0)
+            .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                    F.round("p_retailprice", 4).alias("p_retailprice")))
+
+
 def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed parquet FOOTER introspection: per row group of the
     lineitem table, its row count, column-chunk count, and compressed
@@ -581,6 +615,7 @@ def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES = {
     "scan_parquet_rowgroup_profile": scan_parquet_rowgroup_profile,
     "scan_orc_roundtrip": scan_orc_roundtrip,
+    "scan_xml_roundtrip": scan_xml_roundtrip,
     "scan_json_multiline": scan_json_multiline,
     "scan_observe_metrics": scan_observe_metrics,
     "scan_corrupt_capture": scan_corrupt_capture,
@@ -668,6 +703,11 @@ ORACLE = {
         SELECT o_orderkey, o_orderstatus,
                ROUND(o_totalprice, 4) AS o_totalprice
         FROM orders WHERE o_totalprice > 50000.0
+    """,
+    "scan_xml_roundtrip": """
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               ROUND(p_retailprice, 4) AS p_retailprice
+        FROM part WHERE p_retailprice > 950.0
     """,
     "scan_csv_roundtrip": """
         SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal,
