@@ -144,19 +144,27 @@ def flagship_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, and orders all scale with the corpus, and the sf3 probe
     measured AQE still broadcasting the 37 MiB aggregate — small today,
     linear in the corpus, dead at 100 TB.
+
+    Round-12 rewrite: the textbook Q18 re-joins raw lineitem and
+    re-aggregates SUM(l_quantity) over five group columns — but the
+    per-order sum ALREADY exists in the HAVING aggregate, and
+    l_orderkey is the orders primary key, so carrying ``total_qty``
+    out of ``big`` is value-identical (the aggregate-reuse/join-
+    elimination rewrite Catalyst doesn't do for you).  Measured at sf1:
+    one lineitem scan+shuffle instead of two (no ReusedExchange existed
+    — the two branches' subplans differ, so Spark couldn't dedupe them)
+    and no 5-column re-aggregation; 5.6 → ~2.8 s.
     """
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT /*+ SHUFFLE_HASH(orders, customer, big) */
                c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               ROUND(SUM(l_quantity), 4) AS total_qty
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        JOIN (SELECT l_orderkey FROM lineitem
+               big.total_qty
+        FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+              FROM lineitem
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 180) big
-          ON o_orderkey = big.l_orderkey
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
     """)
