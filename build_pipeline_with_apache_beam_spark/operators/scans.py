@@ -524,6 +524,48 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("p_retailprice", 4).alias("p_retailprice")))
 
 
+def scan_text_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text lines as a source (``spark.read.text``) + JVM-side regex
+    field extraction — the log-parsing leg every ingest pipeline has.
+
+    The fixture renders events as key=value log lines (distributed
+    ``format_string`` write), then the read parses them back with ONE
+    compiled regex into typed columns inside codegen — no Python in the
+    loop (the reference's analog is a per-line Python loop over
+    downloaded blobs, normalization.py:85-90).  Numeric round-trip is
+    pinned by the oracle: %.4f rendering then cast-back must equal
+    ROUND(value, 4) of the base table on every row.
+    """
+    import os
+
+    from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"textlog_events_{sf_tag}")
+    if not os.path.exists(path):
+        (load_table(spark, sf_dir, "events")
+         .select(F.format_string(
+             "id=%d ts=%d user=%d type=%s value=%.4f",
+             "event_id", F.unix_micros("ts"), "user_id", "event_type",
+             "value").alias("value"))
+         .write.mode("overwrite").text(path))
+    pat = (r"^id=(\d+) ts=(\d+) user=(\d+) type=(\w+) "
+           r"value=([0-9.]+)$")
+    lines = spark.read.text(path)
+    return (lines.select(
+                F.regexp_extract("value", pat, 1).cast("bigint")
+                .alias("event_id"),
+                F.timestamp_micros(
+                    F.regexp_extract("value", pat, 2).cast("bigint"))
+                .alias("ts"),
+                F.regexp_extract("value", pat, 3).cast("bigint")
+                .alias("user_id"),
+                F.regexp_extract("value", pat, 4).alias("event_type"),
+                F.regexp_extract("value", pat, 5).cast("double")
+                .alias("value"))
+            .where(F.col("event_type") == "view"))
+
+
 def scan_parquet_rowgroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed parquet FOOTER introspection: per row group of the
     lineitem table, its row count, column-chunk count, and compressed
@@ -616,6 +658,7 @@ QUERIES = {
     "scan_parquet_rowgroup_profile": scan_parquet_rowgroup_profile,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_xml_roundtrip": scan_xml_roundtrip,
+    "scan_text_regex_extract": scan_text_regex_extract,
     "scan_json_multiline": scan_json_multiline,
     "scan_observe_metrics": scan_observe_metrics,
     "scan_corrupt_capture": scan_corrupt_capture,
@@ -708,6 +751,11 @@ ORACLE = {
         SELECT p_partkey, p_name, p_brand, p_type, p_size,
                ROUND(p_retailprice, 4) AS p_retailprice
         FROM part WHERE p_retailprice > 950.0
+    """,
+    "scan_text_regex_extract": """
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events WHERE event_type = 'view'
     """,
     "scan_csv_roundtrip": """
         SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal,
