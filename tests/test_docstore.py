@@ -286,3 +286,66 @@ def test_filter_that_empties_every_file_yields_zero_rows(spark, sf_dir):
     got = (spark.read.format("docstore").option("path", root).load()
            .where(F.col("value") > 1e12))
     assert got.count() == 0
+
+
+def test_vectorized_filters_match_rowwise_semantics_property():
+    """Property (round-12): for arbitrary docs and filter sets, the Arrow
+    path's vectorized filter application equals the r11 row-at-a-time
+    matcher — including the null-never-matches rule — on every row."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        LessThanOrEqual,
+    )
+
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        ARROW_SCHEMA,
+        DocStoreReader,
+    )
+
+    doc = st.fixed_dictionaries({
+        "event_id": st.integers(0, 50),
+        "ts_micros": st.one_of(st.none(), st.integers(0, 10)),
+        "user_id": st.integers(0, 5),
+        "event_type": st.sampled_from(["click", "view", None]),
+        "value": st.one_of(st.none(), st.floats(-2, 2, allow_nan=False)),
+    })
+    filt = st.lists(st.one_of(
+        st.builds(lambda v: EqualTo(("event_type",), v),
+                  st.sampled_from(["click", "view"])),
+        st.builds(lambda v: GreaterThan(("ts_micros",), v),
+                  st.integers(0, 10)),
+        st.builds(lambda v: LessThanOrEqual(("value",), v),
+                  st.floats(-2, 2, allow_nan=False)),
+    ), max_size=3)
+
+    def row_matches(d, filters):  # the r11 matcher, verbatim semantics
+        for f in filters:
+            v = d.get(f.attribute[0])
+            if v is None:
+                return False
+            if isinstance(f, EqualTo) and not v == f.value:
+                return False
+            if isinstance(f, GreaterThan) and not v > f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+                return False
+        return True
+
+    @settings(max_examples=200, deadline=None)
+    @given(docs=st.lists(doc, max_size=20), filters=filt)
+    def check(docs, filters):
+        table = pa.Table.from_pylist(docs, schema=ARROW_SCHEMA)
+        r = DocStoreReader({"path": "/nonexistent"})
+        r.filters = filters
+        got = r._apply_filters(table).to_pylist()
+        want = [
+            {k: d[k] for k in ARROW_SCHEMA.names}
+            for d in docs if row_matches(d, filters)
+        ]
+        assert got == want
+
+    check()
