@@ -102,6 +102,15 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _entry_files(m: dict) -> list[str]:
+    """File names of one manifest entry.  Legacy entries carry one
+    ``file``; multi-part appends (round-12) carry ``files`` — a batch
+    written DISTRIBUTED lands as several part files under ONE entry, so
+    streaming offsets (entry indices) are unchanged while the driver
+    never concatenates bytes."""
+    return m["files"] if "files" in m else [m["file"]]
+
+
 class DocStoreReader(DataSourceReader):
     """Reads one JSONL collection; prunes files via manifest stats."""
 
@@ -142,9 +151,10 @@ class DocStoreReader(DataSourceReader):
             manifest = json.load(fh)
         lo, hi = self._ts_bounds()
         return [
-            _FilePartition(os.path.join(self.path, m["file"]))
+            _FilePartition(os.path.join(self.path, f))
             for m in manifest
             if m["max_ts"] >= lo and m["min_ts"] <= hi
+            for f in _entry_files(m)
         ]
 
     _PC_OPS = {
@@ -222,9 +232,9 @@ class DocStoreStreamReader(DataSourceStreamReader):
         # _end catches up (empty/regressing batch ranges) — the reader must
         # be correct without the caller's seed
         self._end = max(self._end, start["file_idx"])
-        files = self._manifest()[start["file_idx"]:end["file_idx"]]
-        return [_FilePartition(os.path.join(self.path, m["file"]))
-                for m in files]
+        entries = self._manifest()[start["file_idx"]:end["file_idx"]]
+        return [_FilePartition(os.path.join(self.path, f))
+                for m in entries for f in _entry_files(m)]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
         # fault-injection surface (tests/chaos runs): a `<file>.fail_once`
@@ -389,24 +399,31 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def append_batch(spark: SparkSession, root: str, df: DataFrame,
                  name: str) -> dict | None:
-    """The docstore WRITE path: append a batch as one new JSONL file plus
+    """The docstore WRITE path: append a batch as ONE manifest entry plus
     an atomic manifest update — the producer side of the streaming tail.
 
     Protocol (matches the reader's assumptions exactly):
-    1. the batch is written DISTRIBUTED to a staging dir (executors do the
-       JSON encoding), then concatenated into one named collection file —
-       a file never becomes visible until fully written;
+    1. the batch is written DISTRIBUTED to a staging dir (executors do
+       the JSON encoding) and its stats come from one distributed
+       aggregate; the staged part files are then hard-linked to their
+       final batch-namespaced names — NO byte ever moves through the
+       driver (round-12: the old path concatenated the whole batch into
+       one file driver-side).  A multi-part batch stays multiple files
+       under ONE manifest entry (``files``), so the streaming offset —
+       an ENTRY index — is unchanged and a batch still commits
+       atomically; single-part batches keep the legacy ``file`` shape;
     2. the manifest is republished via write-tmp + ``os.replace`` (atomic
-       on POSIX), with the new entry APPENDED — the streaming reader's
-       offset is a file index, so appends never reorder committed history;
+       on POSIX), with the new entry APPENDED — appends never reorder
+       committed history, and files are invisible until their entry
+       lands (readers only discover files through the manifest);
     3. an ``O_EXCL`` lock file serializes concurrent appenders (writers
        retry briefly); crash mid-append leaves either no new entry (the
-       data file is unreferenced garbage) or the full entry — never a
+       data files are unreferenced garbage) or the full entry — never a
        half-visible batch.
 
-    Returns the appended manifest entry.  At scale the staging write is
-    the same distributed JSON write the lake sink uses; only the manifest
-    hop is driver-side (one small file), like every log-structured store.
+    Returns the appended manifest entry.  At scale this is exactly a
+    log-structured store commit: distributed data write, one tiny
+    driver-side metadata hop.
     """
     import shutil
     import time
@@ -414,46 +431,55 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
 
     batch = df.select("event_id", "ts_micros", "user_id", "event_type",
                       "value")
-    # stats + count computed DISTRIBUTED before the write (round-12: the
-    # old path re-parsed every staged line in the driver); the flatten
-    # below is a pure byte copy
     agg = batch.agg(
         F.min("ts_micros").alias("lo"), F.max("ts_micros").alias("hi"),
         F.count(F.lit(1)).alias("n")
     ).collect()[0]  # driver-bounded: ONE stats row for the manifest entry
     lo, hi, n = agg["lo"], agg["hi"], agg["n"]
-
-    staging = os.path.join(root, f"_append_{uuid.uuid4().hex}")
-    batch.write.mode("overwrite").json(staging)
-
-    out_name = f"{name}.jsonl"
-    # concatenate into a hidden tmp file, publish with an atomic
-    # create-if-absent link: an already-committed batch file can NEVER be
-    # truncated or overwritten, and readers never see a partial file
-    tmp_file = os.path.join(root, f".tmp-{uuid.uuid4().hex}.jsonl")
-    with open(tmp_file, "wb") as out:
-        for part in sorted(os.listdir(staging)):
-            if not part.endswith(".json"):
-                continue
-            with open(os.path.join(staging, part), "rb") as fh:
-                shutil.copyfileobj(fh, out)
-    shutil.rmtree(staging, ignore_errors=True)
-
     if n == 0:
         # empty batch: nothing to publish (and no Infinity stats that
         # would break strict-JSON consumers of the manifest)
-        os.unlink(tmp_file)
         return None
+
+    staging = os.path.join(root, f"_append_{uuid.uuid4().hex}")
+    batch.write.mode("overwrite").json(staging)
+    parts = sorted(p for p in os.listdir(staging)
+                   if p.endswith(".json") and os.path.getsize(
+                       os.path.join(staging, p)) > 0)
+
+    # publish each staged part with an atomic create-if-absent link: a
+    # committed batch file can NEVER be truncated or overwritten, and a
+    # duplicate batch name fails before any visible state changes
+    names = ([f"{name}.jsonl"] if len(parts) == 1
+             else [f"{name}-p{i:04d}.jsonl" for i in range(len(parts))])
+    # a re-used batch name must fail regardless of how either batch was
+    # partitioned (single-file vs multi-part names don't collide via link)
+    if (os.path.exists(os.path.join(root, f"{name}.jsonl"))
+            or os.path.exists(os.path.join(root, f"{name}-p0000.jsonl"))):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"batch name {name!r} already exists in {root} — batch names "
+            f"must be unique (a committed file is never rewritten)")
+    linked = []
     try:
-        os.link(tmp_file, os.path.join(root, out_name))
+        for part, out_name in zip(parts, names):
+            os.link(os.path.join(staging, part),
+                    os.path.join(root, out_name))
+            linked.append(out_name)
     except FileExistsError:
+        for out_name in linked:  # roll back THIS batch's links only
+            os.unlink(os.path.join(root, out_name))
         raise ValueError(
             f"batch name {name!r} already exists in {root} — batch names "
             f"must be unique (a committed file is never rewritten)")
     finally:
-        os.unlink(tmp_file)
+        shutil.rmtree(staging, ignore_errors=True)
 
-    entry = {"file": out_name, "min_ts": lo, "max_ts": hi}
+    entry = {"min_ts": lo, "max_ts": hi}
+    if len(names) == 1:
+        entry["file"] = names[0]
+    else:
+        entry["files"] = names
     lock = os.path.join(root, ".manifest.lock")
     for _ in range(50):
         try:

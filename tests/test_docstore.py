@@ -349,3 +349,45 @@ def test_vectorized_filters_match_rowwise_semantics_property():
         assert got == want
 
     check()
+
+
+def test_multipart_append_one_entry_no_driver_bytes(spark, sf_dir,
+                                                    tmp_path):
+    """Round-12: a batch written across several partitions publishes its
+    staged part files DIRECTLY (hard links, no driver concatenation) as
+    ONE manifest entry — streaming offsets count entries, so the batch
+    still commits atomically and re-reads losslessly."""
+    import shutil
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        DocStoreDataSource,
+        append_batch,
+        build_collection,
+    )
+
+    spark.dataSource.register(DocStoreDataSource)
+    src = build_collection(spark, sf_dir)
+    root = str(tmp_path / "mp_coll")
+    shutil.copytree(src, root)
+    base_n = spark.read.format("docstore").option("path", root).load().count()
+
+    ev = load_table(spark, sf_dir, "events")
+    late = (ev.limit(120)
+            .select((F.col("event_id") + 70_000_000).alias("event_id"),
+                    F.unix_micros("ts").alias("ts_micros"),
+                    "user_id", "event_type", "value")
+            .repartition(4))  # force a multi-part staged write
+    entry = append_batch(spark, root, late, name="mp-batch")
+    assert "files" in entry and len(entry["files"]) > 1, entry
+    assert all(n.startswith("mp-batch-p") for n in entry["files"])
+
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    assert manifest[-1] == entry  # ONE entry for the whole batch
+    total = spark.read.format("docstore").option("path", root).load().count()
+    assert total == base_n + 120
+    # duplicate batch name still refused, any partitioning
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be unique"):
+        append_batch(spark, root, late, name="mp-batch")
