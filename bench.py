@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,9 +37,13 @@ CONTROL_OPS = (
 
 def _round_no(fname: str) -> int:
     """BENCH_local_r<N>.json → N.  Numeric sort so r100 outranks r99
-    (round-11 advice: lexicographic sort picks a stale baseline)."""
-    digits = "".join(c for c in fname[len("BENCH_local_r"):] if c.isdigit())
-    return int(digits) if digits else -1
+    (round-11 advice: lexicographic sort picks a stale baseline).  Only
+    the exact canonical shape counts (round-12 advice: concatenating
+    every digit run parsed a suffixed variant like ``_r12_sf1`` as round
+    121, silently hijacking baseline selection) — any suffixed variant
+    returns -1 and sorts below every real round."""
+    m = re.fullmatch(r"BENCH_local_r(\d+)\.json", fname)
+    return int(m.group(1)) if m else -1
 
 
 def main() -> None:
@@ -114,7 +119,8 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         (f for f in os.listdir(here)
-         if f.startswith("BENCH_local_r") and f.endswith(".json")),
+         if f.startswith("BENCH_local_r") and f.endswith(".json")
+         and _round_no(f) >= 0),  # canonical shape only — no variants
         key=_round_no)
     if prior:
         try:

