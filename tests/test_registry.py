@@ -78,3 +78,35 @@ def test_bench_baseline_sorts_by_round_number_and_controls_registered():
     assert sorted(files, key=bench._round_no)[-1] == "BENCH_local_r100.json"
     missing = set(bench.CONTROL_OPS) - set(reg.queries())
     assert not missing, f"control ops absent from registry: {missing}"
+
+
+def test_bench_round_parse_rejects_suffixed_variants():
+    """Round-12 advice: a variant artifact like BENCH_local_r12_sf1.json
+    must never outrank (or tie) the canonical BENCH_local_r12.json in
+    baseline selection — only the exact canonical shape parses."""
+    import bench
+
+    assert bench._round_no("BENCH_local_r12.json") == 12
+    assert bench._round_no("BENCH_local_r12_sf1.json") == -1
+    assert bench._round_no("BENCH_local_r121.json") == 121
+    assert bench._round_no("BENCH_local_rX.json") == -1
+
+
+def test_operators_catalog_in_sync():
+    """OPERATORS.md is generated from the live registry (round-12 verdict
+    #8): its op ids must match registry.queries() exactly, so adding or
+    renaming an op without regenerating the catalog fails the suite."""
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "OPERATORS.md")
+    assert os.path.exists(path), (
+        "OPERATORS.md missing — run python tools/gen_operators_catalog.py")
+    with open(path) as fh:
+        text = fh.read()
+    catalog = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    live = set(registry.queries())
+    assert catalog == live, (
+        f"catalog out of sync — regenerate with gen_operators_catalog.py "
+        f"(missing {sorted(live - catalog)[:5]}, "
+        f"stale {sorted(catalog - live)[:5]})")
