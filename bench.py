@@ -34,6 +34,17 @@ CONTROL_OPS = (
     "sort_limit_topk", "text_token_count", "array_zip_dot",
 )
 
+# Oracle-companion bucket (round-12 verdict #4): the exact ground-truth
+# dedup family exists to VERIFY the production sketches (LSH/minhash/
+# simhash) — deliberately quadratic in near-dup density, annotated
+# output-bound in SCALE_r*.json, and ≈34% of the sf1 wall.  Folding it
+# into one headline lets a real production-op regression hide under its
+# variance, so the summary reports s_per_op for BOTH buckets.
+ORACLE_COMPANION_OPS = (
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_cluster_canonical",
+    "dedup_connected_groups", "corpus_dedup_rate_curve",
+)
+
 
 def _round_no(fname: str) -> int:
     """BENCH_local_r<N>.json → N.  Numeric sort so r100 outranks r99
@@ -163,6 +174,12 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — summary must never kill the bench
             pass
     s_per_op = round(warm_total / n_ops, 4) if n_ops else None
+    companion = set(ORACLE_COMPANION_OPS)
+    prod_total = round(sum(
+        v for k, v in warm.items() if v > 0 and k not in companion), 3)
+    n_prod = sum(1 for k, v in warm.items() if v > 0 and k not in companion)
+    comp_total = round(sum(
+        v for k, v in warm.items() if v > 0 and k in companion), 3)
     print(json.dumps({
         "metric": "warm_total_sec",
         "value": warm_total,
@@ -170,6 +187,14 @@ def main() -> None:
         "summary_of": "full per-query line printed above",
         "n_ops": n_ops,
         "s_per_op": s_per_op,
+        # two-bucket split (round-12 verdict #4): production ops vs the
+        # exact ground-truth oracle-companion family — a regression in a
+        # production op must not hide under the companions' variance
+        "production_total_sec": prod_total,
+        "s_per_op_production": (
+            round(prod_total / n_prod, 4) if n_prod else None),
+        "oracle_companion_total_sec": comp_total,
+        "oracle_companion_ops": len(companion & set(warm)),
         # ambient-noise normalization: raw s/op deflated by the pinned
         # control set's median warm ratio vs the baseline artifact (a
         # loaded host inflates controls and subjects alike)

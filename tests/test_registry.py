@@ -110,3 +110,16 @@ def test_operators_catalog_in_sync():
         f"catalog out of sync — regenerate with gen_operators_catalog.py "
         f"(missing {sorted(live - catalog)[:5]}, "
         f"stale {sorted(catalog - live)[:5]})")
+
+
+def test_bench_oracle_companion_ops_registered():
+    """The bench two-bucket split (round-12 verdict #4) pins the exact
+    ground-truth family by name — every pinned companion must exist in
+    the registry, and the buckets must be disjoint from the controls'
+    intent (no companion is a noise control)."""
+    import bench
+
+    live = set(registry.queries())
+    missing = set(bench.ORACLE_COMPANION_OPS) - live
+    assert not missing, f"companion ops absent from registry: {missing}"
+    assert not set(bench.ORACLE_COMPANION_OPS) & set(bench.CONTROL_OPS)
