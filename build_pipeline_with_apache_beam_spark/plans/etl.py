@@ -143,6 +143,21 @@ def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("watermark_advanced", F.lit(bool(advanced))))
 
 
+def resolve_trigger_files(trigger_files: int | None, total_files: int,
+                          default_batches: int = 3) -> int:
+    """Files-per-trigger for a docstore tail drain (round-12 verdict #5):
+    explicit arg > ``SPARK_GRAFT_TRIGGER_FILES`` env > ~total/default
+    batches.  Returns a cap ≥ 1.  The latency/throughput trade-off is
+    measured in BASELINE.md (per-trigger machinery ≈1.5 s at any batch
+    size — small caps bound latency, large caps amortize machinery)."""
+    if trigger_files is None:
+        env = os.environ.get("SPARK_GRAFT_TRIGGER_FILES", "")
+        trigger_files = int(env) if env.isdigit() and int(env) > 0 else None
+    if trigger_files is not None:
+        return max(1, int(trigger_files))
+    return max(1, -(-total_files // default_batches))
+
+
 def _committed_file_idx(ckpt_dir: str) -> int:
     """The docstore offset already committed in a streaming checkpoint
     (0 when the checkpoint is fresh or unreadable).
@@ -342,14 +357,24 @@ def _runlog_funnel(hist: list[dict]) -> tuple[int, int]:
             sum(r.get("n_valid", 0) for r in by_batch.values()))
 
 
-def pipeline_reference_etl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_reference_etl_stream(spark: SparkSession, sf_dir: str,
+                                  trigger_files: int | None = None,
+                                  ) -> DataFrame:
     """The STREAMING twin of :func:`pipeline_reference_etl` (round-9
     verdict #1): a REAL multi-batch Structured Streaming run — docstore
-    tail rate-capped to ~3 micro-batches — whose drained lake state must
-    equal the batch pipeline's survivors.  Output and oracle are the SAME
-    one-row funnel; the counts come from different machinery (run-log
-    aggregate + final lake re-read vs one batch plan), which is exactly
-    the point: stream-equals-batch is the law being checked.
+    tail rate-capped — whose drained lake state must equal the batch
+    pipeline's survivors.  Output and oracle are the SAME one-row funnel;
+    the counts come from different machinery (run-log aggregate + final
+    lake re-read vs one batch plan), which is exactly the point:
+    stream-equals-batch is the law being checked.
+
+    Trigger sizing is a first-class knob (round-12 verdict #5):
+    ``trigger_files`` (arg) > ``SPARK_GRAFT_TRIGGER_FILES`` (env) >
+    default ~total/3 (≈3 micro-batches).  The r12-measured trade-off —
+    per-trigger machinery is ~1.5 s regardless of batch size, so tiny
+    triggers are machinery-bound (13k-row triggers ≈9 rows/ms) while big
+    ones amortize it (cap=151 drained 1M rows in 24.6 s) — lives in
+    BASELINE.md; pick the cap for latency (small) vs throughput (large).
 
     Kill/resume is proven separately in tests/test_streaming_etl.py (stop
     after the first batch, restart from the same checkpoint, identical
@@ -375,7 +400,7 @@ def pipeline_reference_etl_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     root = build_collection(spark, sf_dir)
     with open(os.path.join(root, MANIFEST)) as fh:
         total_files = len(_json.load(fh))
-    cap = max(1, -(-total_files // 3))  # ~3 micro-batches per drain
+    cap = resolve_trigger_files(trigger_files, total_files)
 
     done = run_etl_stream(spark, sf_dir, lake, wm_root, ckpt, tail_cap=cap)
     assert done >= total_files, f"stream stalled at {done}/{total_files}"

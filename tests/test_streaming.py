@@ -173,3 +173,37 @@ def test_streaming_sliding_window_matches_batch(spark, sf_dir, tmp_path):
                       .agg(F.count(F.lit(1)).alias("n_events"))
                       .collect())}
     assert got == want
+
+
+def test_trigger_size_knob_is_result_invariant(spark, sf_dir):
+    """Round-12 verdict #5: files-per-trigger is a first-class knob
+    (arg > SPARK_GRAFT_TRIGGER_FILES env > default) and the drained
+    result is IDENTICAL at any trigger size — the streaming aggregate's
+    complete mode and the checkpoint-offset drain loop make batch
+    boundaries invisible to the final state."""
+    import os
+
+    from build_pipeline_with_apache_beam_spark.plans.etl import (
+        resolve_trigger_files,
+    )
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        stream_docstore_tail,
+    )
+
+    # resolution order: arg wins over env wins over default
+    os.environ["SPARK_GRAFT_TRIGGER_FILES"] = "7"
+    try:
+        assert resolve_trigger_files(2, 100) == 2
+        assert resolve_trigger_files(None, 100) == 7
+    finally:
+        del os.environ["SPARK_GRAFT_TRIGGER_FILES"]
+    assert resolve_trigger_files(None, 100, default_batches=3) == 34
+    assert resolve_trigger_files(0, 100) == 1  # floor at 1
+
+    def key(df):
+        return sorted(tuple(sorted(r.asDict().items()))
+                      for r in df.collect())
+
+    base = key(stream_docstore_tail(spark, sf_dir))
+    capped = key(stream_docstore_tail(spark, sf_dir, trigger_files=1))
+    assert capped == base
