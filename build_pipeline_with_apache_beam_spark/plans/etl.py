@@ -143,6 +143,61 @@ def pipeline_reference_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("watermark_advanced", F.lit(bool(advanced))))
 
 
+def publish_lake_version(lake: str, tmp: str) -> None:
+    """Atomically publish a fully-written version dir as ``current``.
+
+    ``current`` is a SYMLINK repointed via ``os.replace`` of a staged
+    link — ONE atomic step, so a reader (or a crash) at any instant sees
+    exactly the old version or the new one, never a missing or torn
+    ``current`` (round-12 verdict #6: the previous rename-pair had a
+    window where ``current`` did not exist at all).  The retired
+    version dir is removed only AFTER the repoint; a crash between
+    repoint and retire leaks an unreferenced dir, which the next batch's
+    garbage collection (``_gc_lake_versions``) removes.
+
+    ``SPARK_GRAFT_ETL_CRASH`` ∈ {before_publish, after_publish} is the
+    chaos hook (tests/test_streaming_etl.py): hard-exit at the named
+    point, exactly where a power cut would land.
+    """
+    current = os.path.join(lake, "current")
+    prev_target = os.path.realpath(current) if os.path.islink(current) else None
+    if os.path.isdir(current) and not os.path.islink(current):
+        # legacy real-directory lake (pre-symlink layout): move it aside
+        # non-atomically once; every publish after this one is atomic
+        legacy = os.path.join(lake, "_legacy_current")
+        os.rename(current, legacy)
+        prev_target = legacy
+    if os.environ.get("SPARK_GRAFT_ETL_CRASH") == "before_publish":
+        os._exit(137)
+    link_tmp = current + ".staged"
+    if os.path.lexists(link_tmp):
+        os.unlink(link_tmp)
+    os.symlink(os.path.basename(tmp), link_tmp)  # relative target
+    os.replace(link_tmp, current)                # THE atomic step
+    if os.environ.get("SPARK_GRAFT_ETL_CRASH") == "after_publish":
+        os._exit(137)
+    if prev_target and os.path.abspath(prev_target) != os.path.abspath(tmp):
+        shutil.rmtree(prev_target, ignore_errors=True)
+
+
+def _gc_lake_versions(lake: str) -> None:
+    """Remove version dirs not referenced by the ``current`` symlink —
+    the debris a crash inside the publish protocol can leave (a written
+    tmp never published, or a retired dir whose rmtree never ran)."""
+    current = os.path.join(lake, "current")
+    live = (os.path.basename(os.path.realpath(current))
+            if os.path.islink(current) else None)
+    try:
+        entries = os.listdir(lake)
+    except OSError:
+        return
+    for e in entries:
+        p = os.path.join(lake, e)
+        if (e != "current" and e != live and os.path.isdir(p)
+                and not os.path.islink(p)):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def resolve_trigger_files(trigger_files: int | None, total_files: int,
                           default_batches: int = 3) -> int:
     """Files-per-trigger for a docstore tail drain (round-12 verdict #5):
@@ -285,17 +340,19 @@ def run_etl_stream(spark: SparkSession, sf_dir: str, lake: str, wm_root: str,
             "event_id", "user_id", "value", "ts",
             F.date_format("ts", "yyyy-MM-dd").alias("dt"))
         # stage 4: version-and-swap the dt-partitioned lake (atomic local
-        # stand-in for a partition-scoped table-format MERGE)
-        tmp = os.path.join(lake, f"v{batch_id}")
+        # stand-in for a partition-scoped table-format MERGE).  The
+        # version dir is unique PER ATTEMPT, not per batch_id: a batch
+        # re-delivered after a crash-after-publish would otherwise write
+        # into the very dir `current` points at while also reading it.
+        import uuid as _uuid
+
+        _gc_lake_versions(lake)  # reap crash debris before staging more
+        tmp = os.path.join(lake, f"v{batch_id}_{_uuid.uuid4().hex[:8]}")
         out.write.partitionBy("dt").mode("overwrite").json(tmp)
         n_sunk = sess.read.schema(
             "event_id BIGINT, user_id BIGINT, value DOUBLE, "
             "ts TIMESTAMP, dt STRING").json(tmp).count()
-        old = os.path.join(lake, f"_old{batch_id}")
-        if os.path.exists(current):
-            os.rename(current, old)
-        os.rename(tmp, current)
-        shutil.rmtree(old, ignore_errors=True)
+        publish_lake_version(lake, tmp)
         # stage 5: watermark/run-log commit strictly AFTER the verified
         # swap; the record carries the batch's funnel counts so the final
         # funnel is a pure run-log aggregate.  Batches with no in-window

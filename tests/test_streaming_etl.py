@@ -181,3 +181,67 @@ def test_runlog_funnel_null_batch_ids_kept_individually():
         {"batch_id": 7, "n_scanned": 16, "n_valid": 16},  # redelivery: last wins
     ]
     assert _runlog_funnel(hist) == (1 + 2 + 4 + 16, 1 + 2 + 4 + 16)
+
+
+@pytest.mark.parametrize("crash_point", ["before_publish", "after_publish"])
+def test_lake_swap_crash_window_leaves_old_xor_new(spark, sf_dir, crash_point):
+    """Round-12 verdict #6: hard-kill the process INSIDE the lake
+    version-and-swap (a subprocess os._exit(137) at the chaos hook, the
+    power-cut stand-in) and prove (a) a reader at that instant sees
+    exactly the old or the new version — `current` exists, points at a
+    FULLY-committed version dir (_SUCCESS present), parses, one row per
+    user — and (b) a resume from the same checkpoint reaches the
+    uninterrupted run's exact final state."""
+    import subprocess
+    import sys
+
+    root = build_collection(spark, sf_dir)
+    with open(os.path.join(root, MANIFEST)) as fh:
+        total = len(json.load(fh))
+    if total < 3:
+        pytest.skip("collection too small for a mid-run crash")
+
+    # uninterrupted reference run (same cap as the worker)
+    lake0, wm0, ckpt0 = _dirs(f"chaosref_{crash_point}")
+    assert run_etl_stream(spark, sf_dir, lake0, wm0, ckpt0,
+                          tail_cap=1) >= total
+    want = sorted(map(tuple, _lake_rows(spark, lake0)))
+
+    lake1, wm1, ckpt1 = _dirs(f"chaos_{crash_point}")
+    worker = os.path.join(os.path.dirname(__file__), "etl_crash_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k != "SPARK_GRAFT_ETL_CRASH"}
+    proc = subprocess.run(
+        [sys.executable, worker, sf_dir, lake1, wm1, ckpt1, crash_point],
+        env=env, timeout=600, capture_output=True, text=True)
+    if proc.returncode == 0:
+        pytest.skip("worker drained before the armed batch — nothing to "
+                    "crash")
+    assert proc.returncode == 137, (
+        f"worker died abnormally (rc={proc.returncode}):\n{proc.stderr[-2000:]}")
+
+    # (a) the reader's view at the instant of death: old XOR new, never
+    # missing or torn
+    current = os.path.join(lake1, "current")
+    assert os.path.islink(current), "current missing/non-atomic after crash"
+    target = os.path.realpath(current)
+    assert os.path.exists(os.path.join(target, "_SUCCESS")), (
+        "current points at an uncommitted version dir")
+    # (an EMPTY published version is legitimate — batch 0 may hold no
+    # in-window rows; the law is old-XOR-new, not nonempty)
+    mid = spark.read.schema(LAKE_SCHEMA).json(current).collect()
+    users = [r["user_id"] for r in mid]
+    assert len(users) == len(set(users)), "torn lake: duplicate users"
+
+    # (b) resume from the same checkpoint → identical final state
+    assert run_etl_stream(spark, sf_dir, lake1, wm1, ckpt1,
+                          tail_cap=1) >= total
+    got = sorted(map(tuple, _lake_rows(spark, lake1)))
+    assert got == want, "resumed final state differs from uninterrupted run"
+    # crash debris is bounded: at most the live version dir remains live,
+    # everything else was GC'd by the resumed run's publishes
+    leftovers = [e for e in os.listdir(lake1)
+                 if e != "current"
+                 and e != os.path.basename(os.path.realpath(current))
+                 and os.path.isdir(os.path.join(lake1, e))]
+    assert not leftovers, f"unreaped version debris: {leftovers}"
