@@ -282,7 +282,15 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
     """
     root = os.path.join(SCRATCH, f"docstore_{source_tag(sf_dir)}")
     if os.path.exists(os.path.join(root, MANIFEST)):
-        return root
+        with open(os.path.join(root, MANIFEST)) as fh:
+            existing = json.load(fh)
+        if all("n" in m for m in existing):
+            return root
+        # stale pre-row-count manifest (round-13: count-from-manifest
+        # needs per-entry row counts) — rebuild the collection once
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         (F.unix_micros("ts")).alias("ts_micros"),
@@ -295,10 +303,11 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
     # equivalent) — the driver never parses a document; the flatten below
     # is a pure byte copy (round-12: the old per-line json.loads loop was
     # the last driver-side row scan in this source)
-    stats = {r["dt"]: (r["lo"], r["hi"])
+    stats = {r["dt"]: (r["lo"], r["hi"], r["n"])
              for r in ev.groupBy("dt")
              .agg(F.min("ts_micros").alias("lo"),
-                  F.max("ts_micros").alias("hi"))
+                  F.max("ts_micros").alias("hi"),
+                  F.count(F.lit(1)).alias("n"))
              .collect()}  # driver-bounded: one row per day (manifest stats)
     manifest = []
     for dt_dir in sorted(os.listdir(staging)):
@@ -314,8 +323,9 @@ def build_collection(spark: SparkSession, sf_dir: str) -> str:
                     continue
                 with open(os.path.join(staging, dt_dir, part), "rb") as fh:
                     _shutil.copyfileobj(fh, out)
-        lo, hi = stats[day]
-        manifest.append({"file": out_name, "min_ts": lo, "max_ts": hi})
+        lo, hi, n = stats[day]
+        manifest.append({"file": out_name, "min_ts": lo, "max_ts": hi,
+                         "n": n})
     with open(os.path.join(root, MANIFEST), "w") as fh:
         json.dump(manifest, fh)
     return root
@@ -363,6 +373,110 @@ def scan_docstore_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "event_type",
                 F.round("value", 4).alias("value"))
     )
+
+
+def count_documents(spark: SparkSession, root: str, lo_micros: int,
+                    hi_micros: int, stats: dict | None = None) -> int:
+    """COUNT(*) over a time window answered from MANIFEST ROW-COUNT STATS
+    wherever possible — the reference's ``count_documents`` pre-scan
+    (/root/reference/retrieval.py:88-95, a server-side count before the
+    range fetch) done the lake-metadata way (round-12 verdict #7):
+
+    - entries DISJOINT from the window contribute nothing (pruned);
+    - entries FULLY INSIDE the window contribute their manifest ``n``
+      without opening the file — zero bytes read, zero Spark jobs;
+    - only BOUNDARY entries (window cuts through their [min_ts, max_ts])
+      are opened, distributed, with the vectorized Arrow parse + filter.
+
+    Why this is a connector API and not a pushed-down ``COUNT(*)``: the
+    Python DataSource API (pyspark.sql.datasource) exposes
+    ``pushFilters`` but no aggregate-pushdown hook (JVM DSv2's
+    SupportsPushDownAggregates has no Python binding as of Spark 4.1),
+    so ``spark.read.format("docstore")...count()`` must materialize rows.
+    Same shape as MongoDB drivers: ``count_documents`` is its own call.
+
+    Returns the exact count (a scalar — this IS a count API).  ``stats``,
+    if given, receives the pruning classification {n_entries, n_pruned,
+    n_manifest_only, n_opened} for plan assertions.
+    """
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    covered = 0
+    boundary: list[str] = []
+    n_pruned = n_manifest_only = 0
+    for m in manifest:
+        if m["max_ts"] < lo_micros or m["min_ts"] > hi_micros:
+            n_pruned += 1
+        elif (m["min_ts"] >= lo_micros and m["max_ts"] <= hi_micros
+              and "n" in m):
+            covered += m["n"]
+            n_manifest_only += 1
+        else:
+            boundary.extend(os.path.join(root, f)
+                            for f in _entry_files(m))
+    if stats is not None:
+        stats.update(n_entries=len(manifest), n_pruned=n_pruned,
+                     n_manifest_only=n_manifest_only,
+                     n_opened=len(boundary))
+    if not boundary:
+        return covered
+    # boundary files: bounded driver-side metadata (a tiny path list via
+    # SQL VALUES — never a Python-RDD build side), counted on executors
+    # with the same Arrow kernel the reader uses
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in boundary)
+    paths_df = spark.sql(f"SELECT col1 AS path FROM (VALUES {vals})")
+
+    def _count(batches):
+        import pandas as pd
+        for b in batches:
+            for p in b["path"]:
+                t = _load_file_arrow(p)
+                mask = pc.and_(
+                    pc.greater_equal(t.column("ts_micros"),
+                                     pa.scalar(lo_micros)),
+                    pc.less_equal(t.column("ts_micros"),
+                                  pa.scalar(hi_micros)))
+                yield pd.DataFrame({"n": [t.filter(mask).num_rows]})
+
+    row = (paths_df.repartition(len(boundary))
+           .mapInPandas(_count, "n BIGINT")
+           .agg(F.sum("n").alias("n"))
+           .collect()[0])  # driver-bounded: ONE scalar (this is a count)
+    return covered + int(row["n"] or 0)
+
+
+# count window cuts MID-DAY through two daily files: days 9–13 are fully
+# covered (answered from manifest n, zero bytes), days 8 and 14 are
+# boundary (opened), everything else pruned — all three classifications
+# exercised by the one oracle
+_CNT_LO = "2024-01-08 12:00:00"
+_CNT_HI = "2024-01-14 11:59:59.999999"
+
+
+def scan_docstore_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-from-manifest surface as a registered op: window count
+    plus the pruning classification (how many files were answered from
+    metadata vs opened), all recomputable by the oracle from per-day
+    min/max/count aggregates — so the CLASSIFICATION itself is
+    value-checked, not just the count."""
+    from datetime import datetime, timezone
+
+    root = build_collection(spark, sf_dir)
+
+    def _micros(s: str) -> int:
+        dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    stats: dict = {}
+    n = count_documents(spark, root, _micros(_CNT_LO), _micros(_CNT_HI),
+                        stats=stats)
+    return spark.sql(f"""
+        SELECT CAST({n} AS BIGINT) AS n_docs,
+               CAST({stats['n_manifest_only']} AS BIGINT)
+                   AS n_files_manifest_only,
+               CAST({stats['n_opened']} AS BIGINT) AS n_files_opened,
+               CAST({stats['n_pruned']} AS BIGINT) AS n_files_pruned
+    """)
 
 
 def stream_docstore_tail(spark: SparkSession, sf_dir: str,
@@ -493,9 +607,10 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     # disagree with the data a reader will parse
     agg = (spark.read.schema(batch.schema).json(staging)
            .agg(F.min("ts_micros").alias("lo"),
-                F.max("ts_micros").alias("hi"))
+                F.max("ts_micros").alias("hi"),
+                F.count(F.lit(1)).alias("n"))
            .collect()[0])  # driver-bounded: ONE stats row
-    lo, hi = agg["lo"], agg["hi"]
+    lo, hi, n_rows = agg["lo"], agg["hi"], agg["n"]
 
     # claim the batch name atomically (shape-independent): O_EXCL create
     # of a zero-byte sentinel — first appender wins, everyone else fails
@@ -538,7 +653,7 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
-    entry = {"min_ts": lo, "max_ts": hi}
+    entry = {"min_ts": lo, "max_ts": hi, "n": int(n_rows)}
     if len(names) == 1:
         entry["file"] = names[0]
     else:
@@ -605,11 +720,38 @@ def sink_docstore_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "scan_docstore_pushdown": scan_docstore_pushdown,
+    "scan_docstore_count_pushdown": scan_docstore_count_pushdown,
     "stream_docstore_tail": stream_docstore_tail,
     "sink_docstore_append": sink_docstore_append,
 }
 
 ORACLE = {
+    # recomputes the count AND the pruning classification from per-day
+    # min/max/count aggregates — the same stats the manifest holds
+    "scan_docstore_count_pushdown": f"""
+        WITH day_stats AS (
+            SELECT date_trunc('day', ts) AS d, MIN(ts) AS lo,
+                   MAX(ts) AS hi, COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT
+            (SELECT COUNT(*) FROM events
+             WHERE ts >= TIMESTAMP '{_CNT_LO}'
+               AND ts <= TIMESTAMP '{_CNT_HI}') AS n_docs,
+            COUNT(*) FILTER (WHERE lo >= TIMESTAMP '{_CNT_LO}'
+                             AND hi <= TIMESTAMP '{_CNT_HI}')
+                AS n_files_manifest_only,
+            COUNT(*) FILTER (
+                WHERE NOT (hi < TIMESTAMP '{_CNT_LO}'
+                           OR lo > TIMESTAMP '{_CNT_HI}')
+                  AND NOT (lo >= TIMESTAMP '{_CNT_LO}'
+                           AND hi <= TIMESTAMP '{_CNT_HI}'))
+                AS n_files_opened,
+            COUNT(*) FILTER (WHERE hi < TIMESTAMP '{_CNT_LO}'
+                             OR lo > TIMESTAMP '{_CNT_HI}')
+                AS n_files_pruned
+        FROM day_stats
+    """,
     "scan_docstore_pushdown": f"""
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
                ROUND(value, 4) AS value

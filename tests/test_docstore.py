@@ -391,3 +391,56 @@ def test_multipart_append_one_entry_no_driver_bytes(spark, sf_dir,
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must be unique"):
         append_batch(spark, root, late, name="mp-batch")
+
+
+def test_count_documents_manifest_only_runs_zero_jobs(spark, sf_dir):
+    """Round-12 verdict #7: a count over a window that fully covers
+    every overlapping file is answered from manifest row-count stats —
+    ZERO Spark jobs, zero file bytes; a mid-day window opens ONLY the two
+    boundary files.  (Why not a pushed-down COUNT(*): the Python
+    DataSource API has no aggregate-pushdown hook — see
+    count_documents' docstring.)"""
+    from datetime import datetime, timezone
+
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        build_collection,
+        count_documents,
+    )
+
+    root = build_collection(spark, sf_dir)
+
+    def micros(s):
+        return int(datetime.fromisoformat(s).replace(
+            tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    # leg 1: whole-collection window → pure metadata, no Spark job
+    sc = spark.sparkContext
+    group = "count-manifest-only"
+    sc.setJobGroup(group, "manifest-only count")
+    stats: dict = {}
+    try:
+        n = count_documents(spark, root, micros("2020-01-01 00:00:00"),
+                            micros("2030-01-01 00:00:00"), stats=stats)
+    finally:
+        sc.setJobGroup("", "")
+    assert n == events.count()
+    assert stats["n_opened"] == 0
+    assert stats["n_manifest_only"] == stats["n_entries"]
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert n_jobs == 0, f"manifest-only count ran {n_jobs} Spark jobs"
+
+    # leg 2: mid-day window → exactly the two boundary day-files opened,
+    # count still exact
+    lo, hi = micros("2024-01-08 12:00:00"), micros("2024-01-14 11:59:59")
+    stats2: dict = {}
+    n2 = count_documents(spark, root, lo, hi, stats=stats2)
+    want = events.where(
+        (F.unix_micros("ts") >= lo) & (F.unix_micros("ts") <= hi)).count()
+    assert n2 == want
+    assert stats2["n_opened"] == 2, stats2
+    assert stats2["n_manifest_only"] >= 1
+    assert stats2["n_pruned"] >= 1
