@@ -2476,9 +2476,12 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                      pre.l_orderkey == ords.o_orderkey)
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                 .alias("revenue"))
+                 # decimal sum: float revenue sums flip the 4th decimal
+                 # at sf10 magnitudes (~1e11 — caught by the r13 sweep)
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                               * (1 - F.col("l_discount")
+                                  .cast("decimal(8,4)"))), 4)
+                 .cast("double").alias("revenue"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -2606,8 +2609,9 @@ ORACLE = {
     """,
     "join_bloom_semi_reduction": """
         SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n_items,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
-                   AS revenue
+               CAST(ROUND(SUM(l.l_extendedprice::DECIMAL(18,4)
+                              * (1 - l.l_discount::DECIMAL(8,4))), 4)
+                    AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT'
