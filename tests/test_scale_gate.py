@@ -166,3 +166,42 @@ def test_superseded_bench_and_correctness_artifacts_are_gone():
         stragglers += [f for n, f in entries if n not in allowed]
     assert not stragglers, \
         f"superseded bench/correctness artifacts still present: {stragglers}"
+
+
+def test_heaviest_family_spills_not_ooms_under_memory_pressure():
+    """Round-12 verdict #2: the 100 TB story leans on Tungsten spill, but
+    every recorded run had 128 GiB of headroom.  Run the heaviest exact
+    dedup ops in a subprocess whose unified memory pool is squeezed to
+    ~1% (spark.memory.fraction=0.05, 2g heap, local[2]) plus a synthetic
+    10M-row wide sort as positive control: the sort must SPILL (bytes
+    recorded via the stage metrics REST API) and every op must COMPLETE
+    — spill or bounded state, never OOM.  The dedup family completing
+    IN-MEM here is itself the design claim: its per-task state is
+    MAX_BLOCK-tiled, so pressure hits the sort/shuffle machinery (which
+    spills), not an unbounded operator buffer."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, ".scratch", f"spill_gate_{os.getpid()}.json")
+    env = dict(os.environ, SPILL_CPUS="2", SPILL_MEM="2g",
+               SPILL_MEM_FRACTION="0.05")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "spill_rehearsal.py"),
+         "/root/testdata/sf0.1", "--probe-sort", "--json", out,
+         "dedup_ngram_jaccard", "dedup_containment"],
+        env=env, timeout=900, capture_output=True, text=True)
+    assert proc.returncode == 0, (
+        f"op failed under memory pressure (OOM?):\n{proc.stdout[-1500:]}\n"
+        f"{proc.stderr[-1500:]}")
+    with open(out) as fh:
+        doc = json.load(fh)
+    os.unlink(out)
+    assert doc["n_failed"] == 0
+    probe = doc["ops"]["_probe_sort_10m"]
+    assert probe["memory_spill_bytes"] > 0 or probe["disk_spill_bytes"] > 0, (
+        f"positive control did not spill: {probe}")
+    for op in ("dedup_ngram_jaccard", "dedup_containment"):
+        assert doc["ops"][op]["err"] is None

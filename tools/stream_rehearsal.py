@@ -71,10 +71,20 @@ def main() -> int:
     manifest = json.load(open(os.path.join(root, MANIFEST)))
     total_files = len(manifest)
     # per-file ingest row counts (the manifest records ts stats only)
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        _entry_files,
+    )
+
     rows_per_file = []
     for m in manifest:
-        with open(os.path.join(root, m["file"]), "rb") as fh:
-            rows_per_file.append(sum(1 for _ in fh))
+        if "n" in m:  # round-13 manifests carry row counts
+            rows_per_file.append(m["n"])
+            continue
+        n = 0
+        for f in _entry_files(m):  # legacy: count lines (multi-part aware)
+            with open(os.path.join(root, f), "rb") as fh:
+                n += sum(1 for _ in fh)
+        rows_per_file.append(n)
     total_rows = sum(rows_per_file)
     cap = max(1, -(-total_files // n_batches))
 
