@@ -1186,7 +1186,9 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(1) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total
+               -- decimal sum: float flips the 4th decimal at sf10 (~1e11)
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                    AS DOUBLE) AS total
         FROM orders
         WHERE o_orderdate >= CAST(:start AS TIMESTAMP)
           AND o_orderdate < CAST(:end AS TIMESTAMP)
@@ -3256,7 +3258,8 @@ ORACLE = {
     """,
     "sql_parameterized": """
         SELECT o_orderpriority, COUNT(1) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total
+               CAST(ROUND(SUM(o_totalprice::DECIMAL(18,4)), 4) AS DOUBLE)
+                   AS total
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
