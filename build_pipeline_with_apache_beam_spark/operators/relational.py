@@ -313,8 +313,12 @@ def flagship_q5_multijoin_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-              .alias("revenue"))
+        # decimal sum: per-nation revenue is corpus-scale (~6e11 at sf10 —
+        # dims held fixed as the corpus grows), where float flips the 4th
+        # decimal (r13 sweep family fix)
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                           * (1 - F.col("l_discount").cast("decimal(8,4)"))),
+                     4).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -3199,7 +3203,9 @@ ORACLE = {
     """,
     "flagship_q5_multijoin_volume": """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+               CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))), 4) AS DOUBLE)
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey

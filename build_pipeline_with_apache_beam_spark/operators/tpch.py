@@ -196,8 +196,11 @@ def flagship_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame
         & F.col("l_quantity").between(20, 50)
     )
     return joined.where(branch1 | branch2 | branch3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-        .alias("revenue"),
+        # decimal sum: single-group corpus-scale revenue flips the 4th
+        # decimal in float at sf10 magnitudes (r13 sweep family fix)
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                      * (1 - F.col("l_discount").cast("decimal(8,4)"))), 4)
+        .cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -295,7 +298,9 @@ ORACLE = {
         LIMIT 100
     """,
     "flagship_q19_disjunctive_pred": """
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        SELECT CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                              * (1 - l_discount::DECIMAL(8,4))), 4) AS DOUBLE)
+                   AS revenue,
                COUNT(1) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15

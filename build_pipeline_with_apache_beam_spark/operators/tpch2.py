@@ -268,8 +268,12 @@ def flagship_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-             .alias("total_revenue"))
+        # decimal sum: per-supplier quarter revenue reaches ~3.5e9 at sf10
+        # (fixed dims, growing corpus) — float error ≈ the 1e-4 rounding
+        # granularity, and the max-equality filter amplifies any flip
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                           * (1 - F.col("l_discount").cast("decimal(8,4)"))),
+                     4).cast("double").alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -593,8 +597,9 @@ ORACLE = {
     "flagship_q15_top_supplier": """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
-                       AS total_revenue
+                   CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                                  * (1 - l_discount::DECIMAL(8,4))), 4)
+                        AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
