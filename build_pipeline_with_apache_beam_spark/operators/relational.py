@@ -863,8 +863,13 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("c_custkey", "c_name",
                        F.round(F.col("c_acctbal") + 1000.0, 4)
                        .alias("c_acctbal")))
-    inserts = updates.select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+    # insert keys offset past the DATA's max key, not a constant: a fixed
+    # +1M collided with real custkeys at sf10 (keys stride past 1.5M), and
+    # an insert landing on an update's key made the pri tie-break — and
+    # thus the whole merge — engine-nondeterministic (r13 sf10 sweep)
+    max_key = cust.agg((F.max("c_custkey") + 1).alias("_ins_base"))
+    inserts = updates.crossJoin(F.broadcast(max_key)).select(
+        (F.col("c_custkey") + F.col("_ins_base")).alias("c_custkey"),
         F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
         F.lit(0.0).alias("c_acctbal"))
     changes = updates.unionByName(inserts).withColumn("pri", F.lit(0))
@@ -3746,7 +3751,8 @@ ORACLE = {
                    ROUND(c_acctbal + 1000.0, 4) AS c_acctbal
             FROM base WHERE c_custkey % 10 = 0
         ), inserts AS (
-            SELECT c_custkey + 1000000 AS c_custkey,
+            SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer)
+                       AS c_custkey,
                    'NEW ' || c_name AS c_name, 0.0 AS c_acctbal
             FROM updates
         ), merged AS (

@@ -33,7 +33,9 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o_orderstatus,
                COUNT(1) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total_price
+               -- decimal sum: ~2.5e11/group at sf10, float flips 4th dec
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                    AS DOUBLE) AS total_price
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
@@ -216,7 +218,8 @@ ORACLE = {
     "subquery_in": """
         SELECT o_orderstatus,
                COUNT(1) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total_price
+               CAST(ROUND(SUM(o_totalprice::DECIMAL(18,4)), 4) AS DOUBLE)
+                   AS total_price
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
