@@ -689,21 +689,37 @@ def text_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractions before they poison a training mix.
 
     Four regexp_count projections + one weighted combination, all inside
-    the scan projection (JVM regex, no shuffle, no Python)."""
+    the scan projection (JVM regex, no shuffle, no Python).
+
+    The 4-decimal values are computed by EXACT INTEGER arithmetic —
+    round-half-up of the true rational, ``(x*20000 + n) div (2n) / 1e4``
+    — not by ROUND on a float: at sf10 the perturbed corpus lands ~31
+    documents within an ulp of a .xxxx5 rounding tie, where Spark's
+    BigDecimal HALF_UP and DuckDB's float-multiply rounding disagree
+    (r13 sweep find).  Integer arithmetic gives the same engine-exact
+    answer at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    n_chars = F.greatest(F.length("text"), F.lit(1))
-    sym = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
-    dig = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    n_chars = F.greatest(F.length("text"), F.lit(1)).cast("bigint")
+    sym = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("bigint")
+    dig = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
     hyph = F.regexp_count(F.col("text"), F.lit(r"\w- \w"))
     stray = F.regexp_count(F.col("text"), F.lit(r"(^| )[A-Za-z]( |$)"))
+
+    def r4(num_e4):
+        # round-half-up(num_e4 / n_chars) as an exact integer: for
+        # integer a, b < 2^40, floor(a/b) over IEEE division IS a div b
+        # (a/b within an ulp of integer k implies a == k*b exactly)
+        return F.floor((num_e4 * 2 + n_chars) / (2 * n_chars))
+
     return docs.select(
         "doc_id",
-        F.round(sym / n_chars, 4).alias("symbol_ratio"),
-        F.round(dig / n_chars, 4).alias("digit_ratio"),
+        (r4(sym * 10000) / 10000.0).alias("symbol_ratio"),
+        (r4(dig * 10000) / 10000.0).alias("digit_ratio"),
         hyph.alias("n_hyphen_breaks"),
         stray.alias("n_stray_letters"),
-        F.round(2.0 * sym / n_chars + dig / n_chars
-                + 0.05 * hyph + 0.02 * stray, 4).alias("ocr_noise_score"))
+        ((r4(sym * 20000 + dig * 10000)
+          + 500 * hyph.cast("bigint") + 200 * stray.cast("bigint"))
+         / 10000.0).alias("ocr_noise_score"))
 
 
 def text_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,15 +1069,18 @@ ORACLE = {
                        AS stray
             FROM documents
         )
+        -- exact integer round-half-up at 4 decimals (matches the
+        -- engine's div-based arithmetic bit for bit; float ROUND ties
+        -- diverge between engines at sf10 — r13 sweep find)
         SELECT doc_id,
-               ROUND(CAST(sym AS DOUBLE) / n_chars, 4) AS symbol_ratio,
-               ROUND(CAST(dig AS DOUBLE) / n_chars, 4) AS digit_ratio,
+               FLOOR((sym * 20000 + n_chars) / (2 * n_chars)) / 10000.0
+                   AS symbol_ratio,
+               FLOOR((dig * 20000 + n_chars) / (2 * n_chars)) / 10000.0
+                   AS digit_ratio,
                CAST(hyph AS INT) AS n_hyphen_breaks,
                CAST(stray AS INT) AS n_stray_letters,
-               ROUND(2.0::DOUBLE * sym / n_chars
-                     + CAST(dig AS DOUBLE) / n_chars
-                     + 0.05::DOUBLE * hyph + 0.02::DOUBLE * stray, 4)
-                   AS ocr_noise_score
+               (FLOOR((sym * 40000 + dig * 20000 + n_chars) / (2 * n_chars))
+                + 500 * hyph + 200 * stray) / 10000.0 AS ocr_noise_score
         FROM c
     """,
     "text_hapax_ratio": """
