@@ -226,8 +226,13 @@ def _demo_changeset(spark: SparkSession, sf_dir: str):
                .select("c_custkey", "c_name",
                        F.round(F.col("c_acctbal") + 1000.0, 4)
                        .alias("c_acctbal")))
-    inserts = updates.select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+    # insert keys offset past the DATA's max key (r13: the fixed +1M
+    # collided with real custkeys at sf10, making the merge winner — and
+    # thus the whole result — engine-nondeterministic; same fix as
+    # merge_upsert in operators/relational.py)
+    max_key = cust.agg((F.max("c_custkey") + 1).alias("_ins_base"))
+    inserts = updates.crossJoin(F.broadcast(max_key)).select(
+        (F.col("c_custkey") + F.col("_ins_base")).alias("c_custkey"),
         F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
         F.lit(0.0).alias("c_acctbal"))
     return cust, updates.unionByName(inserts)
@@ -354,7 +359,8 @@ ORACLE = {
             SELECT c_custkey, ROUND(bal + 1000.0, 4) AS bal2
             FROM base WHERE c_custkey % 10 = 0
         ), inserts AS (
-            SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS bal2 FROM updates
+            SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer)
+                       AS c_custkey, 0.0 AS bal2 FROM updates
         )
         SELECT c_custkey, b.bal AS bal_v1, c.bal2 AS bal_v2,
                CASE WHEN b.bal IS NULL THEN 'inserted'
@@ -373,7 +379,8 @@ ORACLE = {
                    ROUND(c_acctbal + 1000.0, 4) AS c_acctbal
             FROM base WHERE c_custkey % 10 = 0
         ), inserts AS (
-            SELECT c_custkey + 1000000 AS c_custkey,
+            SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer)
+                       AS c_custkey,
                    'NEW ' || c_name AS c_name, 0.0 AS c_acctbal
             FROM updates
         ), merged AS (
