@@ -525,7 +525,11 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str,
              .option("checkpointLocation", ckpt_dir)
              .outputMode("complete")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        from build_pipeline_with_apache_beam_spark.streaming.drain import (
+            await_drained,
+        )
+
+        await_drained(q)
     else:
         # capped: continuous micro-batches until the checkpoint has
         # committed every manifest entry (same drain loop the composed

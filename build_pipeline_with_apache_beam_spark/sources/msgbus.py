@@ -209,4 +209,8 @@ def stream_events_to_bus(spark, sf_dir: str, topic: str, bus_dir: str,
     q = (keyed.writeStream.foreachBatch(sink)
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    from build_pipeline_with_apache_beam_spark.streaming.drain import (
+        await_drained,
+    )
+
+    await_drained(q)

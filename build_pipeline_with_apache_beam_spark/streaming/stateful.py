@@ -25,6 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from build_pipeline_with_apache_beam_spark.streaming.drain import (
+    await_drained,
+)
+
 OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 STATE_SCHEMA = "n BIGINT, total DOUBLE"
 
@@ -97,7 +101,7 @@ def q_stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt_dir)
              .outputMode("update")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_drained(q)
 
     return spark.read.parquet(sink_dir)
 
@@ -188,7 +192,7 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
                  .option("checkpointLocation", ckpt_dir)
                  .outputMode("update")
                  .trigger(availableNow=True).start())
-            q.awaitTermination(120)
+            await_drained(q)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -264,7 +268,7 @@ def q_stream_upsert_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     q = (stream.writeStream.foreachBatch(merge_batch)
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_drained(q)
 
     out = spark.read.parquet(os.path.join(state_dir, "current"))
     return out.select("user_id", "event_id", "ts", "event_type",

@@ -27,6 +27,10 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from build_pipeline_with_apache_beam_spark.streaming.drain import (
+    await_drained,
+)
+
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 
 STATE_PARTITIONS = 8
@@ -187,7 +191,7 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (raw.writeStream.foreachBatch(sink_batch)
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_drained(q)
 
     return spark.read.parquet(sink_dir)
 
@@ -243,7 +247,7 @@ def q_stream_window_append_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         q = (agg.writeStream.foreachBatch(sink_batch)
              .option("checkpointLocation", ckpt_dir)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        await_drained(q)
     return spark.read.parquet(sink_dir)
 
 
@@ -309,7 +313,7 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         q = (joined.writeStream.foreachBatch(sink_batch)
              .option("checkpointLocation", dirs["ckpt"])
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        await_drained(q)
     return spark.read.parquet(dirs["sink"])
 
 
@@ -367,7 +371,7 @@ def q_stream_session_window_watermark(spark: SparkSession, sf_dir: str) -> DataF
         q = (agg.writeStream.foreachBatch(sink_batch)
              .option("checkpointLocation", ckpt_dir)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        await_drained(q)
     return spark.read.parquet(sink_dir)
 
 
@@ -419,7 +423,7 @@ def q_stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (enriched.writeStream.foreachBatch(sink_batch)
          .option("checkpointLocation", ckpt_dir)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_drained(q)
 
     # complete-mode rewrites the full aggregate per batch — the LAST
     # snapshot (max batch_id) is the answer for any micro-batch slicing
@@ -498,7 +502,7 @@ def q_stream_cep_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (agg.writeStream.foreachBatch(sink_batch)
              .option("checkpointLocation", ckpt_dir)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        await_drained(q)
     return spark.read.parquet(sink_dir)
 
 

@@ -128,6 +128,14 @@ def main() -> int:
         else:
             print(f"FAIL {name}: {msg}")
             n_fail += 1
+        if json_out:
+            # incremental checkpoint: a killed sweep (OOM, budget cutoff)
+            # keeps every completed op's verdict (r13: two multi-hour sf10
+            # runs died before the single end-of-run dump)
+            import json as _json
+
+            with open(json_out + ".partial", "w") as f:
+                _json.dump(results, f, indent=1)
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     if json_out:
