@@ -163,8 +163,13 @@ def publish_lake_version(lake: str, tmp: str) -> None:
     prev_target = os.path.realpath(current) if os.path.islink(current) else None
     if os.path.isdir(current) and not os.path.islink(current):
         # legacy real-directory lake (pre-symlink layout): move it aside
-        # non-atomically once; every publish after this one is atomic
+        # non-atomically once; every publish after this one is atomic.
+        # A prior crashed migration may have left _legacy_current behind
+        # (with `current` re-created since): clear the stale copy first so
+        # the rename cannot fail outright, then resume the migration.
         legacy = os.path.join(lake, "_legacy_current")
+        if os.path.lexists(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
         os.rename(current, legacy)
         prev_target = legacy
     if os.environ.get("SPARK_GRAFT_ETL_CRASH") == "before_publish":
@@ -185,16 +190,25 @@ def _gc_lake_versions(lake: str) -> None:
     the debris a crash inside the publish protocol can leave (a written
     tmp never published, or a retired dir whose rmtree never ran)."""
     current = os.path.join(lake, "current")
-    live = (os.path.basename(os.path.realpath(current))
-            if os.path.islink(current) else None)
+    if not os.path.islink(current):
+        # No published version to anchor liveness — either a legacy
+        # real-dir lake (migration owns it) or a crash mid-migration
+        # where `current` is gone and `_legacy_current` holds the ONLY
+        # copy of the lake.  GC with live=None would rmtree that copy;
+        # skip entirely until a publish re-establishes the symlink.
+        return
+    live = os.path.basename(os.path.realpath(current))
     try:
         entries = os.listdir(lake)
     except OSError:
         return
     for e in entries:
         p = os.path.join(lake, e)
-        if (e != "current" and e != live and os.path.isdir(p)
-                and not os.path.islink(p)):
+        # `_legacy_current` is the migration's pre-symlink snapshot; it is
+        # retired by publish_lake_version itself, never by GC (a crash
+        # window can make it the only copy of the pre-crash lake state).
+        if (e != "current" and e != live and e != "_legacy_current"
+                and os.path.isdir(p) and not os.path.islink(p)):
             shutil.rmtree(p, ignore_errors=True)
 
 

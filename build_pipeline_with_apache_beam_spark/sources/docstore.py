@@ -549,8 +549,77 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str,
         finally:
             q.stop()
             q.awaitTermination(60)
+        # A timeout must be an error, never a truncated answer (the same
+        # contract await_drained enforces): if the deadline expired before
+        # every manifest entry was committed, the sink holds a HALF-DRAINED
+        # aggregate — raise instead of returning it.
+        committed = _committed_file_idx(ckpt_dir)
+        if committed < total_files:
+            raise TimeoutError(
+                f"stream_docstore_tail drain incomplete: committed "
+                f"{committed}/{total_files} manifest entries before the "
+                f"deadline — refusing to return a half-drained sink")
     return spark.read.parquet(sink_dir)
 
+
+def _reclaim_stale_batch_claim(root: str, name: str, sentinel: str) -> bool:
+    """True iff a crashed appender's claim on ``name`` was safely taken over.
+
+    A sentinel is STALE only when (a) it records a claimant pid and that
+    process is dead, and (b) the batch never committed — no manifest entry
+    names it.  Both checks (and the takeover itself) run under the manifest
+    lock, so two concurrent retries cannot both reclaim: the loser re-reads
+    the sentinel after the winner rewrote its pid and sees a live claimant.
+    Orphan data files a crash left behind (linked but never committed —
+    invisible to readers, who only discover files via the manifest) are
+    removed so the retry republishes from scratch.  A legacy zero-byte
+    sentinel carries no pid and is never reclaimed.
+    """
+    import time
+
+    lock = os.path.join(root, ".manifest.lock")
+    for _ in range(50):
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            time.sleep(0.1)
+    else:
+        return False
+    try:
+        try:
+            with open(sentinel) as fh:
+                pid_txt = fh.read().strip()
+        except OSError:
+            return False
+        if not pid_txt.isdigit():
+            return False  # legacy claim with no owner recorded
+        try:
+            os.kill(int(pid_txt), 0)
+            return False  # claimant alive — genuine duplicate/concurrent
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            return False  # alive under another uid
+        with open(os.path.join(root, MANIFEST)) as fh:
+            manifest = json.load(fh)
+        published = {f for m in manifest for f in _entry_files(m)}
+        mine = [f for f in os.listdir(root)
+                if f == f"{name}.jsonl" or (
+                    f.startswith(f"{name}-p") and f.endswith(".jsonl"))]
+        if any(f in published for f in mine):
+            return False  # batch actually committed — name is taken
+        for f in mine:  # crash debris: linked but never committed
+            try:
+                os.unlink(os.path.join(root, f))
+            except OSError:
+                pass
+        with open(sentinel, "w") as fh:  # take over the claim
+            fh.write(str(os.getpid()))
+        return True
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock)
 
 
 def append_batch(spark: SparkSession, root: str, df: DataFrame,
@@ -617,16 +686,24 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     lo, hi, n_rows = agg["lo"], agg["hi"], agg["n"]
 
     # claim the batch name atomically (shape-independent): O_EXCL create
-    # of a zero-byte sentinel — first appender wins, everyone else fails
-    # before any visible state changes
+    # of a sentinel carrying the claimant's pid — first appender wins,
+    # everyone else fails before any visible state changes.  The pid makes
+    # a CRASHED claim recoverable: a sentinel whose owner is dead and whose
+    # batch never reached the manifest is stale, and an at-least-once
+    # producer retrying the same batch name (the natural idempotence key)
+    # reclaims it under the manifest lock instead of erroring forever.
     sentinel = os.path.join(root, f".{name}.claimed")
     try:
-        os.close(os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
     except FileExistsError:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise ValueError(
-            f"batch name {name!r} already exists in {root} — batch names "
-            f"must be unique (a committed file is never rewritten)")
+        if not _reclaim_stale_batch_claim(root, name, sentinel):
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"batch name {name!r} already exists in {root} — batch "
+                f"names must be unique (a committed file is never "
+                f"rewritten)")
     # legacy guard: collection files created outside append_batch (the
     # fixture copy path) carry no sentinel — still refuse to shadow them
     if (os.path.exists(os.path.join(root, f"{name}.jsonl"))

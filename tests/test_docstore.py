@@ -444,3 +444,66 @@ def test_count_documents_manifest_only_runs_zero_jobs(spark, sf_dir):
     assert stats2["n_opened"] == 2, stats2
     assert stats2["n_manifest_only"] >= 1
     assert stats2["n_pruned"] >= 1
+
+
+def test_append_batch_reclaims_stale_claim_from_dead_producer(
+        spark, sf_dir, tmp_path):
+    """A crash between sentinel creation and manifest publish must not
+    block the batch name forever: an at-least-once producer retrying the
+    same name (its natural idempotence key) reclaims the dead claim and
+    commits.  A claim held by a LIVE process stays refused, as does a
+    name whose batch actually committed."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from build_pipeline_with_apache_beam_spark.catalog import load_table
+    from build_pipeline_with_apache_beam_spark.sources.docstore import (
+        append_batch,
+        build_collection,
+    )
+
+    src = build_collection(spark, sf_dir)
+    root = str(tmp_path / "stalecoll")
+    shutil.copytree(src, root)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (ev.limit(5)
+             .select((F.col("event_id") + 60_000_000).alias("event_id"),
+                     F.unix_micros("ts").alias("ts_micros"),
+                     "user_id", "event_type", "value"))
+
+    # 1. stale claim: dead pid in the sentinel, no manifest entry, plus an
+    #    orphan data file the crash left linked but uncommitted
+    dead_pid = 2 ** 22 + 12345  # beyond pid_max on this host — never alive
+    with open(os.path.join(root, ".bz.claimed"), "w") as fh:
+        fh.write(str(dead_pid))
+    with open(os.path.join(root, "bz.jsonl"), "w") as fh:
+        fh.write('{"orphan": true}\n')
+    entry = append_batch(spark, root, batch, name="bz")
+    assert entry is not None and entry["n"] == 5
+    # the orphan bytes were replaced by the retried batch's real data
+    assert '"orphan"' not in open(os.path.join(root, "bz.jsonl")).read()
+    with open(os.path.join(root, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    assert sum(1 for m in manifest if m.get("file") == "bz.jsonl") == 1
+
+    # 2. live claim: sentinel owned by THIS process — refused
+    with open(os.path.join(root, ".blive.claimed"), "w") as fh:
+        fh.write(str(os.getpid()))
+    with _pytest.raises(ValueError, match="must be unique"):
+        append_batch(spark, root, batch, name="blive")
+
+    # 3. committed batch whose producer has since died: entry exists in
+    #    the manifest, so the name stays taken even with a dead-pid claim
+    with open(os.path.join(root, ".bz.claimed"), "w") as fh:
+        fh.write(str(dead_pid))
+    before = open(os.path.join(root, "bz.jsonl")).read()
+    with _pytest.raises(ValueError, match="must be unique"):
+        append_batch(spark, root, batch, name="bz")
+    assert open(os.path.join(root, "bz.jsonl")).read() == before
+
+    # 4. legacy zero-byte sentinel (no pid recorded): never reclaimed
+    open(os.path.join(root, ".blegacy.claimed"), "w").close()
+    with _pytest.raises(ValueError, match="must be unique"):
+        append_batch(spark, root, batch, name="blegacy")

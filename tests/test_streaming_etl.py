@@ -245,3 +245,46 @@ def test_lake_swap_crash_window_leaves_old_xor_new(spark, sf_dir, crash_point):
                  and e != os.path.basename(os.path.realpath(current))
                  and os.path.isdir(os.path.join(lake1, e))]
     assert not leftovers, f"unreaped version debris: {leftovers}"
+
+
+def test_gc_never_reaps_legacy_current_and_skips_without_symlink(tmp_path):
+    """Crash-mid-migration safety: `_legacy_current` is the only copy of a
+    pre-symlink lake while the migration is in flight — GC must never
+    remove it, and with `current` absent (the crash window between rename
+    and symlink) GC must not reap ANYTHING.  A retried migration must also
+    tolerate a `_legacy_current` left by a prior crash."""
+    from build_pipeline_with_apache_beam_spark.plans.etl import (
+        _gc_lake_versions,
+        publish_lake_version,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "_legacy_current").mkdir()
+    (lake / "_legacy_current" / "data.json").write_text('{"user_id": 1}\n')
+    (lake / "v_orphan").mkdir()
+
+    # crash window: no `current` at all — GC is a no-op
+    _gc_lake_versions(str(lake))
+    assert (lake / "_legacy_current" / "data.json").exists()
+    assert (lake / "v_orphan").exists(), "GC reaped with no liveness anchor"
+
+    # healthy lake: orphan version dirs are reaped, _legacy_current is not
+    (lake / "v_live").mkdir()
+    (lake / "v_live" / "_SUCCESS").touch()
+    os.symlink("v_live", str(lake / "current"))
+    _gc_lake_versions(str(lake))
+    assert (lake / "_legacy_current" / "data.json").exists()
+    assert (lake / "v_live").exists()
+    assert not (lake / "v_orphan").exists()
+
+    # retried migration: a real-dir `current` beside a stale
+    # _legacy_current from a prior crash must publish, not os.rename-fail
+    os.unlink(str(lake / "current"))
+    (lake / "current").mkdir()
+    (lake / "current" / "old.json").write_text('{"user_id": 2}\n')
+    (lake / "v_new").mkdir()
+    (lake / "v_new" / "_SUCCESS").touch()
+    publish_lake_version(str(lake), str(lake / "v_new"))
+    assert os.path.islink(str(lake / "current"))
+    assert os.path.realpath(str(lake / "current")).endswith("v_new")

@@ -143,6 +143,12 @@ def main() -> int:
 
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1)
+        # the incremental checkpoint is superseded by the final dump —
+        # remove it so a stale .partial never drifts beside the artifact
+        try:
+            os.remove(json_out + ".partial")
+        except OSError:
+            pass
         print(f"wrote {json_out} ({len(results)} ops)")
     return 1 if n_fail else 0
 
