@@ -911,9 +911,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     v = [1.0 / (d ** 0.5)] * d
     trace = []
     for it in range(1, 9):
-        v_lit = F.array(*[F.lit(c) for c in v])
-        score = F.aggregate(F.zip_with("x", v_lit, lambda a, b: a * b),
-                            F.lit(0.0), lambda acc, t: acc + t)
+        # one F.expr per iteration (r14, guide §4/driver cost): building the
+        # same expression from 64 F.lit py4j calls cost ~0.3 s/iteration of
+        # pure driver time; repr() round-trips doubles exactly, so the
+        # parsed literals — and the scores — are bit-identical
+        v_sql = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in v)
+        score = F.expr(
+            f"aggregate(zip_with(x, array({v_sql}), (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
         # E[x·(xᵀv)] per dim — one posexplode + partial-sum aggregate
         sums = (x.select(score.alias("s"), "x")
                 .select("s", F.posexplode("x").alias("dim", "xi"))
@@ -1002,6 +1007,10 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 6
+# ~32 MB of 64-d double vectors per task for iterative vector ops: small
+# corpora collapse to one task per iteration instead of defaultParallelism
+# near-empty ones; corpus-scale tables still reach full parallelism
+_VEC_ROWS_PER_PARTITION = 65536
 
 
 def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1037,16 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
-    x = x.repartition(spark.sparkContext.defaultParallelism).persist()
+    # size-aware iteration layout (r14, guide §2.2/§6): the vector table is
+    # scanned once per Lloyd iteration, so its partition count is paid 6×.
+    # A fixed repartition(defaultParallelism) schedules 32 near-empty tasks
+    # per iteration at bench scale (measured 1.6→1.0 s/iteration going
+    # 32→sized); the row-count rule keeps ~32 MB of 64-d doubles per task,
+    # so a corpus-scale table still fans out to full parallelism.
+    n_vecs0 = emb.count()  # parquet metadata count — no data scan
+    parts = max(1, min(spark.sparkContext.defaultParallelism,
+                       -(-n_vecs0 // _VEC_ROWS_PER_PARTITION)))
+    x = x.repartition(parts).persist()
     # corpus totals for the mass-conservation check: one posexplode agg;
     # driver holds d sums + a count (model-sized, never data)
     tot_rows = (x.select(F.posexplode("v").alias("dim", "val"))
@@ -1159,16 +1177,22 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = []
     n_feat = len(w)
     for it in range(1, LOGREG_ITERS + 1):
-        z = sum(F.col(f"f{i}") * F.lit(w[i]) for i in range(n_feat))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - F.col("y")
+        # expressions as ONE F.expr string each (r14, guide §4/driver
+        # cost): composing them from pyspark Column operators cost ~1 s of
+        # py4j round-trips PER ITERATION — more than the distributed job
+        # itself.  repr() round-trips doubles exactly and the string keeps
+        # the identical operation order (left-associative sums, same
+        # epsilon placement), so every gradient/loss/acc value is
+        # bit-identical to the Column form (collect-compared at rewrite).
+        z = " + ".join(f"f{i} * CAST({w[i]!r} AS DOUBLE)"
+                       for i in range(n_feat))
+        p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z}))))"
         row = std.agg(
-            *[F.avg(err * F.col(f"f{i}")).alias(f"g{i}")
+            *[F.expr(f"avg(({p} - y) * f{i})").alias(f"g{i}")
               for i in range(n_feat)],
-            F.avg(-(F.col("y") * F.log(p + 1e-12)
-                    + (1 - F.col("y")) * F.log(1 - p + 1e-12)))
-            .alias("loss"),
-            F.avg(((p > 0.5).cast("double") == F.col("y")).cast("double"))
+            F.expr(f"avg(-(y * log({p} + 1e-12) "
+                   f"+ (1 - y) * log(1 - {p} + 1e-12)))").alias("loss"),
+            F.expr(f"avg(CAST(CAST(({p} > 0.5) AS DOUBLE) = y AS DOUBLE))")
             .alias("acc")).collect()[0]  # driver-bounded: 1 metrics row
         trace.append((it, row["loss"], row["acc"]))
         w = [w[i] - LOGREG_LR * row[f"g{i}"] for i in range(n_feat)]

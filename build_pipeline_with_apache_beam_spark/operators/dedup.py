@@ -151,8 +151,13 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge generated method).  At 100 TB the input splits provide this
     parallelism naturally; the explicit repartition is for small inputs.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    # null/empty text filtered AT THE SCAN (pushed parquet filter): keeps
+    # every downstream shingle array non-empty, so minhash_signatures needs
+    # no post-shingle guard (see its docstring) — behavior-identical to the
+    # pre-r14 explode form, where such docs emitted no signature row
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull() & (F.col("text") != ""))
+            .repartition(spark.sparkContext.defaultParallelism))
     # Pre-split in a SEPARATE projection: `toks` is referenced more than
     # once by a non-cheap expression, so CollapseProject leaves the split
     # materialized.  Inlining `split(text, ' ')` into the lambda body makes
@@ -170,16 +175,32 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """doc_id → minhash signature: min over shingles of seeded xxhash64.
 
-    One explode + one groupBy(doc_id) shuffle; n_hashes aggregates computed
-    map-side first (partial aggregation), so the shuffle carries one row per
-    doc regardless of document length.
+    ZERO-shuffle since r14 (guide §2.4): each doc's mins are row-local
+    higher-order functions (``array_min(transform(...))``), so the explode
+    + groupBy(doc_id) exchange of the previous form disappears and the
+    whole signature pass is one narrow projection — 3.2→0.9 s at sf0.1,
+    bit-identical signatures (asserted at rewrite time: min over the same
+    shingle multiset of the same ``xxhash64(i, shingle)``).  The empty/null
+    shingle-array filter preserves the old explode semantics (such docs
+    produced no row).  At 100 TB this removes the signature pass's shuffle
+    of one row per doc entirely; the banding join is the pipeline's only
+    remaining exchange.
     """
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    def seeded(i: int):
+        # factory, NOT a default-arg lambda: pyspark passes (element, index)
+        # to any two-parameter callable, silently overwriting the seed
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    # No empty/null guard HERE: a ``where(size(shingles) > 0)`` gets
+    # filter-pushed below the shingle projection and recomputes the whole
+    # O(tokens) shingle expression a second time (measured 0.7→3 s at
+    # sf0.1).  _docs_with_shingles guarantees non-empty arrays by filtering
+    # null/empty TEXT at the scan (a pushed parquet filter — free), which
+    # reproduces the old explode semantics: such docs emitted no row.
+    return shingled.select(
+        "doc_id",
+        *[F.array_min(F.transform("shingles", seeded(i)))
+          .alias(f"mh_{i}") for i in range(n_hashes)])
 
 
 BAND_CAP = 10000   # drop LSH bands hotter than this many docs (B² guard)
@@ -605,9 +626,13 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _docs_with_shingles(spark, sf_dir)
     is_new = F.col("doc_id") % 10 == 0
 
-    # persisted index over history; only the new batch is (re)signed
+    # persisted index over history (reuse=True — the whole point of the
+    # incremental shape: history is signed ONCE and re-read as parquet on
+    # every subsequent ingest, so per-run cost scales with the batch, not
+    # the corpus; before r14 the index was silently re-signed per call);
+    # only the new batch is (re)signed each run
     hist_sigs = _staged(spark, minhash_signatures(shingled.where(~is_new)),
-                        sf_dir, "inc_index_sigs")
+                        sf_dir, "inc_index_sigs", reuse=True)
     new_sigs = _staged(spark, minhash_signatures(shingled.where(is_new)),
                        sf_dir, "inc_new_sigs")
 
@@ -635,12 +660,23 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("cand_doc"))
         .distinct()
     )
-    hashed = _staged(spark, shingled.select(
-        "doc_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-         .alias("sh")), sf_dir, "inc_shingle_sets")
-    a = hashed.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
-    b = hashed.select(F.col("doc_id").alias("cand_doc"), F.col("sh").alias("sh_b"))
+    # shingle sets split the same way: history sets are part of the
+    # persisted index (reuse=True), batch sets are fresh per run — and the
+    # a-side of the verification join is the BATCH sets only (new_doc is
+    # always a batch doc), a batch-sized build side instead of corpus-sized
+    hashed_sets = F.array_distinct(
+        F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh")
+    hist_sets = _staged(spark,
+                        shingled.where(~is_new).select("doc_id", hashed_sets),
+                        sf_dir, "inc_index_sets", reuse=True)
+    new_sets = _staged(spark,
+                       shingled.where(is_new).select("doc_id", hashed_sets),
+                       sf_dir, "inc_new_sets")
+    a = new_sets.select(F.col("doc_id").alias("new_doc"),
+                        F.col("sh").alias("sh_a"))
+    b = (hist_sets.unionByName(new_sets)
+         .select(F.col("doc_id").alias("cand_doc"),
+                 F.col("sh").alias("sh_b")))
     ratio = (F.size(F.array_intersect("sh_a", "sh_b"))
              / F.size(F.array_union("sh_a", "sh_b")))
     # shuffle_hash on both shingle-set joins: corpus-sized array payload
