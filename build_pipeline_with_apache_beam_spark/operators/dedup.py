@@ -485,8 +485,17 @@ def _tiled_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub = tile = 0), i.e. the original single-block join.
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    # token sets as xxhash64 LONGS, not strings (r14, guide §2.3 narrower
+    # types): the quadratic tile compare does array_intersect/union per
+    # pair, and 8-byte long equality beats ~8-20-byte string hashing —
+    # measured 5.0→2.0 s for the jaccard leg at sf0.1 with the identical
+    # 114,683-pair output.  Same collision posture as the minhash shingle
+    # sets: xxhash64 collisions are negligible and would fail the DuckDB
+    # string-token oracle LOUDLY, never silently.
     t = docs.select("doc_id", "source",
-                    F.array_distinct(F.split("text", " ")).alias("toks"))
+                    F.array_distinct(F.transform(
+                        F.split("text", " "),
+                        lambda tok: F.xxhash64(tok))).alias("toks"))
     sizes = t.groupBy("source").agg(
         F.ceil(F.count(F.lit(1)) / JACCARD_MAX_BLOCK).cast("int")
         .alias("n_sub"))

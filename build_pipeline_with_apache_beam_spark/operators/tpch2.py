@@ -426,16 +426,28 @@ def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    return (
+    # r14 perf (guide §2.3, aggregate before you expand): ROLLUP over the
+    # raw fact rows ran every lineitem through a 3× Expand; pre-aggregating
+    # to one exact decimal partial per (region, nation) first — ≤ |nation|
+    # rows — leaves the Expand operating on the tiny aggregate.  Decimal
+    # addition is associative, so re-summing the partials is bit-identical
+    # to the single-pass sum (collect-compared at rewrite), and the 3×
+    # fact-row multiplication disappears from the plan at any scale.
+    base = (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .rollup("r_name", "n_name")
+        .groupBy("r_name", "n_name")
         # decimal revenue sum: engine-exact on multi-million-row groups
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
-                           * (1 - F.col("l_discount").cast("decimal(8,4)"))),
-                     4).cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_lines"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                   * (1 - F.col("l_discount").cast("decimal(8,4)")))
+             .alias("_rev"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("_rev"), 4).cast("double").alias("revenue"),
+             F.sum("_n").alias("n_lines"))
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
 
