@@ -1,8 +1,13 @@
 """BENCH harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and print ONE JSON line:
+(default /root/testdata/sf0.1).  The FINAL stdout line is the one-line
+driver contract (round-14 verdict #1 — it must be LAST so a stdout-tail
+capture keeps it whole):
 
-    {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {op: sec, ...}, "sf": ...}
+    {"metric": "warm_total_sec", "value": N, "unit": "sec",
+     "queries": {op: sec, ...}, "sf": ..., "cpus": N}
+
+Preceding lines carry the full detail (cold map, wall) and a compact
+summary (bucket split, control ratio, movers) for the artifacts.
 
 Each query executes end-to-end into the ``noop`` sink so timing covers the
 full distributed plan (scan → shuffle → operators) without driver-side
@@ -44,6 +49,27 @@ ORACLE_COMPANION_OPS = (
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cluster_canonical",
     "dedup_connected_groups", "corpus_dedup_rate_curve",
 )
+
+# Ops whose WARM pass rides a reuse=True persisted-index stage built by the
+# cold pass (round-14 verdict #8: keep reuse ops honest — the index-build
+# cost must stay visible).  The summary line reports their cold seconds
+# beside the headline warm numbers.
+REUSE_INDEX_OPS = (
+    "dedup_fuzzy_minhash", "dedup_incremental_minhash",
+    "dedup_minhash_recall_eval", "sql_recursive_cte",
+)
+
+
+def _effective_cpus() -> int:
+    """The core count Spark actually runs with (master local[N]) — NOT
+    os.cpu_count(): the driver re-runs the bench at a lower
+    $SPARK_GRAFT_CPUS to measure scaling, and round-14 found the summary
+    claiming 32 cpus for a local[8] run (and the baseline-mismatch guard
+    comparing the wrong value)."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        return os.cpu_count() or 8
 
 
 def _round_no(fname: str) -> int:
@@ -107,6 +133,7 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(time.time() - t_total, 3)
 
+    eff_cpus = _effective_cpus()
     warm_total = round(sum(v for v in warm.values() if v > 0), 3)
     n_ops = sum(1 for v in warm.values() if v > 0)
     print(json.dumps({
@@ -117,11 +144,11 @@ def main() -> None:
         "queries_cold": cold,
         "wall_total_sec": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cpus": os.cpu_count(),
+        "cpus": eff_cpus,
     }))
-    # Compact summary as the LAST stdout line (round-10 verdict #5): the
-    # driver records only a 2000-char stdout tail, so the full per-query
-    # line above truncates unparseably at 341 ops.  This line always fits.
+    # Compact summary line (round-10 verdict #5): small enough to survive
+    # any stdout-tail truncation, so the headline totals are always
+    # recoverable even if the per-query lines are cut.
     movers: dict[str, list[float]] = {}
     n_movers = 0
     baseline_name = None
@@ -144,11 +171,11 @@ def main() -> None:
             # the comparison instead (round-11 advice)
             cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
             if (prev_doc.get("sf") != cur_sf
-                    or prev_doc.get("cpus") != os.cpu_count()):
+                    or prev_doc.get("cpus") != eff_cpus):
                 baseline_skip = (
                     f"baseline sf={prev_doc.get('sf')}/"
                     f"cpus={prev_doc.get('cpus')} != "
-                    f"current sf={cur_sf}/cpus={os.cpu_count()}")
+                    f"current sf={cur_sf}/cpus={eff_cpus}")
             else:
                 for k, v in warm.items():
                     p = prev.get(k)
@@ -184,7 +211,7 @@ def main() -> None:
         "metric": "warm_total_sec",
         "value": warm_total,
         "unit": "sec",
-        "summary_of": "full per-query line printed above",
+        "summary_of": "full detail line above; final line = warm per-query",
         "n_ops": n_ops,
         "s_per_op": s_per_op,
         # two-bucket split (round-12 verdict #4): production ops vs the
@@ -202,6 +229,10 @@ def main() -> None:
         "s_per_op_noise_adjusted": (
             round(s_per_op / ctrl_ratio, 4)
             if s_per_op and ctrl_ratio else None),
+        # reuse=True index ops: warm rides the cold pass's persisted stage,
+        # so the index-build cost is reported beside the headline (r14 #8)
+        "reuse_ops_cold": {
+            k: cold[k] for k in REUSE_INDEX_OPS if cold.get(k, 0) > 0},
         "n_errors": sum(1 for v in warm.values() if v <= 0),
         "wall_total_sec": total,
         "movers_gt_1_5x_vs": baseline_name,
@@ -209,8 +240,22 @@ def main() -> None:
         "movers_gt_1_5x_count": n_movers,
         "movers_gt_1_5x": movers,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cpus": os.cpu_count(),
+        "cpus": eff_cpus,
     }))
+    # FINAL stdout line = the complete parseable per-query JSON (round-14
+    # verdict #1: with the full line printed FIRST, the driver's stdout
+    # tail truncated it mid-map two rounds running — per_query/geomean/
+    # scaling all came back empty).  Warm-only + compact separators keeps
+    # it as small as a full map can be; the cold map and buckets stay on
+    # the lines above (same numbers, same methodology as r13/r14).
+    print(json.dumps({
+        "metric": "warm_total_sec",
+        "value": warm_total,
+        "unit": "sec",
+        "queries": warm,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": eff_cpus,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -52,3 +52,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so SQL-form operators can run."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sized_spread(df: DataFrame, n_rows: int,
+                 rows_per_partition: int) -> DataFrame:
+    """Spread a small scan for a CPU-heavy downstream stage — ONLY when the
+    scan has fewer partitions than the row-sized target (optimization guide
+    §2.2/§6; round-14 verdict #1).
+
+    The test corpora are one parquet file = ONE input split, so without a
+    spread a CPU-bound stage (shingling, token hashing) runs on a single
+    core.  But an unconditional ``repartition(defaultParallelism)`` is a
+    full-table exchange at EVERY scale: at 100 TB the scan's splits already
+    provide the parallelism and the shuffle is pure waste.  This helper
+    sizes the target by rows (capped at defaultParallelism) and adds the
+    exchange only when the scan itself falls short of it — corpus-scale
+    paths take NO exchange.
+    """
+    spark = df.sparkSession
+    target = max(1, min(spark.sparkContext.defaultParallelism,
+                        -(-n_rows // max(1, rows_per_partition))))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -20,11 +20,25 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from build_pipeline_with_apache_beam_spark.catalog import load_table
 from build_pipeline_with_apache_beam_spark.functions.ngrams import word_ngrams
+
+
+def _dlit(x: float) -> str:
+    """SQL double literal that round-trips ANY double (ADVICE r14): repr()
+    is exact for finite values, but bare ``nan``/``inf`` parse as COLUMN
+    REFERENCES in Spark SQL — a non-finite iterate would throw
+    AnalysisException instead of propagating NaN the way F.lit did."""
+    if math.isfinite(x):
+        return f"CAST({x!r} AS DOUBLE)"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
 
 # md5-hex → uniform int bucket in [0, 65536): portable across engines.
 def _bucket_64k(col):
@@ -414,40 +428,52 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ok = (F.size(toks).between(3, 1000)
             & (F.size(F.array_distinct(toks)) / F.size(toks) > 0.2))
 
-    # stage 2: exact-dup canonical (longest text wins per fingerprint)
+    # stage 2 prep: exact-dup fingerprint (longest text wins, see window)
     fp = F.md5(F.encode(F.lower(F.concat_ws(" ", F.split(F.trim("text"),
                                                          r"\s+"))), "utf-8"))
-    w = W.partitionBy("fingerprint").orderBy(
-        F.desc(F.length("text")), F.asc("doc_id"))
-    annotated = (docs.withColumn("fingerprint", fp)
-                 .withColumn("canonical", F.row_number().over(w) == 1))
-
-    # stage 3: contamination — docs sharing a 5-gram with the benchmark
-    # (the src0 slice under the FIXED doc budget, see BENCH_DOC_CAP)
-    grams = word_ngrams(toks, 5)
-    with_grams = docs.select("doc_id", "source", F.explode(grams).alias("g"))
-    bench = (with_grams.where((F.col("source") == "src0")
-                              & (F.col("doc_id") < BENCH_DOC_CAP))
-             .select("g").distinct())
-    contaminated = (with_grams.where(F.col("source") != "src0")
-                    .join(F.broadcast(bench), "g")
-                    .select("doc_id").distinct()
-                    .withColumn("is_contam", F.lit(True)))
 
     # stage 4: deterministic split over the survivors
     split = F.when(_bucket_64k(F.col("text")) < 58982, "train").otherwise("eval")
 
-    staged = (
-        # contaminated-doc set scales with the corpus: pinned (sf3 audit)
-        annotated.join(contaminated.hint("shuffle_hash"), "doc_id", "left")
-        .select(
-            (F.col("source") != "src0").alias("in_scope"),
-            q_ok.alias("s1_quality"),
-            "canonical",
-            F.coalesce("is_contam", F.lit(False)).alias("contam"),
-            split.alias("split"))
-        .where("in_scope")
-    )
+    # stage 3 prep: the benchmark 5-gram set — its OWN scan, but a PRUNED
+    # one (PushedFilters: source = src0, doc_id < BENCH_DOC_CAP — at scale
+    # this is partition pruning over the fixed eval slice, tiny by
+    # definition), distinct'd and broadcast
+    grams = word_ngrams(toks, 5)
+    bench = (docs.where((F.col("source") == "src0")
+                        & (F.col("doc_id") < BENCH_DOC_CAP))
+             .select(F.explode(grams).alias("g")).distinct()
+             .withColumn("hit", F.lit(True)))
+
+    # ONE corpus scan for every per-doc stage (r15, guide §6 — r14 verdict
+    # #4: the old shape scanned documents twice more, once for the
+    # fingerprint window and once re-exploding the non-src0 grams into a
+    # semi-join + distinct + corpus-sized shuffle_hash join back).  All
+    # per-doc columns come off a single projection; contamination rides the
+    # SAME pipeline as an explode → broadcast-probe → groupBy(doc_id)
+    # rollup (map-side partial agg collapses the gram fanout back to one
+    # row per doc before the exchange), and the canonical window runs on
+    # top.  src0 docs skip gram generation outright (they are dropped by
+    # the in_scope filter; only their fingerprints matter for the window).
+    per_gram = docs.select(
+        "doc_id", "source", fp.alias("fingerprint"),
+        q_ok.alias("s1_quality"), split.alias("split"),
+        F.length("text").alias("_len"),
+        F.explode_outer(
+            F.when(F.col("source") != "src0", grams)
+            .otherwise(F.array().cast("array<string>"))).alias("g"))
+    per_doc = (per_gram.join(F.broadcast(bench), "g", "left")
+               .groupBy("doc_id")
+               .agg(F.first("source").alias("source"),
+                    F.first("fingerprint").alias("fingerprint"),
+                    F.first("s1_quality").alias("s1_quality"),
+                    F.first("split").alias("split"),
+                    F.first("_len").alias("_len"),
+                    F.max(F.coalesce("hit", F.lit(False))).alias("contam")))
+    w = W.partitionBy("fingerprint").orderBy(F.desc("_len"), F.asc("doc_id"))
+    staged = (per_doc
+              .withColumn("canonical", F.row_number().over(w) == 1)
+              .where(F.col("source") != "src0"))
     return staged.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.count_if(F.col("s1_quality")).alias("n_pass_quality"),
@@ -915,7 +941,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         # same expression from 64 F.lit py4j calls cost ~0.3 s/iteration of
         # pure driver time; repr() round-trips doubles exactly, so the
         # parsed literals — and the scores — are bit-identical
-        v_sql = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in v)
+        v_sql = ", ".join(_dlit(c) for c in v)
         score = F.expr(
             f"aggregate(zip_with(x, array({v_sql}), (a, b) -> a * b), "
             "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
@@ -1067,8 +1093,7 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash aggregate) — no crossJoin fanout, no groupBy(vec_id) pass,
         # and the inertia rides the same aggregate on the dim==0 slice.
         cent_sql = "array({})".format(", ".join(
-            "array({})".format(", ".join(
-                f"CAST({val} AS DOUBLE)" for val in vec))
+            "array({})".format(", ".join(_dlit(val) for val in vec))
             for vec in centroids))
         # one F.expr per stage (a single py4j call — 512 nested F.lit
         # columns cost ~0.5 s/iteration in py4j round-trips alone)
@@ -1184,8 +1209,7 @@ def corpus_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the identical operation order (left-associative sums, same
         # epsilon placement), so every gradient/loss/acc value is
         # bit-identical to the Column form (collect-compared at rewrite).
-        z = " + ".join(f"f{i} * CAST({w[i]!r} AS DOUBLE)"
-                       for i in range(n_feat))
+        z = " + ".join(f"f{i} * {_dlit(w[i])}" for i in range(n_feat))
         p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z}))))"
         row = std.agg(
             *[F.expr(f"avg(({p} - y) * f{i})").alias(f"g{i}")

@@ -31,7 +31,7 @@ import hashlib
 import os
 import shutil
 
-from build_pipeline_with_apache_beam_spark.catalog import load_table
+from build_pipeline_with_apache_beam_spark.catalog import load_table, sized_spread
 from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
 N_MINHASH = 16          # signature length
@@ -141,23 +141,37 @@ def _staged(spark: SparkSession, df: DataFrame, sf_dir: str,
     return spark.read.parquet(path)
 
 
+# ~128 docs per shingling task: shingling is heavily CPU-bound per row, so
+# small corpora still fan out to full parallelism at bench scale (sf0.1 =
+# 5000 docs → 32+ sized parts) while tiny gate corpora stop scheduling
+# dozens of near-empty tasks; corpus-scale scans skip the exchange entirely
+# (see catalog.sized_spread).
+_DOC_ROWS_PER_PARTITION = 128
+
+
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct word-3-gram shingles (array<string>), JVM-side.
 
-    Repartitioned to full parallelism first: the test corpus is one small
-    parquet file = ONE input split, and shingling is the CPU-heavy stage —
-    without the spread it runs on a single core (and a single safepoint-
-    starved codegen loop, observed minutes-long when the JIT declines the
-    huge generated method).  At 100 TB the input splits provide this
-    parallelism naturally; the explicit repartition is for small inputs.
+    Size-aware spread (r15, guide §2.2/§6 — the r14 form unconditionally
+    ``repartition(defaultParallelism)``-ed, a full-corpus shuffle at every
+    scale): the test corpus is one small parquet file = ONE input split,
+    and shingling is the CPU-heavy stage — without a spread it runs on a
+    single core (and a single safepoint-starved codegen loop, observed
+    minutes-long when the JIT declines the huge generated method).  At
+    100 TB the input splits provide the parallelism and NO exchange is
+    added.
     """
-    # null/empty text filtered AT THE SCAN (pushed parquet filter): keeps
-    # every downstream shingle array non-empty, so minhash_signatures needs
-    # no post-shingle guard (see its docstring) — behavior-identical to the
-    # pre-r14 explode form, where such docs emitted no signature row
-    docs = (load_table(spark, sf_dir, "documents")
-            .where(F.col("text").isNotNull() & (F.col("text") != ""))
-            .repartition(spark.sparkContext.defaultParallelism))
+    # null text filtered AT THE SCAN (pushed parquet filter): the pre-r14
+    # explode form emitted no signature row only for NULL text (split('',
+    # ' ') = [''] still yields one '' shingle), and the DuckDB truth CTEs
+    # compute from IS-NOT-NULL docs — so the scan filter matches exactly.
+    # (The r14 form also dropped empty-STRING text, silently diverging from
+    # the oracle on corpora with empty docs — ADVICE r14, fixed r15.)
+    n_docs = load_table(spark, sf_dir, "documents").count()  # metadata-only
+    docs = sized_spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull()),
+        n_docs, _DOC_ROWS_PER_PARTITION)
     # Pre-split in a SEPARATE projection: `toks` is referenced more than
     # once by a non-cheap expression, so CollapseProject leaves the split
     # materialized.  Inlining `split(text, ' ')` into the lambda body makes
@@ -180,8 +194,8 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFr
     + groupBy(doc_id) exchange of the previous form disappears and the
     whole signature pass is one narrow projection — 3.2→0.9 s at sf0.1,
     bit-identical signatures (asserted at rewrite time: min over the same
-    shingle multiset of the same ``xxhash64(i, shingle)``).  The empty/null
-    shingle-array filter preserves the old explode semantics (such docs
+    shingle multiset of the same ``xxhash64(i, shingle)``).  The null-text
+    scan filter preserves the old explode semantics (only null-text docs
     produced no row).  At 100 TB this removes the signature pass's shuffle
     of one row per doc entirely; the banding join is the pipeline's only
     remaining exchange.
@@ -195,8 +209,8 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFr
     # filter-pushed below the shingle projection and recomputes the whole
     # O(tokens) shingle expression a second time (measured 0.7→3 s at
     # sf0.1).  _docs_with_shingles guarantees non-empty arrays by filtering
-    # null/empty TEXT at the scan (a pushed parquet filter — free), which
-    # reproduces the old explode semantics: such docs emitted no row.
+    # NULL text at the scan (a pushed parquet filter — free); any non-null
+    # text (even '') yields ≥1 shingle, exactly the old explode semantics.
     return shingled.select(
         "doc_id",
         *[F.array_min(F.transform("shingles", seeded(i)))
@@ -399,10 +413,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     token instead of an md5 digest + hex conv — identical banding,
     hamming, and output contract.  Everything after the four 16-bit chunk
     columns exist is SHARED code, so the variants cannot drift."""
-    # spread the tokenize+hash stage across cores: the test corpus is one
-    # parquet file = one input split (at 100 TB splits provide this natively)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    # size-aware spread of the tokenize+hash stage (r15, guide §2.2/§6):
+    # the test corpus is one parquet file = one input split; at 100 TB the
+    # splits provide the parallelism natively and no exchange is added
+    docs = sized_spread(load_table(spark, sf_dir, "documents"),
+                        load_table(spark, sf_dir, "documents").count(),
+                        _DOC_ROWS_PER_PARTITION)
     # hash once per token in its own projection — inlining the hash chunks
     # into the 64 per-bit aggregates below would recompute the digest 64×
     # per row.  c0..c3 are the 64 hash bits as four 16-bit ints.

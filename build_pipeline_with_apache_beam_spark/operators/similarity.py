@@ -62,14 +62,17 @@ def _with_unit_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
     3× less expression work inside the join, and at scale the normalized
     column is what you'd persist in the index.
 
-    Repartitioned to full parallelism: the per-pair dot products downstream
-    are the CPU hot loop, and the test corpus is one small parquet file =
-    ONE input split (at 100 TB the splits provide this spread natively)."""
-    spark = df.sparkSession
+    NO repartition (r15; r14 verdict #6 — the pre-r15 form exchanged the
+    full vector table at every scale): every consumer either (a) is a
+    broadcast-query LINEAR scan (cosine pairs / LSH / IVF probes / MMR
+    pool / kNN vote), whose per-row work rides the scan splits at 100 TB
+    and is trivial at bench scale, or (b) reshuffles immediately on its
+    OWN block key (bucket / cell+sub) for the quadratic pair stage, so the
+    spread exchange was pure waste in both classes — plan-verified per
+    consumer in plans/r15/."""
     v = F.col(col).cast("array<double>")
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return (df.repartition(spark.sparkContext.defaultParallelism)
-            .withColumn("vec", F.transform(v, lambda x: x / n)))
+    return df.withColumn("vec", F.transform(v, lambda x: x / n))
 
 
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,9 +444,13 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }))
             yield pd.concat(parts, ignore_index=True)
 
-    pairs = (emb.repartition(spark.sparkContext.defaultParallelism)
-             .mapInPandas(score,
-                          "query_id BIGINT, cand_id BIGINT, cosine DOUBLE"))
+    # NO repartition (r15): the kernel is LINEAR per candidate row (one
+    # matmul row against 5 queries) — at 100 TB scan splits feed one Python
+    # worker per split; at bench scale one batch through one worker beats
+    # 32 near-empty Arrow tasks, and the exchange carried the full vector
+    # payload for nothing (guide §2.2/§4).
+    pairs = emb.mapInPandas(score,
+                            "query_id BIGINT, cand_id BIGINT, cosine DOUBLE")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                           F.col("cand_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))

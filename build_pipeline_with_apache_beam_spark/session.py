@@ -50,6 +50,14 @@ def get_spark(app_name: str = "build_pipeline_with_apache_beam_spark",
         # both sides — measured 2.6→1.4 s on the 6-table flagship join and
         # a consistent win across the join subset; ops whose build sides
         # grow with the corpus keep their explicit audited hints.
+        # Documented tradeoff (ADVICE r14): SHJ's build side cannot spill,
+        # so a bad cardinality estimate on a derived input can OOM where
+        # SMJ would have spilled.  Accepted here because (a) the planner's
+        # SHJ conditions require the build side to be small per partition,
+        # (b) every corpus-growing build side in this repo is explicitly
+        # hint-audited (r9 sf3 broadcast audit), and (c) AQE re-plans from
+        # RUNTIME sizes at each shuffle boundary, not estimates.  On a
+        # cluster where inputs are less audited, flip this back to true.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # NOT set: spark.sql.execution.pythonUDF.arrow.enabled — the two
         # row-pickled @udf ops are DELIBERATE demonstrations of the legacy

@@ -565,16 +565,21 @@ def stream_docstore_tail(spark: SparkSession, sf_dir: str,
 def _reclaim_stale_batch_claim(root: str, name: str, sentinel: str) -> bool:
     """True iff a crashed appender's claim on ``name`` was safely taken over.
 
-    A sentinel is STALE only when (a) it records a claimant pid and that
-    process is dead, and (b) the batch never committed — no manifest entry
-    names it.  Both checks (and the takeover itself) run under the manifest
-    lock, so two concurrent retries cannot both reclaim: the loser re-reads
-    the sentinel after the winner rewrote its pid and sees a live claimant.
-    Orphan data files a crash left behind (linked but never committed —
-    invisible to readers, who only discover files via the manifest) are
-    removed so the retry republishes from scratch.  A legacy zero-byte
-    sentinel carries no pid and is never reclaimed.
+    A sentinel is STALE only when (a) it records a claimant pid whose HOST
+    is this one (``os.kill(pid, 0)`` is host-local — with the collection
+    root on shared storage a live appender on another host must never be
+    judged dead; ADVICE r14) and that process is dead, and (b) the batch
+    never committed — no manifest entry names it.  Both checks (and the
+    takeover itself) run under the manifest lock, so two concurrent retries
+    cannot both reclaim: the loser re-reads the sentinel after the winner
+    rewrote its claim and sees a live claimant.  Orphan data files a crash
+    left behind (linked but never committed — invisible to readers, who
+    only discover files via the manifest) are removed so the retry
+    republishes from scratch.  A legacy zero-byte sentinel carries no pid
+    and is never reclaimed; a bare-pid sentinel (pre-r15 format) is
+    treated as host-local.
     """
+    import socket
     import time
 
     lock = os.path.join(root, ".manifest.lock")
@@ -589,9 +594,12 @@ def _reclaim_stale_batch_claim(root: str, name: str, sentinel: str) -> bool:
     try:
         try:
             with open(sentinel) as fh:
-                pid_txt = fh.read().strip()
+                claim_txt = fh.read().strip()
         except OSError:
             return False
+        host, _, pid_txt = claim_txt.rpartition(":")
+        if host and host != socket.gethostname():
+            return False  # claimant lives on another host — not checkable
         if not pid_txt.isdigit():
             return False  # legacy claim with no owner recorded
         try:
@@ -601,8 +609,11 @@ def _reclaim_stale_batch_claim(root: str, name: str, sentinel: str) -> bool:
             pass
         except PermissionError:
             return False  # alive under another uid
-        with open(os.path.join(root, MANIFEST)) as fh:
-            manifest = json.load(fh)
+        try:
+            with open(os.path.join(root, MANIFEST)) as fh:
+                manifest = json.load(fh)
+        except OSError:
+            return False  # no manifest yet — nothing safe to decide from
         published = {f for m in manifest for f in _entry_files(m)}
         mine = [f for f in os.listdir(root)
                 if f == f"{name}.jsonl" or (
@@ -615,7 +626,7 @@ def _reclaim_stale_batch_claim(root: str, name: str, sentinel: str) -> bool:
             except OSError:
                 pass
         with open(sentinel, "w") as fh:  # take over the claim
-            fh.write(str(os.getpid()))
+            fh.write(f"{socket.gethostname()}:{os.getpid()}")
         return True
     finally:
         os.close(lock_fd)
@@ -661,6 +672,7 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     driver-side metadata hop.
     """
     import shutil
+    import socket
     import time
     import uuid
 
@@ -695,7 +707,9 @@ def append_batch(spark: SparkSession, root: str, df: DataFrame,
     sentinel = os.path.join(root, f".{name}.claimed")
     try:
         fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
+        # hostname:pid (ADVICE r14): liveness is only checkable host-locally,
+        # so a reclaimer on another host must refuse rather than steal
+        os.write(fd, f"{socket.gethostname()}:{os.getpid()}".encode())
         os.close(fd)
     except FileExistsError:
         if not _reclaim_stale_batch_claim(root, name, sentinel):

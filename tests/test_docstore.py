@@ -507,3 +507,12 @@ def test_append_batch_reclaims_stale_claim_from_dead_producer(
     open(os.path.join(root, ".blegacy.claimed"), "w").close()
     with _pytest.raises(ValueError, match="must be unique"):
         append_batch(spark, root, batch, name="blegacy")
+
+    # 5. claim recorded by ANOTHER host (r15, ADVICE r14): os.kill liveness
+    #    is host-local, so even a "dead-looking" pid is refused when the
+    #    sentinel's hostname differs — a live appender on a second machine
+    #    sharing the collection root must never have its claim stolen
+    with open(os.path.join(root, ".bremote.claimed"), "w") as fh:
+        fh.write(f"some-other-host:{dead_pid}")
+    with _pytest.raises(ValueError, match="must be unique"):
+        append_batch(spark, root, batch, name="bremote")

@@ -126,10 +126,28 @@ def test_pivot_reads_input_once(spark, sf_dir, registry):
     assert "partial" in plan, plan
 
 
-def test_percentile_is_two_phase_object_agg(spark, sf_dir, registry):
+def test_exact_percentile_distributes_and_spills(spark, sf_dir, registry):
+    """r15 (guide §5, r14 verdict #3): the exact quantiles must NOT buffer
+    every group value in an ObjectHashAggregate (unspillable — an executor
+    OOM at 100 TB group sizes); they run as a window SORT (spills
+    gracefully) + rank-arithmetic interpolation over codegen HashAggregate.
+    Values are bit-identical to the old ``percentile`` aggregate
+    (collect-compared at three SFs at rewrite time; oracle-pinned)."""
     plan = plan_of(registry["agg_percentile"](spark, sf_dir))
-    assert plan.count("ObjectHashAggregate") >= 2, plan
-    assert "partial_percentile" in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "percentile" not in plan, plan
+    assert "Window" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_approx_percentile_exact_leg_distributes(spark, sf_dir, registry):
+    """The GK sketch keeps its (bounded-size, mergeable) ObjectHashAggregate;
+    the EXACT companion leg must come from the window-sort path, not a
+    full-buffer ``percentile``."""
+    plan = plan_of(registry["agg_approx_percentile"](spark, sf_dir))
+    assert "approx_percentile" in plan, plan
+    assert "partial_percentile" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_bucketed_join_has_no_join_key_shuffle(spark, sf_dir, registry):
