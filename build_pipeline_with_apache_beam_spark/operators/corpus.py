@@ -421,7 +421,15 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    from build_pipeline_with_apache_beam_spark.catalog import sized_spread
+
+    # size-aware spread (guide §2.2/§6): the per-doc stage below computes
+    # md5 fingerprints + 5-gram arrays — CPU-heavy, and the test corpus is
+    # ONE input split (2.0 s serial vs ~0.3 s spread at sf0.1); at 100 TB
+    # the splits provide the parallelism and no exchange is added.  The
+    # bench-slice filter still pushes below the repartition to the scan.
+    n_docs = load_table(spark, sf_dir, "documents").count()  # metadata-only
+    docs = sized_spread(load_table(spark, sf_dir, "documents"), n_docs, 128)
     toks = F.split("text", " ")
 
     # stage 1: quality (the gopher-style battery, abbreviated)
@@ -455,13 +463,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per doc before the exchange), and the canonical window runs on
     # top.  src0 docs skip gram generation outright (they are dropped by
     # the in_scope filter; only their fingerprints matter for the window).
-    per_gram = docs.select(
+    # per-doc expressions in their OWN projection BELOW the explode: a
+    # select that mixes them with explode() analyzes to Project-over-
+    # Generate with the expressions on TOP, i.e. md5/regex re-evaluated
+    # once per exploded GRAM row (measured 11.7 s vs 1.5 s at sf0.1) —
+    # the same inlining hazard _docs_with_shingles documents
+    base = docs.select(
         "doc_id", "source", fp.alias("fingerprint"),
         q_ok.alias("s1_quality"), split.alias("split"),
         F.length("text").alias("_len"),
-        F.explode_outer(
-            F.when(F.col("source") != "src0", grams)
-            .otherwise(F.array().cast("array<string>"))).alias("g"))
+        F.when(F.col("source") != "src0", grams)
+        .otherwise(F.array().cast("array<string>")).alias("_grams"))
+    per_gram = base.select(
+        "doc_id", "source", "fingerprint", "s1_quality", "split", "_len",
+        F.explode_outer("_grams").alias("g"))
     per_doc = (per_gram.join(F.broadcast(bench), "g", "left")
                .groupBy("doc_id")
                .agg(F.first("source").alias("source"),

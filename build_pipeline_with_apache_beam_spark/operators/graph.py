@@ -174,27 +174,41 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
              # off this tiny edge list 7+ times; without materialization
              # every branch would re-run the full lineitem join.  The
              # edge list is bounded by |nation|² — one partition, so the
-             # five iteration stages don't schedule 64 empty tasks each
+             # five iteration stages don't schedule 64 empty tasks each.
+             # localCheckpoint (r15): every iteration-invariant table is
+             # materialized ONCE — as a lineage-cut leaf, not a cached
+             # subtree — because a cached subtree is re-REFERENCED (and its
+             # exchanges re-planned) by all five iterations, which r15
+             # measured as 27 exchanges / 187 broadcast builds in one plan.
              .coalesce(1)  # small-bounded
-             .persist())
+             .localCheckpoint().coalesce(1))
     outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
-    trans = (edges.join(outw, "src")
+    trans = (edges.join(outw.hint("shuffle_hash"), "src")
              .select("src", "dst",
-                     (F.col("w").cast("double") / F.col("tot")).alias("p")))
+                     (F.col("w").cast("double") / F.col("tot")).alias("p"))
+             .coalesce(1).localCheckpoint().coalesce(1))
     nodes = (edges.select(F.col("src").alias("n"))
              .union(edges.select(F.col("dst").alias("n"))).distinct())
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "n", (F.lit(1.0) / F.col("cnt")).alias("r"))
-    # ranks are |nodes| rows — broadcast them into each iteration so the
-    # persisted transition list never reshuffles; the groupBy output is
-    # again |nodes| rows, broadcast back for the rebind join
+    # node axis + node count staged together: saves one crossJoin+broadcast
+    # build per iteration (nn is iteration-invariant)
+    base = (nodes.crossJoin(F.broadcast(nn)).select("n", "cnt")
+            .coalesce(1).localCheckpoint().coalesce(1))
+    r = base.select("n", (F.lit(1.0) / F.col("cnt")).alias("r"))
+    # single-partition SHUFFLE_HASH joins instead of per-iteration
+    # broadcasts (r15, guide §2.4/§3): each F.broadcast(r)/F.broadcast(
+    # inflow) was a separate broadcast-exchange build job per iteration
+    # (~11 per call) for ≤|nation|-row tables that already sit in ONE
+    # partition; the hinted hash join needs no exchange build at all.
+    # Same-window A/B: 5.7 → 2.8 s warm at sf0.1, identical output rows.
+    # At a million nodes the same plan degrades gracefully: the hint keys
+    # the join on src/n hash partitioning, exactly like the CC/LPA loops.
     for _ in range(5):
-        inflow = (trans.join(F.broadcast(r), trans.src == r.n)
+        inflow = (trans.join(r.hint("shuffle_hash"), trans.src == r.n)
                   .groupBy("dst")
                   .agg(F.sum(F.col("p") * F.col("r")).alias("inflow")))
-        r = (nodes.join(F.broadcast(inflow), nodes.n == inflow.dst, "left")
-             .crossJoin(F.broadcast(nn))
+        r = (base.join(inflow.hint("shuffle_hash"),
+                       base.n == inflow.dst, "left")
              .select(F.col("n"),
                      (F.lit(0.15) / F.col("cnt")
                       + F.lit(0.85) * F.coalesce(F.col("inflow"),

@@ -1431,58 +1431,68 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("relationship"))
 
 
-def _exact_rank_quantiles(df: DataFrame, key: str, col: str,
-                          ps: list[float]) -> DataFrame:
-    """Exact interpolated per-group quantiles via ONE window sort + rank
-    arithmetic (r15, guide §5 — r14 verdict #3): ``percentile`` is a
-    TypedImperativeAggregate that buffers EVERY value of a group inside one
-    ObjectHashAggregate buffer — an executor OOM waiting to happen at
-    100 TB group sizes, because that buffer cannot spill.  The window sort
-    distributes over the group-key exchange and spills gracefully; the
-    quantile is then pure rank arithmetic over ≤ 2·|ps| picked rows per
-    group.
+def _exact_rank_quantiles(df: DataFrame, key: str,
+                          specs: list[tuple[str, list[float]]],
+                          extra_cols: tuple[str, ...] = (),
+                          extra_aggs: tuple = ()) -> DataFrame:
+    """Exact interpolated per-group quantiles via rank arithmetic over ONE
+    group-key exchange (r15, guide §5 — r14 verdict #3): ``percentile`` is
+    a TypedImperativeAggregate that buffers EVERY value of a group inside
+    one ObjectHashAggregate buffer — an executor OOM waiting to happen at
+    100 TB group sizes, because that buffer cannot spill.  Here each value
+    column gets a row_number window over a SORT (distributes across the
+    group-key exchange and spills gracefully), all columns stack on the
+    same hash partitioning (one exchange, one scan total), and quantiles
+    are pure rank arithmetic.
 
     Replicates Percentile's math EXACTLY (same doubles): position =
     p·(n−1); result = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi with the same
     left-to-right double ops, and the same short-circuit to v_lo when the
-    position is integral or the two endpoint values are equal.  NULLs are
-    excluded, matching the aggregate.  Output: key, q0..q{len(ps)-1}.
+    position is integral or the two endpoint values are equal.  NULLs sort
+    last and are excluded from n (count of non-nulls), matching the
+    aggregate.  specs: [(col, [p, ...]), ...] → output key, q{j}_{i};
+    ``extra_cols`` ride through and ``extra_aggs`` run in the same final
+    groupBy (how agg_approx_percentile folds its GK sketch into this one
+    pass).
     """
     from pyspark.sql import Window as W
 
-    ow = W.partitionBy(key).orderBy("_v")
-    frame = ow.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    vals = (df.select(key, F.col(col).cast("double").alias("_v"))
-            .where(F.col("_v").isNotNull())
-            .select(key, "_v",
-                    F.row_number().over(ow).alias("_rn"),
-                    F.count(F.lit(1)).over(frame).alias("_n")))
+    d = df.select(key, *extra_cols,
+                  *[F.col(c).cast("double").alias(f"_v{j}")
+                    for j, (c, _) in enumerate(specs)])
+    for j, _ in enumerate(specs):
+        ow = W.partitionBy(key).orderBy(F.col(f"_v{j}").asc_nulls_last())
+        frame = ow.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        d = d.select("*", F.row_number().over(ow).alias(f"_rn{j}"),
+                     F.count(F.col(f"_v{j}")).over(frame).alias(f"_n{j}"))
 
-    def pos(p: float) -> F.Column:
-        return F.lit(p) * (F.col("_n") - F.lit(1))
+    def pos(j: int, p: float) -> F.Column:
+        return F.lit(p) * (F.col(f"_n{j}") - F.lit(1))
 
-    keep = None
-    for p in ps:
-        c = ((F.col("_rn") - 1 == F.floor(pos(p)))
-             | (F.col("_rn") - 1 == F.ceil(pos(p))))
-        keep = c if keep is None else (keep | c)
-    aggs = [F.max("_n").alias("_n")]
-    for i, p in enumerate(ps):
-        aggs.append(F.max(F.when(F.col("_rn") - 1 == F.floor(pos(p)),
-                                 F.col("_v"))).alias(f"_lo{i}"))
-        aggs.append(F.max(F.when(F.col("_rn") - 1 == F.ceil(pos(p)),
-                                 F.col("_v"))).alias(f"_hi{i}"))
-    g = vals.where(keep).groupBy(key).agg(*aggs)
+    aggs = []
+    for j, (_, ps) in enumerate(specs):
+        aggs.append(F.max(f"_n{j}").alias(f"_n{j}"))
+        for i, p in enumerate(ps):
+            aggs.append(F.max(F.when(F.col(f"_rn{j}") - 1
+                                     == F.floor(pos(j, p)),
+                                     F.col(f"_v{j}"))).alias(f"_lo{j}_{i}"))
+            aggs.append(F.max(F.when(F.col(f"_rn{j}") - 1
+                                     == F.ceil(pos(j, p)),
+                                     F.col(f"_v{j}"))).alias(f"_hi{j}_{i}"))
+    g = d.groupBy(key).agg(*aggs, *extra_aggs)
     outs = [F.col(key)]
-    for i, p in enumerate(ps):
-        q, lo, hi = pos(p), F.floor(pos(p)), F.ceil(pos(p))
-        outs.append(
-            F.when((hi == lo) | (F.col(f"_hi{i}") == F.col(f"_lo{i}")),
-                   F.col(f"_lo{i}"))
-            .otherwise((hi.cast("double") - q) * F.col(f"_lo{i}")
-                       + (q - lo.cast("double")) * F.col(f"_hi{i}"))
-            .alias(f"q{i}"))
-    return g.select(*outs)
+    for j, (_, ps) in enumerate(specs):
+        for i, p in enumerate(ps):
+            q, lo, hi = pos(j, p), F.floor(pos(j, p)), F.ceil(pos(j, p))
+            lo_v, hi_v = F.col(f"_lo{j}_{i}"), F.col(f"_hi{j}_{i}")
+            outs.append(
+                F.when((hi == lo) | (hi_v == lo_v), lo_v)
+                .otherwise((hi.cast("double") - q) * lo_v
+                           + (q - lo.cast("double")) * hi_v)
+                .alias(f"q{j}_{i}"))
+    extra_names = [list(g.columns)[-len(extra_aggs) + k]
+                   for k in range(len(extra_aggs))] if extra_aggs else []
+    return g.select(*outs, *extra_names)
 
 
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,28 +1510,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (collect-compared and oracle-reverified).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    sk = (
-        li.groupBy("l_returnflag")
-        # r14 perf (guide §2.3): ONE array-form GK sketch serves both
-        # quantiles — the sketch build is independent of the queried
-        # percentage, so values are bit-identical to two separate sketches
-        # (asserted at rewrite time) at half the sketch-insert cost
-        .agg(F.approx_percentile("l_extendedprice",
-                                 F.array(F.lit(0.5), F.lit(0.95)),
-                                 F.lit(10000)).alias("_ap"),
-             F.count(F.lit(1)).alias("n_rows")))
-    ex = _exact_rank_quantiles(li, "l_returnflag", "l_extendedprice",
-                               [0.5, 0.95])
+    # ONE scan + ONE exchange: the GK sketch (r14: one array-form sketch
+    # serves both quantiles, bit-identical to two) rides the SAME final
+    # groupBy as the rank-arithmetic picks via extra_aggs
+    ex = _exact_rank_quantiles(
+        li, "l_returnflag", [("l_extendedprice", [0.5, 0.95])],
+        extra_cols=("l_extendedprice",),
+        extra_aggs=(F.approx_percentile("l_extendedprice",
+                                        F.array(F.lit(0.5), F.lit(0.95)),
+                                        F.lit(10000)).alias("_ap"),
+                    F.count(F.lit(1)).alias("n_rows")))
     return (
-        sk.join(ex, "l_returnflag")
-        .select(
+        ex.select(
             "l_returnflag", "n_rows",
-            F.round(F.col("q0"), 4).alias("p50_exact"),
-            F.round(F.col("q1"), 4).alias("p95_exact"),
-            (F.abs(F.element_at("_ap", 1) - F.col("q0"))
-             <= 0.01 * F.col("q0")).alias("p50_within_1pct"),
-            (F.abs(F.element_at("_ap", 2) - F.col("q1"))
-             <= 0.01 * F.col("q1")).alias("p95_within_1pct"))
+            F.round(F.col("q0_0"), 4).alias("p50_exact"),
+            F.round(F.col("q0_1"), 4).alias("p95_exact"),
+            (F.abs(F.element_at("_ap", 1) - F.col("q0_0"))
+             <= 0.01 * F.col("q0_0")).alias("p50_within_1pct"),
+            (F.abs(F.element_at("_ap", 2) - F.col("q0_1"))
+             <= 0.01 * F.col("q0_1")).alias("p95_within_1pct"))
         .orderBy("l_returnflag")
     )
 
@@ -1572,19 +1579,17 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (same interpolation doubles; collect-compared and
     oracle-reverified)."""
     li = load_table(spark, sf_dir, "lineitem")
-    price = _exact_rank_quantiles(li, "l_returnflag", "l_extendedprice",
-                                  [0.25, 0.5, 0.75])
-    qty = (_exact_rank_quantiles(li, "l_returnflag", "l_quantity", [0.5])
-           .select("l_returnflag", F.col("q0").alias("_qq")))
-    return (
-        price.join(qty, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.round(F.col("q0"), 4).alias("p25_price"),
-            F.round(F.col("q1"), 4).alias("p50_price"),
-            F.round(F.col("q2"), 4).alias("p75_price"),
-            F.round(F.col("_qq"), 4).alias("p50_qty"),
-        )
+    # both value columns stack their sort+rank windows over ONE group-key
+    # exchange (one scan) — see _exact_rank_quantiles
+    ex = _exact_rank_quantiles(li, "l_returnflag",
+                               [("l_extendedprice", [0.25, 0.5, 0.75]),
+                                ("l_quantity", [0.5])])
+    return ex.select(
+        "l_returnflag",
+        F.round(F.col("q0_0"), 4).alias("p25_price"),
+        F.round(F.col("q0_1"), 4).alias("p50_price"),
+        F.round(F.col("q0_2"), 4).alias("p75_price"),
+        F.round(F.col("q1_0"), 4).alias("p50_qty"),
     )
 
 
