@@ -181,19 +181,19 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
              # exchanges re-planned) by all five iterations, which r15
              # measured as 27 exchanges / 187 broadcast builds in one plan.
              .coalesce(1)  # small-bounded
-             .localCheckpoint().coalesce(1))
+             .localCheckpoint().coalesce(1))  # small-bounded
     outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
     trans = (edges.join(outw.hint("shuffle_hash"), "src")
              .select("src", "dst",
                      (F.col("w").cast("double") / F.col("tot")).alias("p"))
-             .coalesce(1).localCheckpoint().coalesce(1))
+             .coalesce(1).localCheckpoint().coalesce(1))  # small-bounded
     nodes = (edges.select(F.col("src").alias("n"))
              .union(edges.select(F.col("dst").alias("n"))).distinct())
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     # node axis + node count staged together: saves one crossJoin+broadcast
     # build per iteration (nn is iteration-invariant)
     base = (nodes.crossJoin(F.broadcast(nn)).select("n", "cnt")
-            .coalesce(1).localCheckpoint().coalesce(1))
+            .coalesce(1).localCheckpoint().coalesce(1))  # small-bounded
     r = base.select("n", (F.lit(1.0) / F.col("cnt")).alias("r"))
     # single-partition SHUFFLE_HASH joins instead of per-iteration
     # broadcasts (r15, guide §2.4/§3): each F.broadcast(r)/F.broadcast(

@@ -2563,17 +2563,22 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 41 & 31 = 9 (Java int semantics) — silently dropping true matches
     arr = F.array(*[F.lit(m).cast("long") for m in masks])
     li = load_table(spark, sf_dir, "lineitem").withColumn("_bf", arr)
+    # hash ONCE per probe (r15, guide §2.3 per-task work): each position is
+    # referenced twice below (word index + bit index), and inlined it would
+    # evaluate xxhash64 twice per probe — 2k instead of k hashes per fact
+    # row.  A separate projection materializes the k positions per row.
+    li = li.select(
+        "*", *[F.expr(f"pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS})")
+               .alias(f"_p{i}") for i in range(_BLOOM_K)])
     hit = None
     for i in range(_BLOOM_K):
         # & 1, not % 2: Java % keeps the dividend's sign, so a word whose
         # bit 63 is set (negative long) would test -1 and never match
         bit = F.expr(
-            f"(shiftrightunsigned(_bf[CAST(pmod(xxhash64(l_orderkey, {i}),"
-            f" {_BLOOM_BITS}) / 64 AS INT)],"
-            f" CAST(pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS}) % 64"
-            " AS INT)) & 1) = 1")
+            f"(shiftrightunsigned(_bf[CAST(_p{i} / 64 AS INT)],"
+            f" CAST(_p{i} % 64 AS INT)) & 1) = 1")
         hit = bit if hit is None else (hit & bit)
-    pre = li.where(hit).drop("_bf")
+    pre = li.where(hit).drop("_bf", *[f"_p{i}" for i in range(_BLOOM_K)])
     # the exact-verify side is the filtered fact (corpus-growing): pinned
     return (pre.join(ords.hint("shuffle_hash"),
                      pre.l_orderkey == ords.o_orderkey)
