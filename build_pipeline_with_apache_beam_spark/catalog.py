@@ -54,8 +54,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def table_meta(sf_dir: str, name: str) -> tuple[int, int]:
+    """(n_rows, n_splits_estimate) for a table, straight off the parquet
+    footers — NO Spark job: a ``df.count()`` costs a scheduler round-trip
+    per operator call and ``df.rdd.getNumPartitions()`` re-plans the scan
+    (~0.2 s combined per call, measured r15).  The split estimate mirrors
+    Spark's packing math (total bytes / maxPartitionBytes, at least one
+    split per file) closely enough for a spread-or-not threshold."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = [path] if os.path.isfile(path) else [
+        os.path.join(path, f) for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")]
+    n_rows = 0
+    total_bytes = 0
+    for f in files:
+        n_rows += pq.ParquetFile(f).metadata.num_rows
+        total_bytes += os.path.getsize(f)
+    max_pb = 128 * 1024 * 1024  # keep in sync with session maxPartitionBytes
+    n_splits = max(len(files), -(-total_bytes // max_pb))
+    return n_rows, int(n_splits)
+
+
 def sized_spread(df: DataFrame, n_rows: int,
-                 rows_per_partition: int) -> DataFrame:
+                 rows_per_partition: int,
+                 n_splits: int | None = None) -> DataFrame:
     """Spread a small scan for a CPU-heavy downstream stage — ONLY when the
     scan has fewer partitions than the row-sized target (optimization guide
     §2.2/§6; round-14 verdict #1).
@@ -72,6 +96,8 @@ def sized_spread(df: DataFrame, n_rows: int,
     spark = df.sparkSession
     target = max(1, min(spark.sparkContext.defaultParallelism,
                         -(-n_rows // max(1, rows_per_partition))))
-    if df.rdd.getNumPartitions() >= target:
+    if n_splits is None:
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits >= target:
         return df
     return df.repartition(target)

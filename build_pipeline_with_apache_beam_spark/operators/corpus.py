@@ -197,7 +197,7 @@ def corpus_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from build_pipeline_with_apache_beam_spark.operators.similarity import (
         _dot, _with_unit_vec)
 
-    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     q = (emb.where(F.col("vec_id") < 10)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("label").alias("true_label"), F.col("vec").alias("qvec")))
@@ -421,15 +421,19 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from build_pipeline_with_apache_beam_spark.catalog import sized_spread
+    from build_pipeline_with_apache_beam_spark.catalog import (
+        sized_spread,
+        table_meta,
+    )
 
     # size-aware spread (guide §2.2/§6): the per-doc stage below computes
     # md5 fingerprints + 5-gram arrays — CPU-heavy, and the test corpus is
     # ONE input split (2.0 s serial vs ~0.3 s spread at sf0.1); at 100 TB
     # the splits provide the parallelism and no exchange is added.  The
     # bench-slice filter still pushes below the repartition to the scan.
-    n_docs = load_table(spark, sf_dir, "documents").count()  # metadata-only
-    docs = sized_spread(load_table(spark, sf_dir, "documents"), n_docs, 128)
+    n_docs, n_splits = table_meta(sf_dir, "documents")  # footer-only
+    docs = sized_spread(load_table(spark, sf_dir, "documents"),
+                        n_docs, 128, n_splits)
     toks = F.split("text", " ")
 
     # stage 1: quality (the gopher-style battery, abbreviated)

@@ -31,7 +31,11 @@ import hashlib
 import os
 import shutil
 
-from build_pipeline_with_apache_beam_spark.catalog import load_table, sized_spread
+from build_pipeline_with_apache_beam_spark.catalog import (
+    load_table,
+    sized_spread,
+    table_meta,
+)
 from build_pipeline_with_apache_beam_spark.sources.sinks import SCRATCH
 
 N_MINHASH = 16          # signature length
@@ -167,11 +171,11 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute from IS-NOT-NULL docs — so the scan filter matches exactly.
     # (The r14 form also dropped empty-STRING text, silently diverging from
     # the oracle on corpora with empty docs — ADVICE r14, fixed r15.)
-    n_docs = load_table(spark, sf_dir, "documents").count()  # metadata-only
+    n_docs, n_splits = table_meta(sf_dir, "documents")  # footer-only, no job
     docs = sized_spread(
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull()),
-        n_docs, _DOC_ROWS_PER_PARTITION)
+        n_docs, _DOC_ROWS_PER_PARTITION, n_splits)
     # Pre-split in a SEPARATE projection: `toks` is referenced more than
     # once by a non-cheap expression, so CollapseProject leaves the split
     # materialized.  Inlining `split(text, ' ')` into the lambda body makes
@@ -416,9 +420,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     # size-aware spread of the tokenize+hash stage (r15, guide §2.2/§6):
     # the test corpus is one parquet file = one input split; at 100 TB the
     # splits provide the parallelism natively and no exchange is added
+    n_docs, n_splits = table_meta(sf_dir, "documents")
     docs = sized_spread(load_table(spark, sf_dir, "documents"),
-                        load_table(spark, sf_dir, "documents").count(),
-                        _DOC_ROWS_PER_PARTITION)
+                        n_docs, _DOC_ROWS_PER_PARTITION, n_splits)
     # hash once per token in its own projection — inlining the hash chunks
     # into the 64 per-bit aggregates below would recompute the digest 64×
     # per row.  c0..c3 are the 64 hash bits as four 16-bit ints.

@@ -56,20 +56,41 @@ def _with_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("vec", F.col(col).cast("array<double>"))
 
 
-def _with_unit_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
+# ~128 vectors per task for the HOF dot-product hot loops: array lambdas
+# evaluate per element (no whole-stage codegen inside the lambda), so even
+# a broadcast-query LINEAR scan costs ~0.35 ms/row at dim 64 × 5 queries —
+# measured 0.77 s single-split vs 0.24 s spread at sf0.1 for
+# sim_cosine_pairs.  Corpus-scale scans have >= target splits and take NO
+# exchange (catalog.sized_spread).
+_VEC_ROWS_PER_PARTITION = 128
+
+
+def _with_unit_vec(df: DataFrame, col: str = "embedding",
+                   sf_dir: str | None = None) -> DataFrame:
     """Pre-normalize to unit length ONCE per vector, so every pairwise
     cosine downstream is a single dot product instead of dot + two norms —
     3× less expression work inside the join, and at scale the normalized
     column is what you'd persist in the index.
 
-    NO repartition (r15; r14 verdict #6 — the pre-r15 form exchanged the
-    full vector table at every scale): every consumer either (a) is a
-    broadcast-query LINEAR scan (cosine pairs / LSH / IVF probes / MMR
-    pool / kNN vote), whose per-row work rides the scan splits at 100 TB
-    and is trivial at bench scale, or (b) reshuffles immediately on its
-    OWN block key (bucket / cell+sub) for the quadratic pair stage, so the
-    spread exchange was pure waste in both classes — plan-verified per
-    consumer in plans/r15/."""
+    Size-aware spread (r15; r14 verdict #6): the pre-r15 form exchanged
+    the full vector table at EVERY scale via an unconditional
+    ``repartition(defaultParallelism)``.  Now the exchange exists only
+    when the scan has fewer splits than the row-sized target — the test
+    corpora are one split, so they still fan out for the per-pair HOF hot
+    loops (measured 0.77 → 0.24 s on sim_cosine_pairs at sf0.1), while a
+    corpus-scale scan rides its own splits with NO exchange.  Callers pass
+    sf_dir so row/split counts come off the parquet footers (no Spark
+    job); without it the decision falls back to a count() + plan walk."""
+    from build_pipeline_with_apache_beam_spark.catalog import (
+        sized_spread,
+        table_meta,
+    )
+
+    if sf_dir is not None:
+        n_rows, n_splits = table_meta(sf_dir, "embeddings")
+    else:
+        n_rows, n_splits = df.count(), None
+    df = sized_spread(df, n_rows, _VEC_ROWS_PER_PARTITION, n_splits)
     v = F.col(col).cast("array<double>")
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return df.withColumn("vec", F.transform(v, lambda x: x / n))
@@ -78,7 +99,7 @@ def _with_unit_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine for (query × candidate): the verifiable kernel.
     Queries broadcast against one candidate scan."""
-    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     q = (emb.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")))
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("vec").alias("cvec"))
@@ -164,7 +185,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     bucketed = emb.withColumn(
         "bucket", _bucket(F.col("embedding").cast("array<double>")))
     q = (bucketed.where(F.col("vec_id") < N_QUERIES)
@@ -284,7 +305,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalization expression from being re-inlined into every one of the
     # 8 per-cell dot products (at scale the assigned index is written to
     # disk partitioned by cell — probing becomes partition pruning)
-    emb = (_with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = (_with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
            .select("vec_id", "vec").persist())
     cents = _ivf_codebook(emb)
     assigned = emb.withColumn(
@@ -350,7 +371,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     bucketed = (emb.select("vec_id", "vec", "embedding")
                 .withColumn("bucket",
                             _bucket(F.col("embedding").cast("array<double>")))
@@ -487,7 +508,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in plain Python."""
     import pandas as pd
 
-    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     q = (emb.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("vec").alias("qvec")))
@@ -594,7 +615,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the τ-threshold removal join, and the per-cell audit value-for-value.
     Tests additionally assert the keep-rule invariants.
     """
-    emb = (_with_unit_vec(load_table(spark, sf_dir, "embeddings"))
+    emb = (_with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
            .select("vec_id", "vec").persist())
     cents = _ivf_codebook(emb)
     assigned = (emb
