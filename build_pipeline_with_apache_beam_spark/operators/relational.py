@@ -2563,22 +2563,22 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 41 & 31 = 9 (Java int semantics) — silently dropping true matches
     arr = F.array(*[F.lit(m).cast("long") for m in masks])
     li = load_table(spark, sf_dir, "lineitem").withColumn("_bf", arr)
-    # hash ONCE per probe (r15, guide §2.3 per-task work): each position is
-    # referenced twice below (word index + bit index), and inlined it would
-    # evaluate xxhash64 twice per probe — 2k instead of k hashes per fact
-    # row.  A separate projection materializes the k positions per row.
-    li = li.select(
-        "*", *[F.expr(f"pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS})")
-               .alias(f"_p{i}") for i in range(_BLOOM_K)])
-    hit = None
-    for i in range(_BLOOM_K):
-        # & 1, not % 2: Java % keeps the dividend's sign, so a word whose
-        # bit 63 is set (negative long) would test -1 and never match
-        bit = F.expr(
-            f"(shiftrightunsigned(_bf[CAST(_p{i} / 64 AS INT)],"
-            f" CAST(_p{i} % 64 AS INT)) & 1) = 1")
-        hit = bit if hit is None else (hit & bit)
-    pre = li.where(hit).drop("_bf", *[f"_p{i}" for i in range(_BLOOM_K)])
+    # ONE forall HOF instead of k AND-ed bit tests (r15, guide §2.3
+    # per-task work, measured 3.45 → 0.96 s at sf0.1 with identical
+    # output): the unrolled form inlined pmod(xxhash64(...)) TWICE per
+    # probe (word index + bit index — a pre-projection didn't help,
+    # filter pushdown substitutes the aliases right back) and embedded
+    # the 1024-word mask literal once PER REFERENCE — 15 copies of an
+    # 8 KB array in one Filter condition, far past the codegen method
+    # limit, so the whole probe ran interpreted.  Inside the lambda each
+    # position and the mask array are bound ONCE; & 1, not % 2 (Java %
+    # keeps the dividend's sign — a word with bit 63 set would test -1).
+    probe = F.expr(
+        f"forall(transform(sequence(0, {_BLOOM_K - 1}),"
+        f" i -> pmod(xxhash64(l_orderkey, i), {_BLOOM_BITS})),"
+        " p -> (shiftrightunsigned(_bf[CAST(p / 64 AS INT)],"
+        " CAST(p % 64 AS INT)) & 1) = 1)")
+    pre = li.where(probe).drop("_bf")
     # the exact-verify side is the filtered fact (corpus-growing): pinned
     return (pre.join(ords.hint("shuffle_hash"),
                      pre.l_orderkey == ords.o_orderkey)
