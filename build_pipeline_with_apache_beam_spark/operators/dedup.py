@@ -442,21 +442,22 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     # Per-bit aggregate is sum of the raw bit (branch-free) plus one shared
     # count; "majority of signed ±1 sums > 0" ⟺ "2·Σbit > n" — same bits,
     # half the per-row expression work in the hot partial-agg loop.
+    # F.expr strings, not Column operators (r15, guide §4 driver cost —
+    # the logreg/PCA/bloom fix): composing the 64 aggregates + the 64-term
+    # reconstruction from pyspark Columns cost ~1.8 s of py4j round-trips
+    # PER CALL; integer arithmetic is exact, so the SQL form is
+    # bit-identical (oracle-reverified).
     bit_sums = _staged(spark, toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
-        *[F.sum(F.shiftrightunsigned(F.col(f"c{b // 16}"), b % 16)
-                .bitwiseAND(F.lit(1))).alias(f"s_{b}")
-          for b in range(64)]
+        F.expr("count(1)").alias("n_toks"),
+        *[F.expr(f"sum(shiftrightunsigned(c{b // 16}, {b % 16}) & 1)")
+          .alias(f"s_{b}") for b in range(64)]
     ), sf_dir, f"simhash_bits_{hash_family}")
-    simhash = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"s_{b}") * 2 > F.col("n_toks"),
-                    F.lit(1).cast("long")).otherwise(F.lit(0))
-             * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
-            for b in range(64)
-        ).alias("simhash"),
-    )
+    sim_sql = " + ".join(
+        f"(CASE WHEN s_{b} * 2 > n_toks THEN CAST(1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        f" * CAST({1 << b if b < 63 else -(1 << 63)} AS BIGINT))"
+        for b in range(64))
+    simhash = bit_sums.select("doc_id", F.expr(sim_sql).alias("simhash"))
     # 4 × 16-bit bands; hamming ≤ 3 ⟹ at least one band identical
     bands = simhash.select(
         "doc_id", "simhash",

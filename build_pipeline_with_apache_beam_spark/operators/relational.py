@@ -2561,7 +2561,13 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small-magnitude negatives (≈ -1) that all fit int32, and an
     # ARRAY<INT> element under shiftrightunsigned(x, 41) shifts by
     # 41 & 31 = 9 (Java int semantics) — silently dropping true matches
-    arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    # ONE F.expr for the 1024-word mask literal (r15, guide §4 driver
+    # cost — the logreg/PCA fix): 1024 F.lit().cast() Columns cost ~2.5 s
+    # of py4j round-trips PER CALL, dwarfing the query itself.  The SQL
+    # long-literal array is a single driver call; values are exact
+    # (integers round-trip through their decimal text).
+    arr = F.expr(
+        "array({})".format(", ".join(f"{m}L" for m in masks)))
     li = load_table(spark, sf_dir, "lineitem").withColumn("_bf", arr)
     # ONE forall HOF instead of k AND-ed bit tests (r15, guide §2.3
     # per-task work, measured 3.45 → 0.96 s at sf0.1 with identical

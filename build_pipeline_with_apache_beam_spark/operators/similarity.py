@@ -132,26 +132,33 @@ def _hyperplanes() -> list[list[float]]:
     return rng.standard_normal((N_PLANES, DIM)).round(6).tolist()
 
 
-def _bucket(vec_col) -> F.Column:
+def _bucket(vec_col: str) -> F.Column:
     """LSH bucket id: sign bit of the dot product with each hyperplane.
 
-    Callers pass the RAW double vector (``embedding`` cast, NOT the unit
-    vector): sign(dot(v, p)) == sign(dot(v/|v|, p)) in exact arithmetic,
+    Callers pass the RAW double vector's SQL text (``embedding`` cast,
+    NOT the unit vector): sign(dot(v, p)) == sign(dot(v/|v|, p)) in exact arithmetic,
     but normalizing first multiplies every summand by a different 1/|v|
     rounding, so a near-zero plane dot could flip sign between the engine
     and the DuckDB oracle (which buckets the raw vector) — round-8 ADVICE.
     Bucketing the raw vector makes both sides evaluate the SAME expression:
     identical products, identical left-to-right double accumulation."""
     planes = _hyperplanes()
-    bits = [
-        F.when(_dot(vec_col, F.array(*[F.lit(v) for v in p])) >= 0,
-               F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    # ONE F.expr per bucket expression (r15, guide §4 driver cost — the
+    # logreg/PCA/bloom fix): 4×64 F.lit() plane-literal Columns cost
+    # ~0.5 s of py4j round-trips per call; the SQL string is one call.
+    # CAST(repr AS DOUBLE) round-trips each double exactly, and the fold
+    # (zip_with → aggregate, CAST(0.0 AS DOUBLE) seed, left-to-right
+    # acc + v) is the same expression _dot builds — identical doubles,
+    # oracle-reverified.
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "array({})".format(
+            ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p))
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + v) >= 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
 
 
 def _bucket_sql(vec_expr: str) -> str:
@@ -187,7 +194,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     bucketed = emb.withColumn(
-        "bucket", _bucket(F.col("embedding").cast("array<double>")))
+        "bucket", _bucket("CAST(embedding AS ARRAY<DOUBLE>)"))
     q = (bucketed.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
                  F.col("bucket").alias("qbucket")))
@@ -214,9 +221,18 @@ def _argmax_cell(dots: F.Column) -> F.Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
-def _cell_dots(vec_col, centroids: list[list[float]]) -> F.Column:
-    return F.array(*[_dot(vec_col, F.array(*[F.lit(v) for v in c]))
-                     for c in centroids])
+def _cell_dots(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Array of dot(vec, centroid_c) per cell — one F.expr (r15, guide §4
+    driver cost): the k×d F.lit() literal Columns cost ~1 s of py4j
+    round-trips per call.  Same fold (zip_with → aggregate, double seed,
+    left-to-right acc + v) as _dot, in centroid order — identical doubles
+    (oracle-reverified).  ``vec_col`` is the vector column's SQL text."""
+    cent = "array({})".format(", ".join(
+        "array({})".format(", ".join(f"CAST({v!r} AS DOUBLE)" for v in c))
+        for c in centroids))
+    return F.expr(
+        f"transform({cent}, cv -> aggregate(zip_with({vec_col}, cv,"
+        " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
 
 
 _TRAIN_SAMPLE = 4096  # codebook training sample size (driver-side, bounded)
@@ -309,12 +325,12 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "vec").persist())
     cents = _ivf_codebook(emb)
     assigned = emb.withColumn(
-        "cell", _argmax_cell(_cell_dots(F.col("vec"), cents)))
+        "cell", _argmax_cell(_cell_dots("vec", cents)))
     c = assigned.select(F.col("vec_id").alias("cand_id"),
                         F.col("vec").alias("cvec"), "cell")
     # queries probe their N_PROBE highest-scoring cells: take the argmax,
     # mask it out, take the next — unrolled because N_PROBE is tiny
-    qdots = _cell_dots(F.col("vec"), cents)
+    qdots = _cell_dots("vec", cents)
     q = (assigned.where(F.col("vec_id") < N_QUERIES)
          .withColumn("dots", qdots)
          .withColumn("probe1", _argmax_cell(F.col("dots")))
@@ -374,7 +390,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_unit_vec(load_table(spark, sf_dir, "embeddings"), sf_dir=sf_dir)
     bucketed = (emb.select("vec_id", "vec", "embedding")
                 .withColumn("bucket",
-                            _bucket(F.col("embedding").cast("array<double>")))
+                            _bucket("CAST(embedding AS ARRAY<DOUBLE>)"))
                 .drop("embedding"))
     # One scan, one dots pass, ONE payload shuffle (round-9 verdict #5):
     # bucket sizes come from a count window over the SAME
@@ -619,7 +635,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "vec").persist())
     cents = _ivf_codebook(emb)
     assigned = (emb
-                .withColumn("dots", _cell_dots(F.col("vec"), cents))
+                .withColumn("dots", _cell_dots("vec", cents))
                 .withColumn("cell", _argmax_cell(F.col("dots")))
                 .withColumn("cent_sim", F.round(F.array_max("dots"), 6))
                 .drop("dots"))
